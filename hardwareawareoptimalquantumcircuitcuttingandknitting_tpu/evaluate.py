@@ -1,0 +1,81 @@
+"""Fidelity / evaluation harness.
+
+Analog of the reference Utilities (src/HwAwareCutter/Utilities.py): runs the
+uncut circuit and the cut+knitted circuit on ideal and/or noisy backends and
+computes the three Hellinger fidelities.  Thread-pair latency overlap in the
+reference (Utilities.py:51-67) is unnecessary here — everything is batched
+on one device.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .circuit.circuit import Circuit
+from .ops.statevector import Distribution, simulate_circuit
+from .run import run_virtual_circuit
+from .utils.logger import get_logger
+from .virt.virtual_circuit import VirtualCircuit
+
+
+def hellinger_fidelity(p: Distribution | dict, q: Distribution | dict) -> float:
+    """(sum_i sqrt(p_i q_i))^2 over the union support, matching qiskit's
+    hellinger_fidelity used at Utilities.py:222-224."""
+    pd = p.to_dict() if isinstance(p, Distribution) else dict(p)
+    qd = q.to_dict() if isinstance(q, Distribution) else dict(q)
+    total = 0.0
+    for key, pv in pd.items():
+        qv = qd.get(key, 0.0)
+        if pv > 0 and qv > 0:
+            total += math.sqrt(pv * qv)
+    return total * total
+
+
+@dataclass
+class ComparisonResult:
+    input_fidelity: float       # uncut: ideal vs noisy
+    cut_fidelity: float         # cut+knit: ideal vs noisy
+    cut_vs_uncut_fidelity: float  # the self-consistency oracle (~1.0)
+
+
+def compare_original_with_cut(
+    original: Circuit,
+    cut: Circuit,
+    noise_model=None,
+    shots: int | None = None,
+    seed: int = 0,
+) -> ComparisonResult:
+    """Reference: compareOriginalCircWithCutCirc (Utilities.py:154-226).
+
+    With ``noise_model=None`` the noisy legs reuse the ideal results (the
+    headline metric cutVsUncutFidelity is noise-free either way).
+    """
+    log = get_logger(__name__)
+    input_ideal = simulate_circuit(original)
+    virt = VirtualCircuit(cut)
+    cut_ideal, _ = run_virtual_circuit(virt, shots=shots, seed=seed)
+
+    if noise_model is not None:
+        from .ops.noise import simulate_noisy_circuit, run_noisy_virtual_circuit
+
+        input_noisy = simulate_noisy_circuit(
+            original, noise_model, shots=shots, seed=seed
+        )
+        cut_noisy, _ = run_noisy_virtual_circuit(
+            VirtualCircuit(cut), noise_model, shots=shots, seed=seed
+        )
+    else:
+        input_noisy = input_ideal
+        cut_noisy = cut_ideal
+
+    res = ComparisonResult(
+        hellinger_fidelity(input_ideal, input_noisy),
+        hellinger_fidelity(cut_ideal, cut_noisy),
+        hellinger_fidelity(input_ideal, cut_ideal),
+    )
+    log.info(f"inputCircFidelity: {res.input_fidelity}")
+    log.info(f"cutCircFidelity: {res.cut_fidelity}")
+    log.info(f"cutVsUncutFidelity: {res.cut_vs_uncut_fidelity}")
+    return res

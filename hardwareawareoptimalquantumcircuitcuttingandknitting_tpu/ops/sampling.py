@@ -1,0 +1,47 @@
+"""Shot sampling: emulate the reference's finite-shot estimates.
+
+The reference converts Aer counts into normalised quasi-distributions
+(quasi_distr.py:13-20).  Here we sample multinomial counts from the exact
+per-variant probability rows on device, giving statistically identical
+behaviour with the sampler vmapped across variants.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .variant_engine import FragmentResult
+
+
+def _multinomial_rows(key, probs: jnp.ndarray, shots: int) -> jnp.ndarray:
+    """Sample multinomial counts for each row of ``probs`` [V, K]."""
+    v, k = probs.shape
+
+    def one(key, p):
+        # sequential binomial decomposition would be exact but slow for large
+        # K; categorical draws are exact and vectorised.
+        draws = jax.random.categorical(key, jnp.log(p + 1e-30), shape=(shots,))
+        return jnp.bincount(draws, length=k)
+
+    keys = jax.random.split(key, v)
+    return jax.vmap(one)(keys, probs)
+
+
+def sample_fragment_results(
+    results: list[FragmentResult], shots: int, seed: int = 0
+) -> list[FragmentResult]:
+    key = jax.random.PRNGKey(seed)
+    out = []
+    for res in results:
+        key, sub = jax.random.split(key)
+        probs = jnp.asarray(res.values)
+        # guard: rows are probability rows (exact engine); renormalise to
+        # absorb float error before sampling
+        probs = probs / jnp.sum(probs, axis=1, keepdims=True)
+        counts = _multinomial_rows(sub, probs, shots)
+        vals = np.asarray(counts, dtype=np.float32) / float(shots)
+        out.append(
+            FragmentResult(res.name, vals, res.bit_positions, res.touching)
+        )
+    return out

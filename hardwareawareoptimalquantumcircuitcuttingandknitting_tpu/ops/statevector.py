@@ -1,0 +1,183 @@
+"""Exact statevector simulation on TPU via JAX.
+
+First-party replacement for qiskit-aer's role in the reference
+(third_party/qvm/qvm/run.py:42, src/HwAwareCutter/Utilities.py:49).  Unlike
+Aer's shot sampler, the default path computes *exact* outcome probabilities:
+mid-circuit measurement is handled by the deferred-measurement principle
+(a CX onto a fresh ancilla), ``reset`` by swapping with a fresh |0> ancilla,
+and classically-conditioned X/Z by a CX/CZ from the bit's holder qubit.  The
+final probability tensor is marginalised onto the written clbits, which
+reproduces Aer's counts semantics exactly in expectation.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuit.circuit import Circuit
+from ..circuit.gates import CX, CZ, SWAP, gate_matrix
+
+
+def apply_matrix(state: jnp.ndarray, u: np.ndarray | jnp.ndarray, axes) -> jnp.ndarray:
+    """Apply a k-qubit unitary to state tensor ``[2]*n`` on the given axes.
+
+    Gate-local bit order: first axis in ``axes`` is the most significant bit
+    of the matrix index (see circuit/gates.py docstring).
+    """
+    k = len(axes)
+    u = jnp.asarray(u).reshape((2,) * (2 * k))
+    # contract input indices of u with state axes
+    state = jnp.tensordot(u, state, axes=(list(range(k, 2 * k)), list(axes)))
+    # tensordot puts the k output axes first; move them back
+    return jnp.moveaxis(state, list(range(k)), list(axes))
+
+
+@dataclass
+class CompiledCircuit:
+    """Static execution plan for an exact simulation of one circuit."""
+
+    num_sim_qubits: int          # circuit qubits + deferral ancillas
+    ops: list                    # (matrix np.ndarray, axes tuple)
+    clbit_sources: dict[int, int]  # clbit -> sim-qubit holding its value
+    num_clbits: int
+
+
+def compile_circuit(circ: Circuit) -> CompiledCircuit:
+    n = circ.num_qubits
+    ops: list[tuple[np.ndarray, tuple[int, ...]]] = []
+    clbit_sources: dict[int, int] = {}
+    next_anc = n
+
+    # which instruction index is the last op touching each qubit?
+    last_touch = [-1] * n
+    for idx, ins in enumerate(circ.instructions):
+        if ins.name == "barrier":
+            continue
+        for q in ins.qubits:
+            last_touch[q] = idx
+
+    for idx, ins in enumerate(circ.instructions):
+        if ins.name == "barrier":
+            continue
+        if ins.name == "measure":
+            (q,), (c,) = ins.qubits, ins.clbits
+            if c in clbit_sources:
+                raise NotImplementedError(f"clbit {c} measured twice")
+            if last_touch[q] == idx:
+                clbit_sources[c] = q  # terminal measure: read qubit directly
+            else:
+                anc = next_anc
+                next_anc += 1
+                ops.append((CX, (q, anc)))
+                clbit_sources[c] = anc
+            continue
+        if ins.name == "reset":
+            (q,) = ins.qubits
+            if last_touch[q] == idx:
+                continue  # nothing observes the qubit afterwards
+            anc = next_anc
+            next_anc += 1
+            ops.append((SWAP, (q, anc)))
+            continue
+        if ins.condition is not None:
+            cbit, val = ins.condition
+            if cbit not in clbit_sources:
+                raise ValueError(f"condition on unwritten clbit {cbit}")
+            src = clbit_sources[cbit]
+            if val != 1:
+                raise NotImplementedError("only c_if(bit == 1) supported")
+            if ins.name == "x":
+                ops.append((CX, (src, ins.qubits[0])))
+            elif ins.name == "z":
+                ops.append((CZ, (src, ins.qubits[0])))
+            else:
+                raise NotImplementedError(f"conditioned {ins.name}")
+            continue
+        ops.append((ins.matrix(), tuple(ins.qubits)))
+
+    return CompiledCircuit(next_anc, ops, clbit_sources, circ.num_clbits)
+
+
+def run_statevector(compiled: CompiledCircuit) -> jnp.ndarray:
+    """Final state tensor ``[2]*num_sim_qubits`` (complex64)."""
+    n = compiled.num_sim_qubits
+
+    @jax.jit
+    def _run():
+        state = jnp.zeros((2,) * n, dtype=jnp.complex64)
+        state = state.at[(0,) * n].set(1.0)
+        for u, axes in compiled.ops:
+            state = apply_matrix(state, u, axes)
+        return state
+
+    return _run()
+
+
+@dataclass
+class Distribution:
+    """Dense probability/quasi-probability vector over a subset of clbits.
+
+    ``values[i]`` is the weight of the outcome whose written clbits spell the
+    binary expansion of ``i`` with ``bit_positions[j]`` holding bit j (LSB
+    first).  Unwritten clbits are implicitly 0, matching the reference where
+    fragments leave untouched clbits at 0
+    (qvm/virtual_circuit.py:116-131, quasi_distr.py:13-20).
+    """
+
+    values: np.ndarray          # [2^k] float32
+    bit_positions: list[int]    # global clbit index per local bit (sorted)
+    num_clbits: int
+
+    def to_dict(self, tol: float = 0.0) -> dict[int, float]:
+        vals = np.asarray(self.values)
+        out: dict[int, float] = {}
+        for i in np.nonzero(np.abs(vals) > tol)[0]:
+            key = 0
+            for j, pos in enumerate(self.bit_positions):
+                if (int(i) >> j) & 1:
+                    key |= 1 << pos
+            out[key] = float(vals[i])
+        return out
+
+
+def probabilities(
+    compiled: CompiledCircuit, state: jnp.ndarray | None = None
+) -> Distribution:
+    """Exact outcome distribution over written clbits."""
+    if state is None:
+        state = run_statevector(compiled)
+    positions = sorted(compiled.clbit_sources)
+    sources = [compiled.clbit_sources[c] for c in positions]
+    probs = _marginalize(state, sources)
+    return Distribution(np.asarray(probs), positions, compiled.num_clbits)
+
+
+@jax.jit
+def _abs2(state):
+    return jnp.real(state) ** 2 + jnp.imag(state) ** 2
+
+
+def _marginalize(state: jnp.ndarray, keep_axes: list[int]) -> jnp.ndarray:
+    """|amp|^2 then sum over all axes not in keep_axes; transpose so that
+    keep_axes[0] is the LSB of the flattened index."""
+    n = state.ndim
+    p = _abs2(state)
+    drop = [a for a in range(n) if a not in keep_axes]
+    if drop:
+        p = jnp.sum(p, axis=tuple(drop))
+    # remaining axes correspond to sorted(keep_axes); flattening is C-order
+    # (axis 0 most significant), and we want keep_axes[j] to be bit j (LSB
+    # first), i.e. axis order keep_axes[k-1], ..., keep_axes[0].
+    ascending = sorted(keep_axes)
+    perm = [ascending.index(a) for a in reversed(keep_axes)]
+    p = jnp.transpose(p, perm)
+    return p.reshape(-1)
+
+
+def simulate_circuit(circ: Circuit) -> Distribution:
+    """Exact end-to-end: compile + run + marginalise. The uncut-circuit
+    oracle used by the fidelity harness (reference: Utilities.py:39-69)."""
+    return probabilities(compile_circuit(circ))

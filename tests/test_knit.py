@@ -1,0 +1,160 @@
+"""Knit identity tests: for every virtualizable gate type, a manually cut
+circuit's knitted distribution must equal the uncut circuit's exact
+distribution (the reference's cutVsUncutFidelity == 1 oracle, SURVEY §4)."""
+import math
+
+import numpy as np
+import pytest
+
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+    Circuit,
+    Instruction,
+    Register,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+    simulate_circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.run import (
+    run_virtual_circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+    VirtualCircuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_gates import (
+    VirtualGateOp,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (
+    hellinger_fidelity,
+)
+
+
+def vgate(name, qubits, params=()):
+    return Instruction(
+        "vgate", list(qubits), params=list(params),
+        op=VirtualGateOp(name, tuple(params)),
+    )
+
+
+def assert_dist_close(d1, d2, tol=2e-5):
+    keys = set(d1.to_dict(1e-7)) | set(d2.to_dict(1e-7))
+    a = d1.to_dict()
+    b = d2.to_dict()
+    for k in keys:
+        assert a.get(k, 0.0) == pytest.approx(b.get(k, 0.0), abs=tol), (
+            k, a.get(k), b.get(k)
+        )
+
+
+@pytest.mark.parametrize(
+    "name,params",
+    [
+        ("cz", ()),
+        ("cx", ()),
+        ("cy", ()),
+        ("rzz", (0.77,)),
+        ("rzz", (math.pi,)),   # near-Clifford special case
+        ("rzz", (0.0,)),       # sin==0 special case
+        ("cp", (1.3,)),
+        ("cp", (-2.0,)),
+    ],
+)
+def test_gate_cut_identity(name, params):
+    # uncut: 2 qubits with context before and after the cut gate
+    orig = Circuit(2, 2)
+    orig.h(0)
+    orig.ry(0.4, 1)
+    getattr(orig, name)(*params, 0, 1) if params else getattr(orig, name)(0, 1)
+    orig.rx(0.7, 0)
+    orig.h(1)
+    orig.measure(0, 0)
+    orig.measure(1, 1)
+    ideal = simulate_circuit(orig)
+
+    cut = Circuit([Register("frag0", 1), Register("frag1", 1)], 2)
+    cut.h(0)
+    cut.ry(0.4, 1)
+    cut.append(vgate(name, [0, 1], params))
+    cut.rx(0.7, 0)
+    cut.h(1)
+    cut.measure(0, 0)
+    cut.measure(1, 1)
+    knitted, _ = run_virtual_circuit(VirtualCircuit(cut), project=False)
+    assert_dist_close(ideal, knitted)
+
+
+def test_wire_cut_identity_ghz3():
+    orig = Circuit(3, 3)
+    orig.h(0)
+    orig.cx(0, 1)
+    orig.cx(1, 2)
+    for q in range(3):
+        orig.measure(q, q)
+    ideal = simulate_circuit(orig)
+
+    # frag0 = [q0, q1]; frag1 = [vmove, q2]
+    cut = Circuit([Register("frag0", 2), Register("frag1", 2)], 3)
+    cut.h(0)
+    cut.cx(0, 1)
+    cut.append(vgate("move", [1, 2]))
+    cut.cx(2, 3)
+    cut.measure(0, 0)
+    cut.measure(2, 1)
+    cut.measure(3, 2)
+    knitted, _ = run_virtual_circuit(VirtualCircuit(cut), project=False)
+    assert_dist_close(ideal, knitted)
+    assert hellinger_fidelity(ideal, knitted) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_wire_and_gate_cut_combined():
+    # 3-qubit circuit with one gate cut and one wire cut (3 fragments worth
+    # of variant structure in 2 fragments)
+    orig = Circuit(3, 3)
+    orig.h(0)
+    orig.ry(0.3, 1)
+    orig.h(2)
+    orig.cz(0, 1)
+    orig.cx(1, 2)
+    orig.rx(0.5, 2)
+    for q in range(3):
+        orig.measure(q, q)
+    ideal = simulate_circuit(orig)
+
+    # cut the cz(0,1) as a gate cut, and the wire q1 between cz and cx as a
+    # wire cut. frag0 = [q0], frag1 = [q1... wait q1 stays with frag0's cz?
+    # layout: frag0=[q0, q1], frag1=[vmove, q2]; gate cut between q0 and q1
+    # is intra-fragment (allowed: both endpoints in one fragment), wire cut
+    # moves q1 to vmove in frag1.
+    cut = Circuit([Register("frag0", 2), Register("frag1", 2)], 3)
+    cut.h(0)
+    cut.ry(0.3, 1)
+    cut.h(3)
+    cut.append(vgate("cz", [0, 1]))
+    cut.append(vgate("move", [1, 2]))
+    cut.cx(2, 3)
+    cut.rx(0.5, 3)
+    cut.measure(0, 0)
+    cut.measure(2, 1)
+    cut.measure(3, 2)
+    knitted, _ = run_virtual_circuit(VirtualCircuit(cut), project=False)
+    assert_dist_close(ideal, knitted)
+
+
+def test_sampled_path_statistical():
+    orig = Circuit(2, 2)
+    orig.h(0)
+    orig.cz(0, 1)
+    orig.h(1)
+    orig.measure(0, 0)
+    orig.measure(1, 1)
+    ideal = simulate_circuit(orig)
+
+    cut = Circuit([Register("frag0", 1), Register("frag1", 1)], 2)
+    cut.h(0)
+    cut.append(vgate("cz", [0, 1]))
+    cut.h(1)
+    cut.measure(0, 0)
+    cut.measure(1, 1)
+    knitted, _ = run_virtual_circuit(
+        VirtualCircuit(cut), shots=20000, seed=3, project=True
+    )
+    assert hellinger_fidelity(ideal, knitted) > 0.995

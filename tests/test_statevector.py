@@ -1,0 +1,94 @@
+import math
+
+import numpy as np
+import pytest
+
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+    Circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+    simulate_circuit,
+)
+
+
+def test_ghz_distribution():
+    c = Circuit(3)
+    c.h(0)
+    c.cx(0, 1)
+    c.cx(1, 2)
+    c.measure_all()
+    d = simulate_circuit(c).to_dict(tol=1e-9)
+    assert set(d) == {0, 7}
+    assert d[0] == pytest.approx(0.5, abs=1e-6)
+    assert d[7] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_bv_secret():
+    secret = "101"
+    n = len(secret) + 1
+    c = Circuit(n, n - 1)
+    c.x(n - 1)
+    for q in range(n):
+        c.h(q)
+    for i, bit in enumerate(reversed(secret)):  # bit i of secret on qubit i
+        if bit == "1":
+            c.cx(i, n - 1)
+    for q in range(n - 1):
+        c.h(q)
+    for q in range(n - 1):
+        c.measure(q, q)
+    d = simulate_circuit(c).to_dict(tol=1e-6)
+    assert set(d) == {int(secret, 2)}
+    assert d[int(secret, 2)] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_mid_circuit_measure_deferred():
+    # measure in the middle, then keep using the qubit
+    c = Circuit(1, 2)
+    c.h(0)
+    c.measure(0, 0)
+    c.h(0)
+    c.measure(0, 1)
+    d = simulate_circuit(c).to_dict(tol=1e-9)
+    # outcome: first bit uniform; second bit uniform given collapse
+    assert d[0b00] == pytest.approx(0.25, abs=1e-6)
+    assert d[0b01] == pytest.approx(0.25, abs=1e-6)
+    assert d[0b10] == pytest.approx(0.25, abs=1e-6)
+    assert d[0b11] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_reset():
+    c = Circuit(2, 2)
+    c.x(0)
+    c.cx(0, 1)
+    c.reset(0)
+    c.measure(0, 0)
+    c.measure(1, 1)
+    d = simulate_circuit(c).to_dict(tol=1e-9)
+    assert d == {0b10: pytest.approx(1.0, abs=1e-6)}
+
+
+def test_rzz_cp_phases_match_matrix_algebra():
+    # cp(theta) == diag(1,1,1,e^{i theta}) up to measurement statistics with
+    # interference: build an interferometer sensitive to the phase
+    theta = 1.234
+    c = Circuit(2, 2)
+    c.h(0)
+    c.x(1)
+    c.cp(theta, 0, 1)
+    c.h(0)
+    c.measure(0, 0)
+    c.measure(1, 1)
+    d = simulate_circuit(c).to_dict(tol=1e-9)
+    p0 = math.cos(theta / 2) ** 2
+    assert d[0b10] == pytest.approx(p0, abs=1e-5)
+    assert d[0b11] == pytest.approx(1 - p0, abs=1e-5)
+
+
+def test_depth_and_counts():
+    c = Circuit(2)
+    c.h(0)
+    c.cx(0, 1)
+    assert c.depth() == 2
+    assert c.count_ops() == {"h": 1, "cx": 1}
+    assert c.num_tensor_factors() == 1
