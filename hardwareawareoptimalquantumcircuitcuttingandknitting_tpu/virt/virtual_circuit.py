@@ -50,6 +50,9 @@ class FragmentProgram:
     touching: list[int] = field(default_factory=list)  # global vgate indices
     clbit_sources: dict[int, int] = field(default_factory=dict)
     # global clbit -> fragment-local sim qubit holding its value
+    source: list = field(default_factory=list)
+    # pre-compilation fragment instruction stream: ("slot", (g, side, lq)) or
+    # ("ins", Instruction-with-local-qubits) — used for artifact rendering
 
 
 class VirtualCircuit:
@@ -214,4 +217,11 @@ class VirtualCircuit:
 
         prog.touching.sort()
         prog.num_sim_qubits = next_anc
+        for kind, payload in frag_instrs:
+            if kind == "slot":
+                prog.source.append(("slot", payload))
+            else:
+                local = payload.copy()
+                local.qubits = [loc(q) for q in payload.qubits]
+                prog.source.append(("ins", local))
         return prog
