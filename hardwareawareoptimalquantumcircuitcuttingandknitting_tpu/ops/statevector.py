@@ -20,19 +20,48 @@ import numpy as np
 from ..circuit.circuit import Circuit
 from ..circuit.gates import CX, CZ, SWAP, gate_matrix
 
+# ---------------------------------------------------------------------------
+# Real-arithmetic representation.
+#
+# The axon TPU backend does not implement complex64 reliably, and real f32 is
+# what the MXU/VPU natively consume, so the state is carried as a real tensor
+# of shape [2] + [2]*n — axis 0 is the (re, im) component — and every k-qubit
+# unitary U = Ur + i*Ui becomes the real block
+#     [[Ur, -Ui],
+#      [Ui,  Ur]]
+# applied as a single tensordot over (component, gate qubits).
+# ---------------------------------------------------------------------------
 
-def apply_matrix(state: jnp.ndarray, u: np.ndarray | jnp.ndarray, axes) -> jnp.ndarray:
-    """Apply a k-qubit unitary to state tensor ``[2]*n`` on the given axes.
+
+def to_real_block(u: np.ndarray) -> np.ndarray:
+    """Complex (m, m) matrix -> real (2, m, 2, m) block."""
+    u = np.asarray(u)
+    ur, ui = np.real(u).astype(np.float32), np.imag(u).astype(np.float32)
+    m = u.shape[0]
+    block = np.zeros((2, m, 2, m), dtype=np.float32)
+    block[0, :, 0, :] = ur
+    block[0, :, 1, :] = -ui
+    block[1, :, 0, :] = ui
+    block[1, :, 1, :] = ur
+    return block
+
+
+def apply_matrix(state: jnp.ndarray, block, axes) -> jnp.ndarray:
+    """Apply a k-qubit gate (real block from ``to_real_block``, or a complex
+    matrix which is converted on the fly) to a real-rep state
+    ``[2] + [2]*n`` on the given qubit axes.
 
     Gate-local bit order: first axis in ``axes`` is the most significant bit
     of the matrix index (see circuit/gates.py docstring).
     """
     k = len(axes)
-    u = jnp.asarray(u).reshape((2,) * (2 * k))
-    # contract input indices of u with state axes
-    state = jnp.tensordot(u, state, axes=(list(range(k, 2 * k)), list(axes)))
-    # tensordot puts the k output axes first; move them back
-    return jnp.moveaxis(state, list(range(k)), list(axes))
+    if isinstance(block, np.ndarray) and np.iscomplexobj(block):
+        block = to_real_block(block)
+    b = jnp.asarray(block).reshape((2,) + (2,) * k + (2,) + (2,) * k)
+    state_axes = [0] + [a + 1 for a in axes]
+    out = jnp.tensordot(b, state, axes=(list(range(k + 1, 2 * k + 2)), state_axes))
+    # tensordot puts (component, gate axes) first; move them back
+    return jnp.moveaxis(out, list(range(k + 1)), state_axes)
 
 
 @dataclass
@@ -102,15 +131,16 @@ def compile_circuit(circ: Circuit) -> CompiledCircuit:
 
 
 def run_statevector(compiled: CompiledCircuit) -> jnp.ndarray:
-    """Final state tensor ``[2]*num_sim_qubits`` (complex64)."""
+    """Final real-rep state tensor ``[2] + [2]*num_sim_qubits`` (float32)."""
     n = compiled.num_sim_qubits
+    blocks = [(to_real_block(u), axes) for u, axes in compiled.ops]
 
     @jax.jit
     def _run():
-        state = jnp.zeros((2,) * n, dtype=jnp.complex64)
-        state = state.at[(0,) * n].set(1.0)
-        for u, axes in compiled.ops:
-            state = apply_matrix(state, u, axes)
+        state = jnp.zeros((2,) + (2,) * n, dtype=jnp.float32)
+        state = state.at[(0,) * (n + 1)].set(1.0)
+        for b, axes in blocks:
+            state = apply_matrix(state, b, axes)
         return state
 
     return _run()
@@ -157,14 +187,15 @@ def probabilities(
 
 @jax.jit
 def _abs2(state):
-    return jnp.real(state) ** 2 + jnp.imag(state) ** 2
+    """Real-rep state [2] + [2]*n -> probability tensor [2]*n."""
+    return jnp.sum(state * state, axis=0)
 
 
 def _marginalize(state: jnp.ndarray, keep_axes: list[int]) -> jnp.ndarray:
-    """|amp|^2 then sum over all axes not in keep_axes; transpose so that
-    keep_axes[0] is the LSB of the flattened index."""
-    n = state.ndim
+    """|amp|^2 then sum over all qubit axes not in keep_axes; transpose so
+    that keep_axes[0] is the LSB of the flattened index."""
     p = _abs2(state)
+    n = p.ndim
     drop = [a for a in range(n) if a not in keep_axes]
     if drop:
         p = jnp.sum(p, axis=tuple(drop))

@@ -18,9 +18,14 @@ import numpy as np
 from ..circuit.gates import COMPLEX, CX
 from ..virt.tables import VGateSpec
 from ..virt.virtual_circuit import FragmentProgram, VirtualCircuit
-from .statevector import Distribution, apply_matrix
+from .statevector import Distribution, apply_matrix, to_real_block
 
 _I4 = np.eye(4, dtype=COMPLEX)
+
+
+def _stack_blocks(mats: np.ndarray) -> np.ndarray:
+    """[V, m, m] complex -> [V, 2, m, 2, m] real blocks."""
+    return np.stack([to_real_block(m) for m in mats])
 
 
 @dataclass
@@ -52,7 +57,13 @@ def _slot_matrices(
             meas[:, None, None] * CX[None]
             + (1.0 - meas[:, None, None]) * _I4[None]
         ).astype(COMPLEX)
-        out.append((pres[v_idx], m4[v_idx], posts[v_idx]))
+        out.append(
+            (
+                _stack_blocks(pres)[v_idx],
+                _stack_blocks(m4)[v_idx],
+                _stack_blocks(posts)[v_idx],
+            )
+        )
     return out
 
 
@@ -76,13 +87,17 @@ def run_fragment(
     sources = [prog.clbit_sources[c] for c in positions]
     n = prog.num_sim_qubits
 
+    fixed_blocks = {
+        id(op): to_real_block(op[1]) for op in prog.ops if op[0] == "u"
+    }
+
     def _sim_one(slot_mats):
-        state = jnp.zeros((2,) * n, dtype=jnp.complex64)
-        state = state.at[(0,) * n].set(1.0)
+        state = jnp.zeros((2,) + (2,) * n, dtype=jnp.float32)
+        state = state.at[(0,) * (n + 1)].set(1.0)
         for op in prog.ops:
             kind = op[0]
             if kind == "u":
-                state = apply_matrix(state, op[1], op[2])
+                state = apply_matrix(state, fixed_blocks[id(op)], op[2])
             else:
                 sid, axes = op[1], op[2]
                 pre, m4, post = slot_mats[sid]
@@ -92,7 +107,7 @@ def run_fragment(
                     state = apply_matrix(state, m4, axes)
                 else:
                     state = apply_matrix(state, post, axes)
-        p = jnp.real(state) ** 2 + jnp.imag(state) ** 2
+        p = jnp.sum(state * state, axis=0)
         drop = tuple(a for a in range(n) if a not in sources)
         if drop:
             p = jnp.sum(p, axis=drop)
