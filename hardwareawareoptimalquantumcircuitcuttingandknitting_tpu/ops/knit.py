@@ -86,7 +86,16 @@ def knit(
     virt: VirtualCircuit, results: list[FragmentResult]
 ) -> Distribution:
     """Contract all fragment results into the reconstructed distribution
-    over the original clbits."""
+    over the original clbits (host wrapper around ``knit_values``)."""
+    values, positions = knit_values(virt, results)
+    return Distribution(np.asarray(values), positions, virt.num_clbits)
+
+
+def knit_values(
+    virt: VirtualCircuit, results: list[FragmentResult]
+):
+    """Traceable knit: results' ``values`` may be jnp tracers.  Returns
+    (flat values over written data clbits little-endian, positions)."""
     letters = list(string.ascii_letters)
     vgate_letter = {g: letters.pop() for g in range(len(virt.vgates))}
 
@@ -119,9 +128,7 @@ def knit(
     if bit_list:
         order = sorted(range(len(bit_list)), key=lambda i: -bit_list[i])
         merged = jnp.transpose(merged, order)
-    values = np.asarray(merged.reshape(-1))
-    positions = sorted(bit_list)
-    return Distribution(values, positions, virt.num_clbits)
+    return merged.reshape(-1), sorted(bit_list)
 
 
 def nearest_probability_distribution(dist: Distribution) -> Distribution:

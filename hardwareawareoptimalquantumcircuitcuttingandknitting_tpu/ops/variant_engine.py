@@ -67,12 +67,19 @@ def _slot_matrices(
     return out
 
 
-def run_fragment(
-    virt: VirtualCircuit,
-    frag_name: str,
-    chunk_size: int = 1024,
-) -> FragmentResult:
-    """Exact probability rows for every variant of one fragment."""
+def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
+    """Build the per-variant simulation closure for a fragment.
+
+    Returns (sim_one, slot_mats, positions, flat_count) where ``sim_one``
+    maps one variant's slot matrices to its probability row (traceable, so
+    it can be vmapped/sharded/jitted by callers), ``slot_mats`` is the list
+    of per-slot stacked matrices over all ``flat_count`` variants.
+
+    With ``noise`` (a NoiseModel), ``sim_one(slot_mats, pauli_mats)``
+    additionally applies one sampled-Pauli matrix per physical gate site
+    (trajectory depolarising; see ops/noise.py).  ``sim_one.noise_sites``
+    lists (site_index -> depolarising probability).
+    """
     prog = virt.programs[frag_name]
     specs = [vg.spec for vg in virt.vgates]
 
@@ -88,15 +95,33 @@ def run_fragment(
     n = prog.num_sim_qubits
 
     fixed_blocks = {
-        id(op): to_real_block(op[1]) for op in prog.ops if op[0] == "u"
+        id(op): to_real_block(op[1])
+        for op in prog.ops
+        if op[0] in ("u", "u_aux")
     }
 
-    def _sim_one(slot_mats):
-        state = jnp.zeros((2,) + (2,) * n, dtype=jnp.float32)
-        state = state.at[(0,) * (n + 1)].set(1.0)
-        for op in prog.ops:
+    # physical-gate noise sites: (after which op, on which qubit, prob)
+    noise_sites: list[tuple[int, int, float]] = []
+    if noise is not None:
+        for op_i, op in enumerate(prog.ops):
             kind = op[0]
             if kind == "u":
+                p = noise.p1 if len(op[2]) == 1 else noise.p2
+                for q in op[2]:
+                    noise_sites.append((op_i, q, p))
+            elif kind == "slot_post":
+                # one endpoint of a cut 2q gate: charge the 2q rate
+                noise_sites.append((op_i, op[2][0], noise.p2))
+    sites_after: dict[int, list[int]] = {}
+    for s_i, (op_i, _, _) in enumerate(noise_sites):
+        sites_after.setdefault(op_i, []).append(s_i)
+
+    def _sim_one(slot_mats, pauli_mats=None):
+        state = jnp.zeros((2,) + (2,) * n, dtype=jnp.float32)
+        state = state.at[(0,) * (n + 1)].set(1.0)
+        for op_i, op in enumerate(prog.ops):
+            kind = op[0]
+            if kind in ("u", "u_aux"):
                 state = apply_matrix(state, fixed_blocks[id(op)], op[2])
             else:
                 sid, axes = op[1], op[2]
@@ -107,6 +132,10 @@ def run_fragment(
                     state = apply_matrix(state, m4, axes)
                 else:
                     state = apply_matrix(state, post, axes)
+            if pauli_mats is not None:
+                for s_i in sites_after.get(op_i, ()):
+                    q = noise_sites[s_i][1]
+                    state = apply_matrix(state, pauli_mats[s_i], (q,))
         p = jnp.sum(state * state, axis=0)
         drop = tuple(a for a in range(n) if a not in sources)
         if drop:
@@ -117,9 +146,20 @@ def run_fragment(
             p = jnp.transpose(p, perm)
         return p.reshape(-1)
 
-    sim_batch = jax.jit(jax.vmap(_sim_one))
-
+    _sim_one.noise_sites = noise_sites
     all_mats = _slot_matrices(prog, specs, flat_count, strides, n_inst)
+    return _sim_one, all_mats, positions, flat_count
+
+
+def run_fragment(
+    virt: VirtualCircuit,
+    frag_name: str,
+    chunk_size: int = 1024,
+) -> FragmentResult:
+    """Exact probability rows for every variant of one fragment."""
+    prog = virt.programs[frag_name]
+    _sim_one, all_mats, positions, flat_count = make_sim_fn(virt, frag_name)
+    sim_batch = jax.jit(jax.vmap(_sim_one))
     width = max(1, 2 ** len(positions))
 
     if not prog.slots:

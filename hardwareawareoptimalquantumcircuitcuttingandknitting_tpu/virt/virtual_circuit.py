@@ -44,7 +44,10 @@ class FragmentProgram:
     num_data_qubits: int
     num_sim_qubits: int
     ops: list = field(default_factory=list)
-    # ops entries: ("u", np.ndarray, axes) | ("slot_pre"|"slot_meas"|"slot_post",
+    # ops entries: ("u"|"u_aux", np.ndarray, axes) |
+    #   ("slot_pre"|"slot_meas"|"slot_post",
+    # "u_aux" marks bookkeeping ops (measurement deferral CX / reset SWAP /
+    # classical-feedback CX) that physical noise must not touch.
     #              slot_index, axes)
     slots: list[Slot] = field(default_factory=list)
     touching: list[int] = field(default_factory=list)  # global vgate indices
@@ -193,7 +196,7 @@ class VirtualCircuit:
                 else:
                     anc = next_anc
                     next_anc += 1
-                    prog.ops.append(("u", CX, (lq, anc)))
+                    prog.ops.append(("u_aux", CX, (lq, anc)))
                     prog.clbit_sources[c] = anc
                 continue
             if ins.name == "reset":
@@ -202,7 +205,7 @@ class VirtualCircuit:
                     continue
                 anc = next_anc
                 next_anc += 1
-                prog.ops.append(("u", SWAP, (lq, anc)))
+                prog.ops.append(("u_aux", SWAP, (lq, anc)))
                 continue
             if ins.condition is not None:
                 cbit, val = ins.condition
@@ -210,7 +213,7 @@ class VirtualCircuit:
                 if src is None:
                     raise ValueError(f"condition on unwritten clbit {cbit}")
                 if ins.name == "x" and val == 1:
-                    prog.ops.append(("u", CX, (src, lqs[0])))
+                    prog.ops.append(("u_aux", CX, (src, lqs[0])))
                     continue
                 raise NotImplementedError(f"conditioned {ins.name}")
             prog.ops.append(("u", ins.matrix(), lqs))
