@@ -19,6 +19,9 @@ import numpy as np
 
 from ..circuit.circuit import Circuit
 from ..circuit.gates import CX, CZ, SWAP, gate_matrix
+from ..utils.jaxcache import enable_cache
+
+enable_cache()
 
 # ---------------------------------------------------------------------------
 # Real-arithmetic representation.
@@ -124,6 +127,9 @@ def compile_circuit(circ: Circuit) -> CompiledCircuit:
                 ops.append((CZ, (src, ins.qubits[0])))
             else:
                 raise NotImplementedError(f"conditioned {ins.name}")
+            continue
+        if ins.name == "unitary":
+            ops.append((np.asarray(ins.op), tuple(ins.qubits)))
             continue
         ops.append((ins.matrix(), tuple(ins.qubits)))
 

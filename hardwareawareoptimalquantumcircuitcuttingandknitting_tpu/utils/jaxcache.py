@@ -1,0 +1,33 @@
+"""Persistent XLA compilation cache.
+
+Two environment quirks make compilation the dominant cost here: the TPU is
+reached through a tunnel (~60 s per program) and the host has a single CPU
+core.  Caching compiled executables on disk amortises both across processes
+and benchmark rounds.
+"""
+from __future__ import annotations
+
+import os
+import pathlib
+
+_enabled = False
+
+
+def enable_cache(directory: str | os.PathLike | None = None) -> None:
+    global _enabled
+    if _enabled:
+        return
+    import jax
+
+    if directory is None:
+        directory = (
+            pathlib.Path(__file__).resolve().parent.parent.parent
+            / ".jax_cache"
+        )
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(directory))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+        _enabled = True
+    except Exception:
+        pass
