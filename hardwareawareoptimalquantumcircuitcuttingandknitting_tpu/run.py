@@ -13,9 +13,35 @@ from dataclasses import dataclass
 
 from .ops.knit import knit, nearest_probability_distribution
 from .ops.statevector import Distribution
-from .ops.variant_engine import run_all_fragments
+from .ops.variant_engine import run_all_fragments, run_fragment
 from .utils.logger import get_logger
 from .virt.virtual_circuit import VirtualCircuit
+
+
+def _pallas_eligible() -> bool:
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
+def _run_fragments(virt: VirtualCircuit, chunk_size: int, engine: str):
+    if engine == "xla" or (engine == "auto" and not _pallas_eligible()):
+        return run_all_fragments(virt, chunk_size)
+    from .ops.pallas_sv import run_fragment_pallas
+
+    log = get_logger(__name__)
+    results = []
+    for reg in virt.fragments:
+        res = run_fragment_pallas(virt, reg.name)
+        if res is None:
+            if engine == "pallas":
+                raise ValueError(
+                    f"fragment {reg.name} not supported by the pallas engine"
+                )
+            log.info(f"fragment {reg.name}: pallas fallback -> xla engine")
+            res = run_fragment(virt, reg.name, chunk_size)
+        results.append(res)
+    return results
 
 
 @dataclass
@@ -32,7 +58,11 @@ def run_virtual_circuit(
     chunk_size: int = 1024,
     seed: int = 0,
     project: bool = True,
+    engine: str = "auto",
 ) -> tuple[Distribution, RunTimeInfo]:
+    """``engine``: "xla" (unrolled tensordot programs), "pallas" (fused
+    VMEM kernel, TPU), or "auto" (pallas on TPU when the fragment is
+    eligible, with per-fragment XLA fallback)."""
     log = get_logger(__name__)
     frag_sizes = tuple(p.num_data_qubits for p in virt.programs.values())
     log.info(
@@ -42,7 +72,7 @@ def run_virtual_circuit(
     log.info(f"Running {virt.total_instantiations()} instances...")
 
     now = time.perf_counter()
-    results = run_all_fragments(virt, chunk_size)
+    results = _run_fragments(virt, chunk_size, engine)
     if shots is not None:
         from .ops.sampling import sample_fragment_results
 
