@@ -52,6 +52,18 @@ class SolverConfig:
     max_n_qpd_cuts: int | None = None
     max_cuts_per_partition: int | None = None
     exclude: frozenset = frozenset()  # previously returned solutions (re-solve)
+    # (S-multiplier, ancilla, latency) cost tables; the native solver bakes
+    # in the defaults, so custom tables route to the Python solver
+    gate_qpd_cost: tuple = GATE_QPD_COST
+    wire_qpd_cost: tuple = WIRE_QPD_COST
+    tele_cost: tuple = TELE_COST
+
+    def has_default_costs(self) -> bool:
+        return (
+            tuple(self.gate_qpd_cost) == GATE_QPD_COST
+            and tuple(self.wire_qpd_cost) == WIRE_QPD_COST
+            and tuple(self.tele_cost) == TELE_COST
+        )
 
 
 _INF = (2, math.inf, math.inf, math.inf, math.inf, math.inf)
@@ -103,11 +115,11 @@ def _leaf_evaluate(graph, cfg, assignment, cut_edges, best_key):
             if tele:
                 q_p[assignment[u]] += 1
                 q_p[assignment[v]] += 1
-                s_mult, anc, lat = TELE_COST
+                s_mult, anc, lat = cfg.tele_cost
                 tele_min_v0 = min(tele_min_v0, u)
             else:
                 s_mult, anc, lat = (
-                    WIRE_QPD_COST if kind == WIRE else GATE_QPD_COST
+                    cfg.wire_qpd_cost if kind == WIRE else cfg.gate_qpd_cost
                 )
                 c_p[assignment[u]] += 1
                 c_p[assignment[v]] += 1
@@ -185,7 +197,7 @@ def solve_python(graph: CutGraph, cfg: SolverConfig) -> CutPlan | None:
         is_initial[vi] = True
 
     symmetric = len(set(cfg.caps)) == 1
-    min_qpd_cost = 6
+    min_qpd_cost = min(cfg.gate_qpd_cost[0], cfg.wire_qpd_cost[0])
 
     best: list = [_INF, None]
     assignment = [0] * nv
@@ -299,7 +311,7 @@ def solve(graph: CutGraph, cfg: SolverConfig) -> CutPlan | None:
     try:
         from .native_solver import solve_native, native_available
 
-        if native_available() and not cfg.exclude:
+        if native_available() and not cfg.exclude and cfg.has_default_costs():
             return solve_native(graph, cfg)
     except ImportError:
         pass

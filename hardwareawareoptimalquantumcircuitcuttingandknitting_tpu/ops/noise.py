@@ -23,6 +23,7 @@ from .statevector import (
     Distribution,
     apply_matrix,
     compile_circuit,
+    marginalize_flat,
     to_real_block,
 )
 from .variant_engine import FragmentResult, make_sim_fn
@@ -113,31 +114,22 @@ def simulate_noisy_circuit(
     blocks = [(to_real_block(u), axes) for u, axes in compiled.ops]
 
     def sim_traj(pauli_mats):
-        state = jnp.zeros((2,) + (2,) * n, dtype=jnp.float32)
-        state = state.at[(0,) * (n + 1)].set(1.0)
+        state = jnp.zeros((2, 1 << n), dtype=jnp.float32)
+        state = state.at[0, 0].set(1.0)
         for i, (b, axes) in enumerate(blocks):
-            state = apply_matrix(state, b, axes)
-            state = apply_matrix(state, pauli_mats[i], (site_qubit[i],))
+            state = apply_matrix(state, b, axes, n)
+            state = apply_matrix(state, pauli_mats[i], (site_qubit[i],), n)
         return jnp.sum(state * state, axis=0)
 
     if not blocks:
-        probs_tensor = sim_traj([])
+        probs_vec = sim_traj([])
     else:
-        probs_tensor = jnp.mean(jax.vmap(sim_traj)(pauli), axis=0)
+        probs_vec = jnp.mean(jax.vmap(sim_traj)(pauli), axis=0)
 
     positions = sorted(compiled.clbit_sources)
     sources = [compiled.clbit_sources[c] for c in positions]
-    p = probs_tensor
-    drop = tuple(a for a in range(n) if a not in sources)
-    if drop:
-        p = jnp.sum(p, axis=drop)
-    if sources:
-        ascending = sorted(sources)
-        perm = [ascending.index(a) for a in reversed(sources)]
-        p = jnp.transpose(p, perm)
-    dist = Distribution(
-        np.asarray(p.reshape(-1)), positions, compiled.num_clbits
-    )
+    p = marginalize_flat(probs_vec, n, sources)
+    dist = Distribution(np.asarray(p), positions, compiled.num_clbits)
     dist = apply_readout_error(dist, nm)
     if shots is not None:
         from .sampling import sample_fragment_results

@@ -11,6 +11,7 @@ reproduces Aer's counts semantics exactly in expectation.
 """
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import jax
@@ -49,22 +50,39 @@ def to_real_block(u: np.ndarray) -> np.ndarray:
     return block
 
 
-def apply_matrix(state: jnp.ndarray, block, axes) -> jnp.ndarray:
-    """Apply a k-qubit gate (real block from ``to_real_block``, or a complex
-    matrix which is converted on the fly) to a real-rep state
-    ``[2] + [2]*n`` on the given qubit axes.
+def apply_matrix(state: jnp.ndarray, block, axes, n: int | None = None) -> jnp.ndarray:
+    """Apply a 1- or 2-qubit gate (real block from ``to_real_block``, or a
+    complex matrix converted on the fly) to a flat real-rep state
+    ``[2, 2^n]`` on the given qubit indices.
 
-    Gate-local bit order: first axis in ``axes`` is the most significant bit
-    of the matrix index (see circuit/gates.py docstring).
+    The flat representation keeps every per-gate program at tensor rank <= 6
+    regardless of n — crucial for XLA compile time on 20+ qubit circuits
+    (rank-n tensordot chains compile pathologically slowly).
+
+    Gate-local bit order: first index in ``axes`` is the most significant bit
+    of the matrix index; qubit 0 is the most significant bit of the flat
+    amplitude index (C order).
     """
-    k = len(axes)
     if isinstance(block, np.ndarray) and np.iscomplexobj(block):
         block = to_real_block(block)
-    b = jnp.asarray(block).reshape((2,) + (2,) * k + (2,) + (2,) * k)
-    state_axes = [0] + [a + 1 for a in axes]
-    out = jnp.tensordot(b, state, axes=(list(range(k + 1, 2 * k + 2)), state_axes))
-    # tensordot puts (component, gate axes) first; move them back
-    return jnp.moveaxis(out, list(range(k + 1)), state_axes)
+    if n is None:
+        n = int(math.log2(state.shape[-1]))
+    b = jnp.asarray(block)
+    if len(axes) == 1:
+        q = axes[0]
+        st = state.reshape(2, 1 << q, 2, 1 << (n - 1 - q))
+        out = jnp.einsum("xiyj,yajb->xaib", b, st)
+        return out.reshape(2, 1 << n)
+    qa, qb = axes
+    u4 = b.reshape(2, 2, 2, 2, 2, 2)  # (c_out, b1o, b2o, c_in, b1i, b2i)
+    if qa > qb:
+        u4 = jnp.transpose(u4, (0, 2, 1, 3, 5, 4))
+        qa, qb = qb, qa
+    st = state.reshape(
+        2, 1 << qa, 2, 1 << (qb - qa - 1), 2, 1 << (n - 1 - qb)
+    )
+    out = jnp.einsum("xijykl,yakblc->xaibjc", u4, st)
+    return out.reshape(2, 1 << n)
 
 
 @dataclass
@@ -137,16 +155,16 @@ def compile_circuit(circ: Circuit) -> CompiledCircuit:
 
 
 def run_statevector(compiled: CompiledCircuit) -> jnp.ndarray:
-    """Final real-rep state tensor ``[2] + [2]*num_sim_qubits`` (float32)."""
+    """Final flat real-rep state ``[2, 2^num_sim_qubits]`` (float32)."""
     n = compiled.num_sim_qubits
     blocks = [(to_real_block(u), axes) for u, axes in compiled.ops]
 
     @jax.jit
     def _run():
-        state = jnp.zeros((2,) + (2,) * n, dtype=jnp.float32)
-        state = state.at[(0,) * (n + 1)].set(1.0)
+        state = jnp.zeros((2, 1 << n), dtype=jnp.float32)
+        state = state.at[0, 0].set(1.0)
         for b, axes in blocks:
-            state = apply_matrix(state, b, axes)
+            state = apply_matrix(state, b, axes, n)
         return state
 
     return _run()
@@ -193,25 +211,38 @@ def probabilities(
 
 @jax.jit
 def _abs2(state):
-    """Real-rep state [2] + [2]*n -> probability tensor [2]*n."""
+    """Flat real-rep state [2, 2^n] -> probability vector [2^n]."""
     return jnp.sum(state * state, axis=0)
 
 
+def marginalize_flat(
+    probs: jnp.ndarray, n: int, keep_axes: list[int]
+) -> jnp.ndarray:
+    """Sum a [2^n] probability vector over qubits not in keep_axes via
+    pairwise reductions (rank <= 3 per step), then reorder the kept bits so
+    keep_axes[0] is the LSB of the flattened index."""
+    kept = list(range(n))
+    cur = n
+    for q in sorted(
+        (a for a in range(n) if a not in keep_axes), reverse=True
+    ):
+        pos = kept.index(q)
+        probs = probs.reshape(1 << pos, 2, 1 << (cur - 1 - pos)).sum(axis=1)
+        probs = probs.reshape(-1)
+        kept.pop(pos)
+        cur -= 1
+    if kept:
+        # axes currently = kept ascending, axis 0 most significant; want
+        # order keep_axes[k-1], ..., keep_axes[0]
+        perm = [kept.index(a) for a in reversed(keep_axes)]
+        probs = jnp.transpose(probs.reshape((2,) * len(kept)), perm)
+    return probs.reshape(-1)
+
+
 def _marginalize(state: jnp.ndarray, keep_axes: list[int]) -> jnp.ndarray:
-    """|amp|^2 then sum over all qubit axes not in keep_axes; transpose so
-    that keep_axes[0] is the LSB of the flattened index."""
-    p = _abs2(state)
-    n = p.ndim
-    drop = [a for a in range(n) if a not in keep_axes]
-    if drop:
-        p = jnp.sum(p, axis=tuple(drop))
-    # remaining axes correspond to sorted(keep_axes); flattening is C-order
-    # (axis 0 most significant), and we want keep_axes[j] to be bit j (LSB
-    # first), i.e. axis order keep_axes[k-1], ..., keep_axes[0].
-    ascending = sorted(keep_axes)
-    perm = [ascending.index(a) for a in reversed(keep_axes)]
-    p = jnp.transpose(p, perm)
-    return p.reshape(-1)
+    """|amp|^2 then marginalise onto keep_axes (flat state [2, 2^n])."""
+    n = int(math.log2(state.shape[-1]))
+    return marginalize_flat(_abs2(state), n, keep_axes)
 
 
 def simulate_circuit(circ: Circuit) -> Distribution:

@@ -18,7 +18,12 @@ import numpy as np
 from ..circuit.gates import COMPLEX, CX
 from ..virt.tables import VGateSpec
 from ..virt.virtual_circuit import FragmentProgram, VirtualCircuit
-from .statevector import Distribution, apply_matrix, to_real_block
+from .statevector import (
+    Distribution,
+    apply_matrix,
+    marginalize_flat,
+    to_real_block,
+)
 
 _I4 = np.eye(4, dtype=COMPLEX)
 
@@ -117,34 +122,27 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
         sites_after.setdefault(op_i, []).append(s_i)
 
     def _sim_one(slot_mats, pauli_mats=None):
-        state = jnp.zeros((2,) + (2,) * n, dtype=jnp.float32)
-        state = state.at[(0,) * (n + 1)].set(1.0)
+        state = jnp.zeros((2, 1 << n), dtype=jnp.float32)
+        state = state.at[0, 0].set(1.0)
         for op_i, op in enumerate(prog.ops):
             kind = op[0]
             if kind in ("u", "u_aux"):
-                state = apply_matrix(state, fixed_blocks[id(op)], op[2])
+                state = apply_matrix(state, fixed_blocks[id(op)], op[2], n)
             else:
                 sid, axes = op[1], op[2]
                 pre, m4, post = slot_mats[sid]
                 if kind == "slot_pre":
-                    state = apply_matrix(state, pre, axes)
+                    state = apply_matrix(state, pre, axes, n)
                 elif kind == "slot_meas":
-                    state = apply_matrix(state, m4, axes)
+                    state = apply_matrix(state, m4, axes, n)
                 else:
-                    state = apply_matrix(state, post, axes)
+                    state = apply_matrix(state, post, axes, n)
             if pauli_mats is not None:
                 for s_i in sites_after.get(op_i, ()):
                     q = noise_sites[s_i][1]
-                    state = apply_matrix(state, pauli_mats[s_i], (q,))
+                    state = apply_matrix(state, pauli_mats[s_i], (q,), n)
         p = jnp.sum(state * state, axis=0)
-        drop = tuple(a for a in range(n) if a not in sources)
-        if drop:
-            p = jnp.sum(p, axis=drop)
-        if sources:
-            ascending = sorted(sources)
-            perm = [ascending.index(a) for a in reversed(sources)]
-            p = jnp.transpose(p, perm)
-        return p.reshape(-1)
+        return marginalize_flat(p, n, sources)
 
     _sim_one.noise_sites = noise_sites
     all_mats = _slot_matrices(prog, specs, flat_count, strides, n_inst)
