@@ -1,139 +1,156 @@
-"""Main benchmark CLI.
+"""End-to-end cut-search benchmark CLI.
 
-Usage parity with the reference (benchmarks/benchmark.py:22-29):
+Grammar-compatible with the reference driver (benchmarks/benchmark.py:22-29):
 
     python benchmarks/benchmark.py -p 2 -q 10 \
         [ran|sup|su|ghz|syc|hwe|bv|qft|aqft|add|erd] <nQubits> <nDepth>
 
-Flow: generate -> Cutter(maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
--> solve -> artifacts (+ cut plan JSON) -> optional fidelity run
-(CUT_ONLY=True by default skips simulation, reference benchmark.py:20).
+Pipeline: generate circuit -> optimal cut search -> artifact directory
+(circuit drawings, serialized cut plan, metrics JSON) -> optionally a full
+QPD simulation + knit + fidelity comparison (disabled by default, matching
+the reference's CUT_ONLY switch).
 """
-import datetime
+from __future__ import annotations
+
+import argparse
 import pathlib
 import sys
+import time
+from dataclasses import dataclass
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (  # noqa: E402
     Cutter,
 )
-from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (
-    compare_original_with_cut,
-)
-from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (  # noqa: E402
     genCirc,
 )
-from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.utils import (
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.utils import (  # noqa: E402
     artifacts,
 )
-from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.utils.logger import (
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.utils.logger import (  # noqa: E402
     configure_loggers,
     get_logger,
 )
 
-BENCHMARK_MAX_PARTITIONS = 2
-BENCHMARK_MAX_N_QUBITS = 10
-CIRC_NAME = "ghz"
-CIRC_N_QUBITS = 5
-CIRC_DEPTH = 1
-CUT_ONLY = True  # don't do fidelity comparison (reference default)
 
-if len(sys.argv) == 8 and sys.argv[1] == "-p" and sys.argv[3] == "-q":
-    BENCHMARK_MAX_PARTITIONS = int(sys.argv[2])
-    BENCHMARK_MAX_N_QUBITS = int(sys.argv[4])
-    CIRC_NAME = str(sys.argv[5]).lower()
-    CIRC_N_QUBITS = int(sys.argv[6])
-    CIRC_DEPTH = int(sys.argv[7])
+@dataclass
+class BenchConfig:
+    max_partitions: int = 2
+    max_qubits_per_partition: int = 10
+    circuit: str = "ghz"
+    n_qubits: int = 5
+    depth: int = 1
+    cut_only: bool = True
+    shots: int = 1000
+    results_root: str = "./benchmark_results"
 
-tag = (
-    f"{CIRC_NAME}_{CIRC_N_QUBITS}_{CIRC_DEPTH}_"
-    f"{BENCHMARK_MAX_PARTITIONS}_{BENCHMARK_MAX_N_QUBITS}"
-)
-run_dir = artifacts.make_run_dir("./benchmark_results", tag)
-configure_loggers(run_dir / "run.log")
-logger = get_logger()
+    @property
+    def tag(self) -> str:
+        return (
+            f"{self.circuit}_{self.n_qubits}_{self.depth}_"
+            f"{self.max_partitions}_{self.max_qubits_per_partition}"
+        )
 
-inputCirc = genCirc(CIRC_NAME, CIRC_N_QUBITS, CIRC_DEPTH)
 
-cutter = Cutter(
-    inputCirc=inputCirc,
-    maxNPartitions=BENCHMARK_MAX_PARTITIONS,
-    maxNQubitsPerPartition=BENCHMARK_MAX_N_QUBITS,
-    forceNWireCuts=None,
-    forceNGateCuts=None,
-    maxNQpdCuts=5,
-    maxNCuts=5,
-    maxCutsPerPartitions=5,
-)
+def parse_args(argv: list[str]) -> BenchConfig:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-p", type=int, default=2, dest="partitions")
+    ap.add_argument("-q", type=int, default=10, dest="qubits")
+    ap.add_argument("circuit", nargs="?", default="ghz")
+    ap.add_argument("n_qubits", nargs="?", type=int, default=5)
+    ap.add_argument("depth", nargs="?", type=int, default=1)
+    ap.add_argument("--simulate", action="store_true",
+                    help="run the fidelity comparison (disables CUT_ONLY)")
+    ap.add_argument("--shots", type=int, default=1000)
+    ns = ap.parse_args(argv)
+    return BenchConfig(
+        max_partitions=ns.partitions,
+        max_qubits_per_partition=ns.qubits,
+        circuit=ns.circuit.lower(),
+        n_qubits=ns.n_qubits,
+        depth=ns.depth,
+        cut_only=not ns.simulate,
+        shots=ns.shots,
+    )
 
-startTime = datetime.datetime.now()
-logger.info("solving STARTED")
-success = cutter.solve()
-endTime = datetime.datetime.now()
-logger.info("solving DONE")
-logger.info(f"solving time elapsed: {endTime - startTime}")
-logger.info(f"success => {success}")
 
-if not success:
-    sys.exit(0)
+def run_benchmark(cfg: BenchConfig) -> int:
+    run_dir = artifacts.make_run_dir(cfg.results_root, cfg.tag)
+    configure_loggers(run_dir / "run.log")
+    log = get_logger()
 
-decomposedCirc, markedCirc, markedCircWithVirtualMoves, cutCirc, insts = (
-    cutter.getResultCircs(getInstantiations=True)
-)
-S, A, L, nWireCuts, nGateCuts, Q, Q_pArr, C, C_pArr = (
-    cutter.getModelKeyResults()
-)
+    source_circuit = genCirc(cfg.circuit, cfg.n_qubits, cfg.depth)
+    cutter = Cutter(
+        inputCirc=source_circuit,
+        maxNPartitions=cfg.max_partitions,
+        maxNQubitsPerPartition=cfg.max_qubits_per_partition,
+        maxNQpdCuts=5,
+        maxNCuts=5,
+        maxCutsPerPartitions=5,
+    )
 
-logger.info(f"S: {S}")
-logger.info(f"A: {A}")
-logger.info(f"L: {L}")
-logger.info(f"Q: {Q}")
-logger.info(f"C: {C}")
-logger.info(f"nWireCuts: {nWireCuts}")
-logger.info(f"nGateCuts: {nGateCuts}")
-for idx in range(BENCHMARK_MAX_PARTITIONS):
-    logger.info(f"  Q_p{idx}: {Q_pArr[idx]}")
-for idx in range(BENCHMARK_MAX_PARTITIONS):
-    logger.info(f"  C_p{idx}: {C_pArr[idx]}")
-cutter.logOptimizerResults()
+    t0 = time.perf_counter()
+    log.info("solving STARTED")
+    found = cutter.solve()
+    solve_seconds = time.perf_counter() - t0
+    log.info(f"solving DONE in {solve_seconds:.3f}s; success => {found}")
+    if not found:
+        return 0
 
-artifacts.save_circuit(decomposedCirc, run_dir, "1_decomposedCirc")
-artifacts.save_circuit(markedCirc, run_dir, "2_markedCirc")
-artifacts.save_circuit(
-    markedCircWithVirtualMoves, run_dir, "3_markedCircWithVirtualMoves"
-)
-artifacts.save_circuit(cutCirc, run_dir, "4_cutCirc")
-cutter.save_plan(run_dir / "cut_plan.json")
-artifacts.save_metrics(
-    run_dir,
-    {
+    stages = cutter.getResultCircs(getInstantiations=True)
+    decomposed, marked, marked_with_moves, cut_circuit, instantiations = stages
+    S, A, L, n_wire, n_gate, Q, Q_p, C, C_p = cutter.getModelKeyResults()
+
+    summary = {
         "S": S, "A": A, "L": L, "Q": Q, "C": C,
-        "nWireCuts": nWireCuts, "nGateCuts": nGateCuts,
-        "Q_p": Q_pArr, "C_p": C_pArr,
-        "solve_seconds": (endTime - startTime).total_seconds(),
-    },
-)
+        "nWireCuts": n_wire, "nGateCuts": n_gate,
+        "Q_p": Q_p, "C_p": C_p, "solve_seconds": solve_seconds,
+    }
+    for key, value in summary.items():
+        log.info(f"{key}: {value}")
+    cutter.logOptimizerResults()
 
-count = 0
-for fIdx, inst in enumerate(insts):
-    for cIdx, c in enumerate(inst):
-        artifacts.save_circuit(c, run_dir / "instantiations", f"{fIdx}_{cIdx}")
-        count += 1
-logger.info(f"{count} instantiations are saved to disk")
+    for name, circ in (
+        ("1_decomposedCirc", decomposed),
+        ("2_markedCirc", marked),
+        ("3_markedCircWithVirtualMoves", marked_with_moves),
+        ("4_cutCirc", cut_circuit),
+    ):
+        artifacts.save_circuit(circ, run_dir, name)
+    cutter.save_plan(run_dir / "cut_plan.json")
+    artifacts.save_metrics(run_dir, summary)
 
-if CUT_ONLY:
-    logger.info("CUT_ONLY == True => Simulation will not run.")
-    sys.exit(0)
+    saved = 0
+    for frag_idx, variant_circuits in enumerate(instantiations):
+        for var_idx, variant in enumerate(variant_circuits):
+            artifacts.save_circuit(
+                variant, run_dir / "instantiations", f"{frag_idx}_{var_idx}"
+            )
+            saved += 1
+    log.info(f"{saved} instantiations are saved to disk")
 
-nShots = 1000
-from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
-    default_noise_model,
-)
+    if cfg.cut_only:
+        log.info("cut-only mode: skipping simulation")
+        return 0
 
-res = compare_original_with_cut(
-    decomposedCirc, cutCirc, noise_model=default_noise_model(), shots=nShots
-)
-logger.info(f"inputCircFidelity: {res.input_fidelity}")
-logger.info(f"cutCircFidelity: {res.cut_fidelity}")
-logger.info(f"cutVsUncutFidelity: {res.cut_vs_uncut_fidelity}")
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (
+        compare_original_with_cut,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        default_noise_model,
+    )
+
+    res = compare_original_with_cut(
+        decomposed, cut_circuit,
+        noise_model=default_noise_model(), shots=cfg.shots,
+    )
+    log.info(f"inputCircFidelity: {res.input_fidelity}")
+    log.info(f"cutCircFidelity: {res.cut_fidelity}")
+    log.info(f"cutVsUncutFidelity: {res.cut_vs_uncut_fidelity}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run_benchmark(parse_args(sys.argv[1:])))
