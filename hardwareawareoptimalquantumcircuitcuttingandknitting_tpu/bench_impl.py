@@ -1,0 +1,182 @@
+"""Benchmark implementation: end-to-end cut + simulate + knit, fused.
+
+Run via ``python -m hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.bench_impl
+[--platform cpu]``.  Everything device-side — per-fragment QPD variant
+simulation, the knit contraction, and the Hellinger fidelity against the
+uncut statevector — is traced into ONE jitted program, so the (possibly
+tunneled) backend sees a single compile and a single dispatch and only two
+scalars come back over the wire.
+
+Workload: ghz-24, P=2, Q=12 — a recorded reference config whose end-to-end
+wall-clock (cut-search only; no simulation at all) is 878.4 s
+(BASELINE.md).  This program does strictly more work in the measured
+window: optimal cut search + full variant simulation + knit + fidelity.
+
+Phase progress is logged to stderr with timestamps so a truncated run
+still shows where time went.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+_T0 = time.perf_counter()
+
+
+def _phase(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+REF_WALL_SECONDS = 878.4  # BASELINE.md ghz 24q d1 P2 Q12 (cut-search only)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--metric-name", default="ghz24_p2q12_cut_sim_knit_wall")
+    args = ap.parse_args()
+
+    _phase("importing jax")
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .utils.jaxcache import enable_cache
+
+    enable_cache()
+
+    _phase("warming up backend (first dispatch)")
+    t = time.perf_counter()
+    jnp.zeros((8,)).block_until_ready()
+    init_s = time.perf_counter() - t
+    device = str(jax.devices()[0])
+    _phase(f"backend up: {device} in {init_s:.1f}s")
+
+    import logging
+
+    from .cutter.cutter import Cutter
+    from .models.zoo import genCirc
+    from .ops.knit import knit_values
+    from .ops.statevector import compile_circuit, to_real_block, marginalize_flat
+    from .ops.variant_engine import FragmentResult, make_sim_fn
+    from .utils.logger import get_logger
+    from .virt.virtual_circuit import VirtualCircuit
+
+    get_logger().setLevel(logging.WARNING)
+
+    # ---- host: optimal cut search + rewrite (the reference's 878 s) ----
+    t_work = time.perf_counter()
+    circ = genCirc("ghz", 24, 1)
+    cutter = Cutter(
+        circ, maxNPartitions=2, maxNQubitsPerPartition=12,
+        maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5,
+    )
+    assert cutter.solve()
+    cut_circ = cutter.getResultCircs()[3]
+    virt = VirtualCircuit(cut_circ)
+    solve_s = time.perf_counter() - t_work
+    _phase(f"cut plan solved+rewritten in {solve_s:.2f}s "
+           f"({virt.total_instantiations()} instances)")
+
+    # ---- build the single fused device program ----
+    frag_names = [r.name for r in virt.fragments]
+    sims = {}
+    arg_mats = []
+    for name in frag_names:
+        sim_one, slot_mats, positions, flat_count = make_sim_fn(virt, name)
+        sims[name] = (sim_one, positions, flat_count)
+        arg_mats.append(slot_mats)
+
+    uncut = compile_circuit(circ)
+    uncut_blocks = [(to_real_block(u), ax) for u, ax in uncut.ops]
+    uncut_positions = sorted(uncut.clbit_sources)
+    uncut_sources = [uncut.clbit_sources[c] for c in uncut_positions]
+    n_uncut = uncut.num_sim_qubits
+
+    # The uncut oracle's initial state enters as a runtime argument: with a
+    # constant |0...0> XLA constant-folds the whole 24-qubit gate chain at
+    # compile time through slow folding paths (minutes); as an argument the
+    # chain compiles in seconds and runs on the device instead.
+    state0 = np.zeros((2, 1 << n_uncut), dtype=np.float32)
+    state0[0, 0] = 1.0
+
+    def fused(all_mats, uncut_state0):
+        # per-fragment variant fan-out (vmapped), then knit contraction
+        results = []
+        for name, mats in zip(frag_names, all_mats):
+            sim_one, positions, flat_count = sims[name]
+            if mats:
+                values = jax.vmap(sim_one)(mats)
+            else:
+                row = sim_one([])
+                values = jnp.broadcast_to(row, (flat_count, row.shape[0]))
+            results.append(
+                FragmentResult(name, values, positions,
+                               list(virt.programs[name].touching))
+            )
+        knitted, knit_positions = knit_values(virt, results)
+        # static (trace-time) layout check: the knit must cover exactly the
+        # clbits the uncut oracle writes, in the same little-endian order
+        assert knit_positions == uncut_positions, (
+            knit_positions, uncut_positions,
+        )
+
+        # uncut oracle statevector, on the same device, same program
+        state = uncut_state0
+        for b, axes in uncut_blocks:
+            from .ops.statevector import apply_matrix
+
+            state = apply_matrix(state, b, axes, n_uncut)
+        uncut_probs = marginalize_flat(
+            jnp.sum(state * state, axis=0), n_uncut, uncut_sources
+        )
+
+        # Hellinger fidelity + diagnostics, reduced to scalars on device
+        k = jnp.maximum(knitted, 0.0)
+        fid = jnp.square(jnp.sum(jnp.sqrt(k * uncut_probs)))
+        total = jnp.sum(knitted)
+        negativity = jnp.sum(jnp.minimum(knitted, 0.0))
+        return fid, total, negativity, knit_positions
+
+    # static check: knit must cover the same clbits as the uncut oracle
+    fused_jit = jax.jit(lambda m, s0: fused(m, s0)[:3])
+
+    _phase("compiling fused cut-sim-knit-fidelity program")
+    t = time.perf_counter()
+    fid, total, neg = jax.block_until_ready(fused_jit(arg_mats, state0))
+    compile_and_run_s = time.perf_counter() - t
+    _phase(f"first run (compile+exec) {compile_and_run_s:.1f}s")
+
+    t = time.perf_counter()
+    fid, total, neg = jax.block_until_ready(fused_jit(arg_mats, state0))
+    exec_s = time.perf_counter() - t
+    work_s = time.perf_counter() - t_work
+    wall_s = time.perf_counter() - _T0
+    _phase(f"steady-state exec {exec_s:.3f}s; fidelity={float(fid):.8f}")
+
+    print(json.dumps({
+        "metric": args.metric_name,
+        "value": round(work_s, 3),
+        "unit": "s",
+        "vs_baseline": round(REF_WALL_SECONDS / work_s, 2),
+        "process_wall_s": round(wall_s, 3),
+        "backend_init_s": round(init_s, 3),
+        "solve_s": round(solve_s, 3),
+        "first_run_s": round(compile_and_run_s, 3),
+        "steady_exec_s": round(exec_s, 4),
+        "fidelity_vs_uncut": float(fid),
+        "quasi_prob_total": float(total),
+        "quasi_prob_negativity": float(neg),
+        "instances": virt.total_instantiations(),
+        "device": device,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
