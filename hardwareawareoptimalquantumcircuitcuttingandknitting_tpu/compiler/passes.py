@@ -118,8 +118,12 @@ class OptimalWireCutter(VirtualizationPass):
         self._wire_cuts_to_moves(dag, num_cuts)
         dag.fragment()
         new_circuit = dag.to_circuit()
-        if num_virtual_gates(new_circuit) > budget:
-            raise ValueError("Could not find a solution (internal error)")
+        n_cuts = num_virtual_gates(new_circuit)
+        if n_cuts > budget:
+            raise ValueError(
+                f"optimal wire cutting to <={self._size_to_reach}-qubit "
+                f"fragments needs {n_cuts} cuts, over the budget of {budget}"
+            )
         return new_circuit
 
     def _cut_wires(self, dag: DAG) -> int:

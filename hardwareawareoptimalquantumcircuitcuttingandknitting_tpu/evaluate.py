@@ -22,15 +22,21 @@ from .virt.virtual_circuit import VirtualCircuit
 
 def hellinger_fidelity(p: Distribution | dict, q: Distribution | dict) -> float:
     """(sum_i sqrt(p_i q_i))^2 over the union support, matching qiskit's
-    hellinger_fidelity used at Utilities.py:222-224."""
+    hellinger_fidelity used at Utilities.py:222-224.  Like qiskit, both
+    inputs are normalised first (a finite-shot knit can sum to 1 +- eps;
+    without normalisation the fidelity could exceed 1)."""
     pd = p.to_dict() if isinstance(p, Distribution) else dict(p)
     qd = q.to_dict() if isinstance(q, Distribution) else dict(q)
+    p_sum = sum(v for v in pd.values() if v > 0)
+    q_sum = sum(v for v in qd.values() if v > 0)
+    if p_sum <= 0 or q_sum <= 0:
+        return 0.0
     total = 0.0
     for key, pv in pd.items():
         qv = qd.get(key, 0.0)
         if pv > 0 and qv > 0:
             total += math.sqrt(pv * qv)
-    return total * total
+    return (total * total) / (p_sum * q_sum)
 
 
 @dataclass
