@@ -59,11 +59,25 @@ def run_virtual_circuit(
     seed: int = 0,
     project: bool = True,
     engine: str = "auto",
+    tracer=None,
+    checkpoint_dir=None,
 ) -> tuple[Distribution, RunTimeInfo]:
     """``engine``: "xla" (unrolled tensordot programs), "pallas" (fused
     VMEM kernel, TPU), or "auto" (pallas on TPU when the fragment is
-    eligible, with per-fragment XLA fallback)."""
+    eligible, with per-fragment XLA fallback).
+
+    ``tracer``: optional utils.profiling.Tracer — records phase timings
+    and (if its profile_dir is set) wraps the device work in a
+    jax.profiler trace.
+
+    ``checkpoint_dir``: optional directory; fragment variant results are
+    saved there after simulation and, when present, loaded instead of
+    re-simulating (resume/knit-only reruns).
+    """
+    from .utils.profiling import Tracer
+
     log = get_logger(__name__)
+    tracer = tracer or Tracer()
     frag_sizes = tuple(p.num_data_qubits for p in virt.programs.values())
     log.info(
         f"Running virtualizer with {len(virt.fragments)} {frag_sizes} "
@@ -72,19 +86,44 @@ def run_virtual_circuit(
     log.info(f"Running {virt.total_instantiations()} instances...")
 
     now = time.perf_counter()
-    results = _run_fragments(virt, chunk_size, engine)
+    resumed = False
+    if checkpoint_dir is not None:
+        from .utils.checkpoint import has_checkpoint, load_fragment_results
+
+        if has_checkpoint(checkpoint_dir):
+            with tracer.phase("load_checkpoint"):
+                results = load_fragment_results(checkpoint_dir)
+            resumed = True
+            log.info(f"Resumed fragment results from {checkpoint_dir}.")
+
+    if not resumed:
+        tracer.start_device_trace()
+        with tracer.phase(
+            "simulate", instances=virt.total_instantiations(), engine=engine
+        ):
+            results = _run_fragments(virt, chunk_size, engine)
+        if checkpoint_dir is not None:
+            from .utils.checkpoint import save_fragment_results
+
+            with tracer.phase("save_checkpoint"):
+                save_fragment_results(results, checkpoint_dir)
+
     if shots is not None:
         from .ops.sampling import sample_fragment_results
 
-        results = sample_fragment_results(results, shots, seed)
+        with tracer.phase("sample", shots=shots):
+            results = sample_fragment_results(results, shots, seed)
     run_time = time.perf_counter() - now
 
     log.info("Knitting...")
     now = time.perf_counter()
-    dist = knit(virt, results)
+    with tracer.phase("knit"):
+        dist = knit(virt, results)
     knit_time = time.perf_counter() - now
+    tracer.stop_device_trace()
     log.info(f"Knitted in {knit_time:.2f}s.")
 
     if project:
-        dist = nearest_probability_distribution(dist)
+        with tracer.phase("project"):
+            dist = nearest_probability_distribution(dist)
     return dist, RunTimeInfo(run_time, knit_time)
