@@ -99,14 +99,12 @@ def main() -> None:
     uncut_sources = [uncut.clbit_sources[c] for c in uncut_positions]
     n_uncut = uncut.num_sim_qubits
 
-    # The uncut oracle's initial state enters as a runtime argument: with a
-    # constant |0...0> XLA constant-folds the whole 24-qubit gate chain at
-    # compile time through slow folding paths (minutes); as an argument the
-    # chain compiles in seconds and runs on the device instead.
-    state0 = np.zeros((2, 1 << n_uncut), dtype=np.float32)
-    state0[0, 0] = 1.0
-
-    def fused(all_mats, uncut_state0):
+    # The uncut oracle's initial amplitude enters as a runtime *scalar*:
+    # with a fully constant |0...0> state XLA constant-folds the whole
+    # 24-qubit gate chain at compile time through slow folding paths
+    # (minutes), and passing the full state as an argument would push
+    # 128 MB through the (slow) device tunnel — a scalar does neither.
+    def fused(all_mats, seed_amp):
         # per-fragment variant fan-out (vmapped), then knit contraction
         results = []
         for name, mats in zip(frag_names, all_mats):
@@ -128,7 +126,8 @@ def main() -> None:
         )
 
         # uncut oracle statevector, on the same device, same program
-        state = uncut_state0
+        state = jnp.zeros((2, 1 << n_uncut), dtype=jnp.float32)
+        state = state.at[0, 0].set(seed_amp)
         for b, axes in uncut_blocks:
             from .ops.statevector import apply_matrix
 
@@ -146,15 +145,16 @@ def main() -> None:
 
     # static check: knit must cover the same clbits as the uncut oracle
     fused_jit = jax.jit(lambda m, s0: fused(m, s0)[:3])
+    seed = np.float32(1.0)
 
     _phase("compiling fused cut-sim-knit-fidelity program")
     t = time.perf_counter()
-    fid, total, neg = jax.block_until_ready(fused_jit(arg_mats, state0))
+    fid, total, neg = jax.block_until_ready(fused_jit(arg_mats, seed))
     compile_and_run_s = time.perf_counter() - t
     _phase(f"first run (compile+exec) {compile_and_run_s:.1f}s")
 
     t = time.perf_counter()
-    fid, total, neg = jax.block_until_ready(fused_jit(arg_mats, state0))
+    fid, total, neg = jax.block_until_ready(fused_jit(arg_mats, seed))
     exec_s = time.perf_counter() - t
     work_s = time.perf_counter() - t_work
     wall_s = time.perf_counter() - _T0
