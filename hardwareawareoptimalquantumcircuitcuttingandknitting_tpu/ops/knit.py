@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..virt.virtual_circuit import VirtualCircuit
+from .bits import permute_bits_flat
 from .statevector import Distribution
 from .variant_engine import FragmentResult
 
@@ -28,24 +29,25 @@ def _fold_fragment(
     virt: VirtualCircuit, res: FragmentResult
 ) -> tuple[np.ndarray | jnp.ndarray, list[int]]:
     """Apply per-vgate coefficient weights; return E_f with shape
-    [n_v1, ..., n_vm, 2^d] plus the data-bit positions (ascending clbit
-    order of the remaining bits; bit axes flattened little-endian)."""
+    [n_v1, ..., n_vm, 2^d] plus the data-bit positions (remaining bits,
+    flattened little-endian in ascending clbit order).
+
+    Each vgate's clbit is contracted by splitting only *that* bit out of
+    the flat outcome axis, keeping the program rank at len(n_inst)+3
+    regardless of the fragment's clbit count — a full (2,)*k bit-split
+    would push TPU XLA into very-high-rank transposes.
+    """
     touching = res.touching
     n_inst = [virt.vgates[g].num_instantiations for g in touching]
-    k = len(res.bit_positions)
-    t = jnp.asarray(res.values).reshape(tuple(n_inst) + (2,) * k)
-    # bit axes are descending-position after reshape (LSB-first rows)
-    bit_axis = {
-        pos: len(n_inst) + (k - 1 - j)
-        for j, pos in enumerate(res.bit_positions)
-    }
+    nv = len(n_inst)
+    positions = list(res.bit_positions)  # ascending; LSB-first in the rows
+    k = len(positions)
+    t = jnp.asarray(res.values).reshape(tuple(n_inst) + (1 << k,))
 
     # which side of each touching vgate lives here?
     sides: dict[int, list[int]] = {g: [] for g in touching}
     for slot in virt.programs[res.name].slots:
         sides[slot.vgate_idx].append(slot.side)
-
-    data_positions = [p for p in res.bit_positions if p < virt.num_clbits]
 
     for ti, g in enumerate(touching):
         spec = virt.vgates[g].spec
@@ -57,29 +59,26 @@ def _fold_fragment(
             if both or spec.owner_side[v] in my_sides:
                 w[v] = spec.coef[v]
         cg = virt.num_clbits + g
-        if cg in bit_axis:
-            ax = bit_axis[cg]
-            # contract bit axis with W sharing the variant axis ti
+        if cg in positions:
+            j = positions.index(cg)          # LSB offset of this clbit
+            high, low = 1 << (k - 1 - j), 1 << j
+            t = t.reshape(tuple(n_inst) + (high, 2, low))
+            # contract the bit axis with W sharing the variant axis ti
             t = jnp.einsum(
-                t, list(range(t.ndim)),
-                jnp.asarray(w, dtype=t.dtype), [ti, ax],
-                [i for i in range(t.ndim) if i != ax],
+                t, list(range(nv)) + [nv, nv + 1, nv + 2],
+                jnp.asarray(w, dtype=t.dtype), [ti, nv + 1],
+                list(range(nv)) + [nv, nv + 2],
             )
-            # axes after ax shift down by one
-            bit_axis = {
-                p: (a - 1 if a > ax else a)
-                for p, a in bit_axis.items()
-                if p != cg
-            }
+            positions.pop(j)
+            k -= 1
+            t = t.reshape(tuple(n_inst) + (1 << k,))
         else:
             # clbit structurally zero here: scalar weight per variant
-            shape = [1] * t.ndim
+            shape = [1] * (nv + 1)
             shape[ti] = spec.num_instantiations
             t = t * jnp.asarray(w[:, 0], dtype=t.dtype).reshape(shape)
 
-    # flatten remaining bit axes (they are the data bits, descending order)
-    t = t.reshape(tuple(n_inst) + (-1,))
-    return t, data_positions
+    return t, positions
 
 
 def knit(
@@ -114,21 +113,18 @@ def knit_values(
         frag_positions.append(data_pos)
 
     expr = ",".join(subs) + "->" + out_sub
-    merged = jnp.einsum(expr, *operands)
+    merged = jnp.einsum(expr, *operands).reshape(-1)
 
-    # merged axes: one per fragment, each flattening that fragment's data
-    # bits in descending clbit order.  Expand to individual bits, reorder to
-    # global descending clbit order, flatten little-endian.
-    bit_list: list[int] = []  # per final axis (after expand), clbit position
-    shape = []
-    for pos_list in frag_positions:
-        shape.extend([2] * len(pos_list))
-        bit_list.extend(sorted(pos_list, reverse=True))
-    merged = merged.reshape(tuple(shape) if shape else (1,))
-    if bit_list:
-        order = sorted(range(len(bit_list)), key=lambda i: -bit_list[i])
-        merged = jnp.transpose(merged, order)
-    return merged.reshape(-1), sorted(bit_list)
+    # merged axes: one per fragment, each holding that fragment's data
+    # bits little-endian; the LAST fragment axis occupies the LOW bits of
+    # the C-order flat index.  Interleave to global ascending clbit order
+    # with a rank-bounded bit permutation.
+    src_bits: list[int] = []
+    for pos_list in reversed(frag_positions):
+        src_bits.extend(pos_list)
+    dst_bits = sorted(src_bits)
+    merged = permute_bits_flat(merged, src_bits, dst_bits)
+    return merged, dst_bits
 
 
 def nearest_probability_distribution(dist: Distribution) -> Distribution:

@@ -232,10 +232,16 @@ def marginalize_flat(
         kept.pop(pos)
         cur -= 1
     if kept:
-        # axes currently = kept ascending, axis 0 most significant; want
-        # order keep_axes[k-1], ..., keep_axes[0]
-        perm = [kept.index(a) for a in reversed(keep_axes)]
-        probs = jnp.transpose(probs.reshape((2,) * len(kept)), perm)
+        # flat bits are currently little-endian over kept *descending*
+        # (qubit 0 is the MSB of the amplitude index); reorder so
+        # keep_axes[0] is the LSB.  permute_bits_flat keeps the program
+        # rank bounded (run-compressed transpose or on-device gather) —
+        # naive (2,)*m transposes at m~24 stall the TPU compiler.
+        from .bits import permute_bits_flat
+
+        probs = permute_bits_flat(
+            probs.reshape(-1), list(reversed(kept)), list(keep_axes)
+        )
     return probs.reshape(-1)
 
 
