@@ -2,15 +2,15 @@
 
 Run via ``python -m hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.bench_impl
 [--platform cpu]``.  Everything device-side — per-fragment QPD variant
-simulation, the knit contraction, and the Hellinger fidelity against the
-uncut statevector — is traced into ONE jitted program, so the (possibly
-tunneled) backend sees a single compile and a single dispatch and only two
-scalars come back over the wire.
+simulation and the knit contraction — is traced into ONE jitted program:
+one compile, one dispatch.  The uncut-circuit oracle runs untimed on the
+host afterwards as the correctness check (see the comment in ``main`` for
+why it cannot live in the device program on the tunneled backend).
 
 Workload: ghz-24, P=2, Q=12 — a recorded reference config whose end-to-end
 wall-clock (cut-search only; no simulation at all) is 878.4 s
 (BASELINE.md).  This program does strictly more work in the measured
-window: optimal cut search + full variant simulation + knit + fidelity.
+window: optimal cut search + full variant simulation + knit.
 
 Phase progress is logged to stderr with timestamps so a truncated run
 still shows where time went.
@@ -31,6 +31,59 @@ def _phase(msg: str) -> None:
 
 
 REF_WALL_SECONDS = 878.4  # BASELINE.md ghz 24q d1 P2 Q12 (cut-search only)
+
+
+def _oracle_fidelity(circ, knitted_host) -> float:
+    """Untimed host-side check: exact numpy statevector of the uncut
+    circuit, Hellinger fidelity against the knitted distribution."""
+    import numpy as np
+
+    from .ops.statevector import compile_circuit, to_real_block
+
+    uncut = compile_circuit(circ)
+    n = uncut.num_sim_qubits
+    state = np.zeros((2, 1 << n), np.float32)
+    state[0, 0] = 1.0
+    for u, axes in uncut.ops:
+        b = to_real_block(u)
+        if len(axes) == 1:
+            q = axes[0]
+            st = state.reshape(2, 1 << q, 2, 1 << (n - 1 - q))
+            state = np.einsum("xiyj,yajb->xaib", b, st).reshape(2, 1 << n)
+        else:
+            qa, qb = axes
+            u6 = b.reshape(2, 2, 2, 2, 2, 2)
+            if qa > qb:
+                u6 = u6.transpose(0, 2, 1, 3, 5, 4)
+                qa, qb = qb, qa
+            st = state.reshape(
+                2, 1 << qa, 2, 1 << (qb - qa - 1), 2, 1 << (n - 1 - qb)
+            )
+            state = np.einsum(
+                "xijykl,yakblc->xaibjc", u6, st
+            ).reshape(2, 1 << n)
+    probs = (state * state).sum(0)
+
+    positions = sorted(uncut.clbit_sources)
+    keep = [uncut.clbit_sources[c] for c in positions]
+    kept = list(range(n))
+    for q in sorted((a for a in range(n) if a not in keep), reverse=True):
+        pos = kept.index(q)
+        cur = len(kept)
+        probs = probs.reshape(1 << pos, 2, 1 << (cur - 1 - pos)).sum(1)
+        probs = probs.reshape(-1)
+        kept.pop(pos)
+    m = len(kept)
+    if m:
+        perm = [kept.index(a) for a in reversed(keep)]
+        probs = np.transpose(probs.reshape((2,) * m), perm).reshape(-1)
+
+    assert probs.size == knitted_host.size, (probs.size, knitted_host.size)
+    k = np.maximum(knitted_host.astype(np.float64), 0.0)
+    p = probs.astype(np.float64)
+    k /= max(k.sum(), 1e-30)
+    p /= max(p.sum(), 1e-30)
+    return float(np.square(np.sqrt(k * p).sum()))
 
 
 def main() -> None:
@@ -63,7 +116,6 @@ def main() -> None:
     from .cutter.cutter import Cutter
     from .models.zoo import genCirc
     from .ops.knit import knit_values
-    from .ops.statevector import compile_circuit, to_real_block, marginalize_flat
     from .ops.variant_engine import FragmentResult, make_sim_fn
     from .utils.logger import get_logger
     from .virt.virtual_circuit import VirtualCircuit
@@ -93,19 +145,15 @@ def main() -> None:
         sims[name] = (sim_one, positions, flat_count)
         arg_mats.append(slot_mats)
 
-    uncut = compile_circuit(circ)
-    uncut_blocks = [(to_real_block(u), ax) for u, ax in uncut.ops]
-    uncut_positions = sorted(uncut.clbit_sources)
-    uncut_sources = [uncut.clbit_sources[c] for c in uncut_positions]
-    n_uncut = uncut.num_sim_qubits
-
-    # The uncut oracle's initial amplitude enters as a runtime *scalar*:
-    # with a fully constant |0...0> state XLA constant-folds the whole
-    # 24-qubit gate chain at compile time through slow folding paths
-    # (minutes), and passing the full state as an argument would push
-    # 128 MB through the (slow) device tunnel — a scalar does neither.
-    def fused(all_mats, seed_amp):
-        # per-fragment variant fan-out (vmapped), then knit contraction
+    # One fused device program: all fragments' variant fan-outs + the knit
+    # contraction + scalar diagnostics.  The uncut-circuit oracle is NOT in
+    # the device program: the tunneled backend's compile time scales with
+    # buffer size (measured: ~6 s at 2^16 amplitudes, ~50 s at 2^20, >15 min
+    # at 2^24), so a 24-qubit unrolled chain never compiles — and the
+    # oracle is a *correctness check*, not benchmark work (the reference's
+    # 878 s baseline includes no simulation at all).  Fragments are 2^13,
+    # the knit is one MXU matmul + a block transpose; that compiles fast.
+    def fused(all_mats):
         results = []
         for name, mats in zip(frag_names, all_mats):
             sim_one, positions, flat_count = sims[name]
@@ -119,46 +167,35 @@ def main() -> None:
                                list(virt.programs[name].touching))
             )
         knitted, knit_positions = knit_values(virt, results)
-        # static (trace-time) layout check: the knit must cover exactly the
-        # clbits the uncut oracle writes, in the same little-endian order
-        assert knit_positions == uncut_positions, (
-            knit_positions, uncut_positions,
-        )
-
-        # uncut oracle statevector, on the same device, same program
-        state = jnp.zeros((2, 1 << n_uncut), dtype=jnp.float32)
-        state = state.at[0, 0].set(seed_amp)
-        for b, axes in uncut_blocks:
-            from .ops.statevector import apply_matrix
-
-            state = apply_matrix(state, b, axes, n_uncut)
-        uncut_probs = marginalize_flat(
-            jnp.sum(state * state, axis=0), n_uncut, uncut_sources
-        )
-
-        # Hellinger fidelity + diagnostics, reduced to scalars on device
-        k = jnp.maximum(knitted, 0.0)
-        fid = jnp.square(jnp.sum(jnp.sqrt(k * uncut_probs)))
         total = jnp.sum(knitted)
         negativity = jnp.sum(jnp.minimum(knitted, 0.0))
-        return fid, total, negativity, knit_positions
+        return knitted, total, negativity, knit_positions
 
-    # static check: knit must cover the same clbits as the uncut oracle
-    fused_jit = jax.jit(lambda m, s0: fused(m, s0)[:3])
-    seed = np.float32(1.0)
+    fused_jit = jax.jit(lambda m: fused(m)[:3])
 
-    _phase("compiling fused cut-sim-knit-fidelity program")
+    # NOTE: block_until_ready returns early on the tunneled backend; a
+    # scalar fetch is the only reliable completion barrier, so the timed
+    # windows end with float() conversions.
+    _phase("compiling fused cut-sim-knit program")
     t = time.perf_counter()
-    fid, total, neg = jax.block_until_ready(fused_jit(arg_mats, seed))
+    knitted, total, neg = fused_jit(arg_mats)
+    total_f, neg_f = float(total), float(neg)
     compile_and_run_s = time.perf_counter() - t
     _phase(f"first run (compile+exec) {compile_and_run_s:.1f}s")
 
     t = time.perf_counter()
-    fid, total, neg = jax.block_until_ready(fused_jit(arg_mats, seed))
+    knitted, total, neg = fused_jit(arg_mats)
+    total_f, neg_f = float(total), float(neg)
     exec_s = time.perf_counter() - t
     work_s = time.perf_counter() - t_work
     wall_s = time.perf_counter() - _T0
-    _phase(f"steady-state exec {exec_s:.3f}s; fidelity={float(fid):.8f}")
+    _phase(f"steady-state exec {exec_s:.3f}s; total={total_f:.8f}")
+
+    # ---- untimed correctness check: host-side numpy oracle ----
+    _phase("fetching knitted distribution + running host oracle")
+    knitted_host = np.asarray(knitted)
+    fid = _oracle_fidelity(circ, knitted_host)
+    _phase(f"fidelity vs uncut oracle: {fid:.8f}")
 
     print(json.dumps({
         "metric": args.metric_name,
@@ -171,8 +208,8 @@ def main() -> None:
         "first_run_s": round(compile_and_run_s, 3),
         "steady_exec_s": round(exec_s, 4),
         "fidelity_vs_uncut": float(fid),
-        "quasi_prob_total": float(total),
-        "quasi_prob_negativity": float(neg),
+        "quasi_prob_total": total_f,
+        "quasi_prob_negativity": neg_f,
         "instances": virt.total_instantiations(),
         "device": device,
     }), flush=True)
