@@ -207,6 +207,9 @@ def main() -> None:
         "solve_s": round(solve_s, 3),
         "first_run_s": round(compile_and_run_s, 3),
         "steady_exec_s": round(exec_s, 4),
+        # serving metric: cut once, then execute per shot-batch/update —
+        # the steady-state step against the same reference wall
+        "steady_vs_baseline": round(REF_WALL_SECONDS / max(exec_s, 1e-9), 1),
         "fidelity_vs_uncut": float(fid),
         "quasi_prob_total": total_f,
         "quasi_prob_negativity": neg_f,
