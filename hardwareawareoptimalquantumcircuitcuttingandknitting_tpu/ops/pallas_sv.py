@@ -371,6 +371,13 @@ def build_fragment_kernel(virt: VirtualCircuit, frag_name: str):
                 pltpu.VMEM((1 << n, LANES), jnp.float32),
                 pltpu.VMEM((1 << n, LANES), jnp.float32),
             ],
+            # the default scoped-VMEM budget is 16 MB; a 13-qubit fragment
+            # needs 2 x 2^13 x 128 x 4B of state scratch plus gate
+            # temporaries.  v5e has 128 MB of physical VMEM — allow most
+            # of it.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(par)
 
