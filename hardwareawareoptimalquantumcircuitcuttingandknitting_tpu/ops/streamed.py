@@ -1,0 +1,178 @@
+"""Streaming cut-simulate-knit: constant memory for any variant fan-out.
+
+The batched engine (variant_engine + knit) materialises every fragment's
+full `[V, 2^k]` result block.  For big cut sets (sup-20: 7776 global
+labels; aqft-10: 13824) that block outgrows both HBM budgets and the
+tunneled backend's compile-time tolerance (compile scales with buffer
+size).  Here the *global* QPD label space is processed in fixed-size
+chunks inside one ``lax.scan``:
+
+    carry[d1, ..., dF]  +=  sum_c  prod_f  E_f[c, d_f]
+
+where per chunk each fragment simulates its variants (vmapped), folds its
+knit coefficients, and the cross-fragment outer product is accumulated.
+One compile, bounded buffers (chunk x 2^k), any fan-out.  This is the
+production serving shape: the same scan reruns per shot-batch or
+parameter update.
+
+The chunk axis is also the natural ``dp`` sharding axis on a mesh (shard
+the scan's xs, ``psum`` the carry — see parallel/).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..virt.virtual_circuit import VirtualCircuit
+from .bits import permute_bits_flat
+from .knit import nearest_probability_distribution
+from .statevector import Distribution
+from .variant_engine import _slot_matrices, make_sim_fn
+
+
+def _weight_matrix(virt: VirtualCircuit, prog, g: int) -> np.ndarray:
+    """Per-variant knit weights W[v, b] this fragment applies for vgate
+    ``g`` (same owner logic as ops/knit._fold_fragment)."""
+    spec = virt.vgates[g].spec
+    my_sides = [s.side for s in prog.slots if s.vgate_idx == g]
+    both = len(my_sides) == 2
+    w = np.ones((spec.num_instantiations, 2), dtype=np.float64)
+    for v in range(spec.num_instantiations):
+        if both or spec.owner_side[v] in my_sides:
+            w[v] = spec.coef[v]
+    return w
+
+
+def make_streamed_knit(virt: VirtualCircuit, chunk: int = 512):
+    """Build (step_fn, xs, meta): ``step_fn(xs)`` scans all global label
+    chunks and returns the flat knitted quasi-distribution values.
+
+    Global label order matches the reference enumeration: cartesian
+    product over all vgates, last vgate varying fastest
+    (qvm/virtual_circuit.py:133-137).
+    """
+    specs = [vg.spec for vg in virt.vgates]
+    num_g = len(specs)
+    gstride: dict[int, int] = {}
+    total = 1
+    for g in reversed(range(num_g)):
+        gstride[g] = total
+        total *= specs[g].num_instantiations
+    n_chunks = max(1, math.ceil(total / chunk))
+    padded = n_chunks * chunk
+    n_inst = {g: specs[g].num_instantiations for g in range(num_g)}
+
+    labels = np.arange(padded)
+    valid = (labels < total).astype(np.float32)
+
+    frag_names = [r.name for r in virt.fragments]
+    sim_ones = {}
+    xs_slots = []      # per fragment: list of (pre, m4, post) [n_chunks, C, ...]
+    xs_ws = []         # per fragment: list of w_sel [n_chunks, C, 2]
+    fold_plans = []    # per fragment: list of (bit_offset | None)
+    data_positions = []
+
+    def _chunked(a: np.ndarray) -> np.ndarray:
+        return np.ascontiguousarray(
+            a.reshape((n_chunks, chunk) + a.shape[1:])
+        )
+
+    for name in frag_names:
+        prog = virt.programs[name]
+        sim_one, _local_mats, positions, _local_count = make_sim_fn(
+            virt, name
+        )
+        sim_ones[name] = sim_one
+        # global-label slot matrices: same gather as the local ones but with
+        # the all-vgate stride table, so every label picks its variant
+        mats = _slot_matrices(prog, specs, padded, gstride, n_inst)
+        xs_slots.append([tuple(_chunked(m) for m in t) for t in mats])
+
+        ws = []
+        plan = []
+        pos = list(positions)
+        k = len(pos)
+        for g in prog.touching:
+            w = _weight_matrix(virt, prog, g)
+            v_idx = (labels // gstride[g]) % n_inst[g]
+            ws.append(_chunked(w[v_idx].astype(np.float32)))
+            cg = virt.num_clbits + g
+            if cg in pos:
+                j = pos.index(cg)
+                plan.append((j, k))
+                pos.pop(j)
+                k -= 1
+            else:
+                plan.append((None, k))
+        xs_ws.append(ws)
+        fold_plans.append(plan)
+        data_positions.append(pos)
+
+    shape = tuple(1 << len(p) for p in data_positions)
+    letters = "abcdefgh"
+    assert len(frag_names) <= len(letters)
+    expr = (
+        ",".join(f"c{letters[i]}" for i in range(len(frag_names)))
+        + "->" + letters[: len(frag_names)]
+    )
+
+    def step_fn(xs):
+        slots_xs, ws_xs, valid_xs = xs
+
+        def body(carry, x):
+            slot_chunks, w_chunks, valid_chunk = x
+            es = []
+            for fi, name in enumerate(frag_names):
+                sim_one = sim_ones[name]
+                mats = slot_chunks[fi]
+                if mats:
+                    rows = jax.vmap(sim_one)(mats)
+                else:
+                    row = sim_one([])
+                    rows = jnp.broadcast_to(row, (chunk, row.shape[0]))
+                for (j, k), w_sel in zip(fold_plans[fi], w_chunks[fi]):
+                    if j is not None:
+                        high, low = 1 << (k - 1 - j), 1 << j
+                        rows = rows.reshape(chunk, high, 2, low)
+                        rows = jnp.einsum(
+                            "chbl,cb->chl", rows, w_sel
+                        ).reshape(chunk, -1)
+                    else:
+                        rows = rows * w_sel[:, :1]
+                es.append(rows)
+            es[0] = es[0] * valid_chunk[:, None]
+            return carry + jnp.einsum(expr, *es), None
+
+        carry0 = jnp.zeros(shape, dtype=jnp.float32)
+        out, _ = jax.lax.scan(body, carry0, (slots_xs, ws_xs, valid_xs))
+        # interleave fragment bit groups to global ascending clbit order
+        src_bits: list[int] = []
+        for pos_list in reversed(data_positions):
+            src_bits.extend(pos_list)
+        return permute_bits_flat(out.reshape(-1), src_bits, sorted(src_bits))
+
+    xs = (xs_slots, xs_ws, _chunked(valid))
+    meta = {
+        "positions": sorted(
+            p for pos_list in data_positions for p in pos_list
+        ),
+        "global_labels": total,
+        "n_chunks": n_chunks,
+        "chunk": chunk,
+    }
+    return step_fn, xs, meta
+
+
+def run_virtual_circuit_streamed(
+    virt: VirtualCircuit, chunk: int = 512, project: bool = False
+) -> Distribution:
+    """End-to-end streamed execution on the default device."""
+    step_fn, xs, meta = make_streamed_knit(virt, chunk)
+    values = np.asarray(jax.jit(step_fn)(xs))
+    dist = Distribution(values, meta["positions"], virt.num_clbits)
+    if project:
+        dist = nearest_probability_distribution(dist)
+    return dist
