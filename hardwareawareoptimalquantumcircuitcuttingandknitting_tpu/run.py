@@ -73,10 +73,27 @@ def run_virtual_circuit(
     ``checkpoint_dir``: optional directory; fragment variant results are
     saved there after simulation and, when present, loaded instead of
     re-simulating (resume/knit-only reruns).
+
+    ``engine="streamed"`` runs the constant-memory lax.scan path
+    (ops/streamed.py) — sim and knit fuse into one program, so the two
+    RunTimeInfo phases collapse into run_time.  Exact path only.
     """
     from .utils.profiling import Tracer
 
     log = get_logger(__name__)
+    if engine == "streamed":
+        if shots is not None:
+            raise ValueError(
+                "engine='streamed' is the exact path; shot sampling needs "
+                "the batched engines"
+            )
+        from .ops.streamed import run_virtual_circuit_streamed
+
+        now = time.perf_counter()
+        dist = run_virtual_circuit_streamed(
+            virt, chunk=min(chunk_size, 512), project=project
+        )
+        return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
     tracer = tracer or Tracer()
     frag_sizes = tuple(p.num_data_qubits for p in virt.programs.values())
     log.info(
