@@ -85,3 +85,50 @@ def compare_original_with_cut(
     log.info(f"cutCircFidelity: {res.cut_fidelity}")
     log.info(f"cutVsUncutFidelity: {res.cut_vs_uncut_fidelity}")
     return res
+
+
+def compare_original_with_cut_multiple_backends(
+    original: Circuit,
+    cut: Circuit,
+    backends: list,
+    reference_backend=None,
+    shots: int | None = 1000,
+    seed: int = 0,
+) -> ComparisonResult:
+    """Heterogeneous-hardware comparison: fragment i runs on ``backends[i]``
+    (NoiseModel), the uncut circuit on ``reference_backend``.
+
+    Reference: compareOriginalCircWithCutCircMultipleBackends
+    (Utilities.py:230-297), including the fragment-fits-backend capacity
+    assertion (Utilities.py:123).
+    """
+    from .ops.noise import (
+        default_noise_model,
+        run_noisy_virtual_circuit,
+        simulate_noisy_circuit,
+    )
+
+    log = get_logger(__name__)
+    if reference_backend is None:
+        reference_backend = default_noise_model()
+
+    input_ideal = simulate_circuit(original)
+    input_noisy = simulate_noisy_circuit(
+        original, reference_backend, shots=shots, seed=seed
+    )
+    cut_ideal, _ = run_virtual_circuit(
+        VirtualCircuit(cut.copy()), shots=shots, seed=seed
+    )
+    cut_noisy, _ = run_noisy_virtual_circuit(
+        VirtualCircuit(cut.copy()), list(backends), shots=shots, seed=seed
+    )
+
+    res = ComparisonResult(
+        hellinger_fidelity(input_ideal, input_noisy),
+        hellinger_fidelity(cut_ideal, cut_noisy),
+        hellinger_fidelity(input_ideal, cut_ideal),
+    )
+    log.info(f"inputCircFidelity: {res.input_fidelity}")
+    log.info(f"cutCircFidelity: {res.cut_fidelity}")
+    log.info(f"cutVsUncutFidelity: {res.cut_vs_uncut_fidelity}")
+    return res
