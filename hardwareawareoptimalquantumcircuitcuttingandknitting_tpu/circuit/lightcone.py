@@ -1,0 +1,70 @@
+"""Causal-lightcone extraction: the exact marginal of a shallow circuit.
+
+For a kept set of measured qubits, only gates in their backward lightcone
+affect the marginal distribution; everything else traces out to identity.
+For depth-d circuits on bounded-degree connectivity the cone has O(keep *
+degree^d) qubits, so 30+ qubit shallow circuits get *exact* marginal
+oracles from a small statevector simulation — the validation counterpart
+to the marginal knit (ops/knit.py keep_clbits).
+"""
+from __future__ import annotations
+
+from .circuit import Circuit, Register
+
+
+def lightcone_circuit(
+    circ: Circuit, keep_clbits: set[int]
+) -> tuple[Circuit, dict[int, int]]:
+    """Extract the sub-circuit causally relevant to ``keep_clbits``.
+
+    Returns (subcircuit, clbit_map) where clbit_map maps original kept
+    clbit -> subcircuit clbit.  The subcircuit measures exactly the kept
+    clbits (compacted), on compacted qubits.
+    """
+    # find the measuring instruction per kept clbit
+    keep_qubits: set[int] = set()
+    for ins in circ.instructions:
+        if ins.name == "measure" and ins.clbits[0] in keep_clbits:
+            keep_qubits.add(ins.qubits[0])
+
+    # backward pass: grow the support set
+    support = set(keep_qubits)
+    kept_instrs: list = []
+    for ins in reversed(circ.instructions):
+        if ins.name in ("barrier",):
+            continue
+        if ins.name == "measure":
+            if ins.clbits[0] in keep_clbits:
+                kept_instrs.append(ins)
+            continue
+        if ins.condition is not None:
+            raise NotImplementedError("lightcone over classical feedback")
+        if any(q in support for q in ins.qubits):
+            support.update(ins.qubits)
+            kept_instrs.append(ins)
+    kept_instrs.reverse()
+
+    qubit_map = {q: i for i, q in enumerate(sorted(support))}
+    clbit_map = {c: i for i, c in enumerate(sorted(keep_clbits))}
+    sub = Circuit(
+        [Register("q", len(qubit_map))], len(clbit_map), name="lightcone"
+    )
+    for ins in kept_instrs:
+        local = ins.copy()
+        local.qubits = [qubit_map[q] for q in ins.qubits]
+        if ins.name == "measure":
+            local.clbits = [clbit_map[ins.clbits[0]]]
+        sub.append(local)
+    return sub, clbit_map
+
+
+def lightcone_marginal(circ: Circuit, keep_clbits: set[int]):
+    """Exact marginal distribution over ``keep_clbits`` via the lightcone
+    subcircuit (Distribution with bit_positions = sorted kept clbits)."""
+    from ..ops.statevector import Distribution, simulate_circuit
+
+    sub, clbit_map = lightcone_circuit(circ, keep_clbits)
+    dist = simulate_circuit(sub)
+    return Distribution(
+        dist.values, sorted(keep_clbits), circ.num_clbits
+    )

@@ -26,7 +26,7 @@ from .variant_engine import FragmentResult
 
 
 def _fold_fragment(
-    virt: VirtualCircuit, res: FragmentResult
+    virt: VirtualCircuit, res: FragmentResult, keep_clbits=None
 ) -> tuple[np.ndarray | jnp.ndarray, list[int]]:
     """Apply per-vgate coefficient weights; return E_f with shape
     [n_v1, ..., n_vm, 2^d] plus the data-bit positions (remaining bits,
@@ -36,6 +36,14 @@ def _fold_fragment(
     the flat outcome axis, keeping the program rank at len(n_inst)+3
     regardless of the fragment's clbit count — a full (2,)*k bit-split
     would push TPU XLA into very-high-rank transposes.
+
+    ``keep_clbits`` (set or None): if given, data clbits NOT in the set
+    are summed out *before* the cross-fragment contraction.  This is the
+    marginal knit: because fragments write disjoint clbits, marginalising
+    each fragment first commutes with the knit product, so the
+    reconstructed marginal is exact while the full 2^num_clbits
+    distribution never materialises (the only way to knit 30+ qubit
+    circuits).
     """
     touching = res.touching
     n_inst = [virt.vgates[g].num_instantiations for g in touching]
@@ -78,20 +86,34 @@ def _fold_fragment(
             shape[ti] = spec.num_instantiations
             t = t * jnp.asarray(w[:, 0], dtype=t.dtype).reshape(shape)
 
+    if keep_clbits is not None:
+        for p in [p for p in positions if p not in keep_clbits]:
+            j = positions.index(p)
+            high, low = 1 << (k - 1 - j), 1 << j
+            t = t.reshape(tuple(n_inst) + (high, 2, low)).sum(axis=nv + 1)
+            positions.pop(j)
+            k -= 1
+            t = t.reshape(tuple(n_inst) + (1 << k,))
+
     return t, positions
 
 
 def knit(
-    virt: VirtualCircuit, results: list[FragmentResult]
+    virt: VirtualCircuit,
+    results: list[FragmentResult],
+    keep_clbits=None,
 ) -> Distribution:
     """Contract all fragment results into the reconstructed distribution
-    over the original clbits (host wrapper around ``knit_values``)."""
-    values, positions = knit_values(virt, results)
+    over the original clbits (host wrapper around ``knit_values``).
+    ``keep_clbits`` selects a marginal — see ``_fold_fragment``."""
+    values, positions = knit_values(virt, results, keep_clbits)
     return Distribution(np.asarray(values), positions, virt.num_clbits)
 
 
 def knit_values(
-    virt: VirtualCircuit, results: list[FragmentResult]
+    virt: VirtualCircuit,
+    results: list[FragmentResult],
+    keep_clbits=None,
 ):
     """Traceable knit: results' ``values`` may be jnp tracers.  Returns
     (flat values over written data clbits little-endian, positions)."""
@@ -103,7 +125,7 @@ def knit_values(
     out_sub = ""
     frag_positions: list[list[int]] = []
     for res in results:
-        e, data_pos = _fold_fragment(virt, res)
+        e, data_pos = _fold_fragment(virt, res, keep_clbits)
         sub = "".join(vgate_letter[g] for g in res.touching)
         dl = letters.pop()
         sub += dl

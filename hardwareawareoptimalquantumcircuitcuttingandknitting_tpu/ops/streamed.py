@@ -46,13 +46,20 @@ def _weight_matrix(virt: VirtualCircuit, prog, g: int) -> np.ndarray:
     return w
 
 
-def make_streamed_knit(virt: VirtualCircuit, chunk: int = 512):
+def make_streamed_knit(
+    virt: VirtualCircuit, chunk: int = 512, keep_clbits=None
+):
     """Build (step_fn, xs, meta): ``step_fn(xs)`` scans all global label
     chunks and returns the flat knitted quasi-distribution values.
 
     Global label order matches the reference enumeration: cartesian
     product over all vgates, last vgate varying fastest
     (qvm/virtual_circuit.py:133-137).
+
+    ``keep_clbits``: marginal knit — data clbits outside the set are
+    summed out inside the scan body, so both the per-chunk rows and the
+    carry shrink to the marginal's size (this is how 30+ qubit circuits
+    knit: the full 2^n distribution never exists anywhere).
     """
     specs = [vg.spec for vg in virt.vgates]
     num_g = len(specs)
@@ -102,11 +109,17 @@ def make_streamed_knit(virt: VirtualCircuit, chunk: int = 512):
             cg = virt.num_clbits + g
             if cg in pos:
                 j = pos.index(cg)
-                plan.append((j, k))
+                plan.append(("w", j, k))
                 pos.pop(j)
                 k -= 1
             else:
-                plan.append((None, k))
+                plan.append(("w", None, k))
+        if keep_clbits is not None:
+            for p in [p for p in pos if p not in keep_clbits]:
+                j = pos.index(p)
+                plan.append(("drop", j, k))
+                pos.pop(j)
+                k -= 1
         xs_ws.append(ws)
         fold_plans.append(plan)
         data_positions.append(pos)
@@ -133,7 +146,14 @@ def make_streamed_knit(virt: VirtualCircuit, chunk: int = 512):
                 else:
                     row = sim_one([])
                     rows = jnp.broadcast_to(row, (chunk, row.shape[0]))
-                for (j, k), w_sel in zip(fold_plans[fi], w_chunks[fi]):
+                w_iter = iter(w_chunks[fi])
+                for kind, j, k in fold_plans[fi]:
+                    if kind == "drop":
+                        high, low = 1 << (k - 1 - j), 1 << j
+                        rows = rows.reshape(chunk, high, 2, low).sum(axis=2)
+                        rows = rows.reshape(chunk, -1)
+                        continue
+                    w_sel = next(w_iter)
                     if j is not None:
                         high, low = 1 << (k - 1 - j), 1 << j
                         rows = rows.reshape(chunk, high, 2, low)
