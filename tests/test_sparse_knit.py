@@ -1,0 +1,72 @@
+"""Sparse dict-algebra knit (reference algorithm) vs the tensor knit."""
+import numpy as np
+import pytest
+
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+    Circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
+    Cutter,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.knit import (
+    knit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.variant_engine import (
+    run_all_fragments,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.sparse_knit import (
+    sparse_knit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+    VirtualCircuit,
+)
+
+
+def _cut(circ, cap):
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=cap,
+                    maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
+    assert cutter.solve()
+    return VirtualCircuit(cutter.getResultCircs()[3])
+
+
+def _dense_to_dict(dist):
+    vals = np.asarray(dist.values, dtype=np.float64)
+    out = {}
+    for i in np.nonzero(np.abs(vals) > 1e-4)[0]:
+        key = 0
+        for j, p in enumerate(dist.bit_positions):
+            if (int(i) >> j) & 1:
+                key |= 1 << p
+        out[key] = vals[i]
+    return out
+
+
+@pytest.mark.parametrize("builder", ["ghz", "mixed"])
+def test_sparse_knit_matches_tensor(builder):
+    n = 5
+    circ = Circuit(n, n)
+    if builder == "ghz":
+        circ.h(0)
+        for i in range(n - 1):
+            circ.cx(i, i + 1)
+    else:
+        rng = np.random.default_rng(2)
+        for q in range(n):
+            circ.ry(float(rng.standard_normal()), q)
+        for i in range(n - 1):
+            circ.cx(i, i + 1)
+        circ.rzz(0.4, 0, n - 1)
+    for q in range(n):
+        circ.measure(q, q)
+
+    virt = _cut(circ, 3)
+    results = run_all_fragments(virt)
+
+    dense = knit(virt, results)
+    sparse = sparse_knit(virt, results)
+
+    want = _dense_to_dict(dense)
+    got = {k: v for k, v in sparse.items() if abs(v) > 1e-4}
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for key, val in want.items():
+        assert got[key] == pytest.approx(val, abs=2e-4), key
