@@ -31,7 +31,8 @@ BASELINE_CONFIGS = [
 ]
 
 
-def run_config(tag, circ_name, n, depth, P, Q, ref_s, max_instances):
+def run_config(tag, circ_name, n, depth, P, Q, ref_s, max_instances,
+               use_streamed=False):
     from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
         Cutter,
     )
@@ -71,12 +72,16 @@ def run_config(tag, circ_name, n, depth, P, Q, ref_s, max_instances):
 
     virt = VirtualCircuit(cut_circ)
     row["instances"] = virt.total_instantiations()
+    engine = "auto"
     if row["instances"] > max_instances:
-        row["status"] = f"cut-only (instances > {max_instances})"
-        return row
+        if not use_streamed:
+            row["status"] = f"cut-only (instances > {max_instances})"
+            return row
+        engine = "streamed"
+        row["engine"] = engine
 
     t1 = time.perf_counter()
-    knitted, info = run_virtual_circuit(virt, project=False)
+    knitted, info = run_virtual_circuit(virt, project=False, engine=engine)
     row["sim_knit_s"] = round(time.perf_counter() - t1, 4)
     row["fidelity_vs_uncut"] = float(
         hellinger_fidelity(simulate_circuit(circ), knitted)
@@ -91,6 +96,9 @@ def main() -> None:
     ap.add_argument("--out", default="BENCH_TABLE.md")
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--max-instances", type=int, default=20000)
+    ap.add_argument("--streamed", action="store_true",
+                    help="run over-cap configs with the constant-memory "
+                         "streaming engine instead of skipping them")
     ap.add_argument("--only", default=None,
                     help="comma-separated config tags to run")
     args = ap.parse_args()
@@ -101,7 +109,7 @@ def main() -> None:
         if only and cfg[0] not in only:
             continue
         print(f"[suite] {cfg[0]} ...", file=sys.stderr, flush=True)
-        rows.append(run_config(*cfg, args.max_instances))
+        rows.append(run_config(*cfg, args.max_instances, args.streamed))
         print(f"[suite] {cfg[0]}: {rows[-1]}", file=sys.stderr, flush=True)
 
     cols = [
