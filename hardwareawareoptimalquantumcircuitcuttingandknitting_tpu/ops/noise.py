@@ -214,28 +214,36 @@ def run_fragment_noisy(
 
 def run_noisy_virtual_circuit(
     virt: VirtualCircuit,
-    noise,
+    noise=None,
     shots: int | None = None,
     seed: int = 0,
 ):
     """Noisy analog of run_virtual_circuit.  ``noise`` is one NoiseModel for
-    all fragments, or a list mapping fragment i -> NoiseModel (the
+    all fragments, a list mapping fragment i -> NoiseModel (the
     heterogeneous-backend path, Utilities.py:106-150 /
-    benchmark_different_backends.py)."""
+    benchmark_different_backends.py), or None to use the per-fragment
+    mapping set via ``virt.set_backend`` (virtual_circuit.py:82-95); a
+    fragment whose backend is None runs on the exact ideal engine."""
     from ..run import RunTimeInfo
     from .knit import knit, nearest_probability_distribution
+    from .variant_engine import run_fragment
 
     import time
 
-    models = (
-        noise if isinstance(noise, (list, tuple))
-        else [noise] * len(virt.fragments)
-    )
+    if noise is None:
+        models = [virt.get_backend(reg.name) for reg in virt.fragments]
+    elif isinstance(noise, (list, tuple)):
+        models = list(noise)
+    else:
+        models = [noise] * len(virt.fragments)
     assert len(models) >= len(virt.fragments)
     now = time.perf_counter()
     results = []
     for i, reg in enumerate(virt.fragments):
         nm = models[i]
+        if nm is None:
+            results.append(run_fragment(virt, reg.name))
+            continue
         if nm.num_qubits is not None:
             assert virt.programs[reg.name].num_data_qubits <= nm.num_qubits, (
                 f"fragment {reg.name} does not fit backend {nm.name}"

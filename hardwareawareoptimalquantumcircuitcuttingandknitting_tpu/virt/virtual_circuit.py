@@ -71,6 +71,7 @@ class VirtualCircuit:
         self.num_clbits = circuit.num_clbits
         self.fragments: list[Register] = list(circuit.qregs)
         self._programs: dict[str, FragmentProgram] = {}
+        self._backends: dict[str, object] = {}
         for reg in self.fragments:
             self._programs[reg.name] = self._compile_fragment(reg)
 
@@ -81,6 +82,27 @@ class VirtualCircuit:
 
     def vgate_clbit(self, vgate_idx: int) -> int:
         return self.num_clbits + vgate_idx
+
+    # -- per-fragment backend mapping (reference virtual_circuit.py:82-95):
+    # a "backend" here is a NoiseModel (ops/noise.py) or None for the exact
+    # ideal engine; the noisy runtime consults this mapping by default.
+    def get_backend(self, frag_name: str):
+        return self._backends.get(frag_name)
+
+    def set_backend(self, frag_name: str, backend) -> None:
+        if frag_name not in self._programs:
+            raise KeyError(f"unknown fragment {frag_name!r}")
+        if backend is not None and getattr(backend, "num_qubits", None):
+            need = self._programs[frag_name].num_data_qubits
+            assert need <= backend.num_qubits, (
+                f"fragment {frag_name} needs {need} qubits, backend "
+                f"{getattr(backend, 'name', backend)} has {backend.num_qubits}"
+            )
+        self._backends[frag_name] = backend
+
+    def set_backend_for_all(self, backend) -> None:
+        for reg in self.fragments:
+            self.set_backend(reg.name, backend)
 
     def num_instantiations(self, frag_name: str) -> int:
         prog = self._programs[frag_name]
