@@ -149,6 +149,54 @@ def knit_values(
     return merged, dst_bits
 
 
+def expectation_z(
+    virt: VirtualCircuit,
+    results: list[FragmentResult],
+    z_clbits,
+) -> float:
+    """<prod_{c in z_clbits} Z_c> of the reconstructed distribution.
+
+    The parity sign (-1)^{popcount(x & S)} factorises over the fragments'
+    disjoint clbit sets, so each fragment contracts to ONE scalar per
+    variant (bit c weighted (+1,-1) if c in S else summed (+1,+1)) and
+    the observable is a contraction over the variant axes alone — no
+    distribution of any size materialises.  This is the serving path for
+    observable estimation on circuits of any width.
+    """
+    z_clbits = set(z_clbits)
+    letters = list(string.ascii_letters)
+    vgate_letter = {g: letters.pop() for g in range(len(virt.vgates))}
+
+    operands = []
+    subs = []
+    for res in results:
+        e, data_pos = _fold_fragment(virt, res)
+        # contract every data bit with its parity weights
+        nv = e.ndim - 1
+        k = len(data_pos)
+        t = e
+        for p in list(data_pos):
+            j = data_pos.index(p)
+            high, low = 1 << (k - 1 - j), 1 << j
+            t = t.reshape(t.shape[:nv] + (high, 2, low))
+            sign = jnp.asarray(
+                [1.0, -1.0] if p in z_clbits else [1.0, 1.0], dtype=t.dtype
+            )
+            t = jnp.einsum(
+                t, list(range(nv)) + [nv, nv + 1, nv + 2],
+                sign, [nv + 1],
+                list(range(nv)) + [nv, nv + 2],
+            )
+            data_pos.remove(p)
+            k -= 1
+            t = t.reshape(t.shape[:nv] + (1 << k,))
+        operands.append(t.reshape(t.shape[:nv]))
+        subs.append("".join(vgate_letter[g] for g in res.touching))
+
+    expr = ",".join(subs) + "->"
+    return float(jnp.einsum(expr, *operands))
+
+
 def nearest_probability_distribution(dist: Distribution) -> Distribution:
     """Project a quasi-distribution onto the probability simplex, matching
     the reference's Smolin-style projection (quasi_distr.py:28-43)."""
