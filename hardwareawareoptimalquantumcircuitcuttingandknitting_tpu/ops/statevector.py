@@ -95,7 +95,9 @@ class CompiledCircuit:
     num_clbits: int
 
 
-def compile_circuit(circ: Circuit) -> CompiledCircuit:
+def compile_circuit(circ: Circuit, fuse: bool = False) -> CompiledCircuit:
+    """``fuse=True`` merges adjacent gates (ops/fusion.py) — use on exact
+    paths only; the trajectory noise engine needs per-physical-gate ops."""
     n = circ.num_qubits
     ops: list[tuple[np.ndarray, tuple[int, ...]]] = []
     clbit_sources: dict[int, int] = {}
@@ -151,6 +153,10 @@ def compile_circuit(circ: Circuit) -> CompiledCircuit:
             continue
         ops.append((ins.matrix(), tuple(ins.qubits)))
 
+    if fuse:
+        from .fusion import fuse_ops
+
+        ops = fuse_ops(ops)
     return CompiledCircuit(next_anc, ops, clbit_sources, circ.num_clbits)
 
 
@@ -254,4 +260,4 @@ def _marginalize(state: jnp.ndarray, keep_axes: list[int]) -> jnp.ndarray:
 def simulate_circuit(circ: Circuit) -> Distribution:
     """Exact end-to-end: compile + run + marginalise. The uncut-circuit
     oracle used by the fidelity harness (reference: Utilities.py:39-69)."""
-    return probabilities(compile_circuit(circ))
+    return probabilities(compile_circuit(circ, fuse=True))

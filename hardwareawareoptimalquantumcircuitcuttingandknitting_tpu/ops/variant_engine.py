@@ -99,9 +99,33 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
     sources = [prog.clbit_sources[c] for c in positions]
     n = prog.num_sim_qubits
 
+    # exact path: fuse contiguous fixed-gate runs between slots (the noise
+    # path keeps the unfused stream — per-physical-gate noise sites)
+    if noise is None:
+        from .fusion import fuse_ops
+
+        fused_ops: list = []
+        run: list = []
+
+        def _flush_run():
+            for m, ax in fuse_ops(run):
+                fused_ops.append(("u", m, ax))
+            run.clear()
+
+        for op in prog.ops:
+            if op[0] in ("u", "u_aux"):
+                run.append((op[1], op[2]))
+            else:
+                _flush_run()
+                fused_ops.append(op)
+        _flush_run()
+        prog_ops = fused_ops
+    else:
+        prog_ops = prog.ops
+
     fixed_blocks = {
         id(op): to_real_block(op[1])
-        for op in prog.ops
+        for op in prog_ops
         if op[0] in ("u", "u_aux")
     }
 
@@ -124,7 +148,7 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
     def _sim_one(slot_mats, pauli_mats=None):
         state = jnp.zeros((2, 1 << n), dtype=jnp.float32)
         state = state.at[0, 0].set(1.0)
-        for op_i, op in enumerate(prog.ops):
+        for op_i, op in enumerate(prog_ops):
             kind = op[0]
             if kind in ("u", "u_aux"):
                 state = apply_matrix(state, fixed_blocks[id(op)], op[2], n)
