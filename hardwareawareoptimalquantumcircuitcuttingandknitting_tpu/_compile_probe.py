@@ -127,9 +127,11 @@ def main():
         results = []
         for name, mats in zip(frag_names, all_mats):
             sim_one, positions, flat_count = sims[name]
-            values = jax.vmap(sim_one)(mats) if mats else jnp.broadcast_to(
-                sim_one([]), (flat_count, 1)
-            )
+            if mats:
+                values = jax.vmap(sim_one)(mats)
+            else:
+                row = sim_one([])
+                values = jnp.broadcast_to(row, (flat_count, row.shape[0]))
             results.append(FragmentResult(
                 name, values, positions, list(virt.programs[name].touching)
             ))

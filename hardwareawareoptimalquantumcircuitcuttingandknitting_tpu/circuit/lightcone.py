@@ -27,25 +27,37 @@ def lightcone_circuit(
         if ins.name == "measure" and ins.clbits[0] in keep_clbits:
             keep_qubits.add(ins.qubits[0])
 
-    # backward pass: grow the support set
+    # backward pass: grow the support set.  Mid-circuit measurements of
+    # NON-kept clbits must be retained when their qubit is in the support:
+    # the measurement dephases the qubit, which changes kept marginals.
+    # (Terminal measures of non-kept clbits commute out and are dropped.)
     support = set(keep_qubits)
+    touched_after: set[int] = set()  # qubits with later retained ops
     kept_instrs: list = []
+    extra_clbits: set[int] = set()
     for ins in reversed(circ.instructions):
         if ins.name in ("barrier",):
             continue
         if ins.name == "measure":
             if ins.clbits[0] in keep_clbits:
                 kept_instrs.append(ins)
+                touched_after.add(ins.qubits[0])
+            elif ins.qubits[0] in support and ins.qubits[0] in touched_after:
+                kept_instrs.append(ins)
+                extra_clbits.add(ins.clbits[0])
             continue
         if ins.condition is not None:
             raise NotImplementedError("lightcone over classical feedback")
         if any(q in support for q in ins.qubits):
             support.update(ins.qubits)
+            touched_after.update(ins.qubits)
             kept_instrs.append(ins)
     kept_instrs.reverse()
 
     qubit_map = {q: i for i, q in enumerate(sorted(support))}
-    clbit_map = {c: i for i, c in enumerate(sorted(keep_clbits))}
+    clbit_map = {
+        c: i for i, c in enumerate(sorted(keep_clbits | extra_clbits))
+    }
     sub = Circuit(
         [Register("q", len(qubit_map))], len(clbit_map), name="lightcone"
     )
@@ -61,10 +73,23 @@ def lightcone_circuit(
 def lightcone_marginal(circ: Circuit, keep_clbits: set[int]):
     """Exact marginal distribution over ``keep_clbits`` via the lightcone
     subcircuit (Distribution with bit_positions = sorted kept clbits)."""
+    import numpy as np
+
     from ..ops.statevector import Distribution, simulate_circuit
 
     sub, clbit_map = lightcone_circuit(circ, keep_clbits)
     dist = simulate_circuit(sub)
-    return Distribution(
-        dist.values, sorted(keep_clbits), circ.num_clbits
-    )
+    # sum out retained-for-dephasing clbits (non-kept mid-circuit measures)
+    keep_local = sorted(clbit_map[c] for c in keep_clbits)
+    if dist.bit_positions != keep_local:
+        vals = np.asarray(dist.values, dtype=np.float64)
+        out = np.zeros(1 << len(keep_local))
+        for i, v in enumerate(vals):
+            key = 0
+            for j, c in enumerate(keep_local):
+                key |= ((i >> dist.bit_positions.index(c)) & 1) << j
+            out[key] += v
+        values = out.astype(np.float32)
+    else:
+        values = dist.values
+    return Distribution(values, sorted(keep_clbits), circ.num_clbits)

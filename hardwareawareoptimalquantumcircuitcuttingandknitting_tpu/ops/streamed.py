@@ -125,10 +125,11 @@ def make_streamed_knit(
         data_positions.append(pos)
 
     shape = tuple(1 << len(p) for p in data_positions)
-    letters = "abcdefgh"
+    # 'z' is the chunk label — fragment labels must not collide with it
+    letters = "abdefghijklm"
     assert len(frag_names) <= len(letters)
     expr = (
-        ",".join(f"c{letters[i]}" for i in range(len(frag_names)))
+        ",".join(f"z{letters[i]}" for i in range(len(frag_names)))
         + "->" + letters[: len(frag_names)]
     )
 

@@ -81,20 +81,30 @@ def run_virtual_circuit(
     from .utils.profiling import Tracer
 
     log = get_logger(__name__)
+    tracer = tracer or Tracer()
     if engine == "streamed":
         if shots is not None:
             raise ValueError(
                 "engine='streamed' is the exact path; shot sampling needs "
                 "the batched engines"
             )
+        if checkpoint_dir is not None:
+            raise ValueError(
+                "engine='streamed' fuses sim+knit into one scan and never "
+                "materialises fragment results; checkpointing needs the "
+                "batched engines"
+            )
         from .ops.streamed import run_virtual_circuit_streamed
 
         now = time.perf_counter()
-        dist = run_virtual_circuit_streamed(
-            virt, chunk=min(chunk_size, 512), project=project
-        )
+        with tracer.phase(
+            "stream_sim_knit", instances=virt.total_instantiations(),
+            chunk=chunk_size,
+        ):
+            dist = run_virtual_circuit_streamed(
+                virt, chunk=chunk_size, project=project
+            )
         return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
-    tracer = tracer or Tracer()
     frag_sizes = tuple(p.num_data_qubits for p in virt.programs.values())
     log.info(
         f"Running virtualizer with {len(virt.fragments)} {frag_sizes} "
@@ -105,39 +115,61 @@ def run_virtual_circuit(
     now = time.perf_counter()
     resumed = False
     if checkpoint_dir is not None:
-        from .utils.checkpoint import has_checkpoint, load_fragment_results
+        from .utils.checkpoint import (
+            checkpoint_fingerprint,
+            has_checkpoint,
+            load_fragment_results,
+        )
 
         if has_checkpoint(checkpoint_dir):
             with tracer.phase("load_checkpoint"):
-                results = load_fragment_results(checkpoint_dir)
-            resumed = True
-            log.info(f"Resumed fragment results from {checkpoint_dir}.")
+                results = load_fragment_results(
+                    checkpoint_dir,
+                    expect_fingerprint=checkpoint_fingerprint(virt),
+                )
+            if results is None:
+                log.warning(
+                    f"Checkpoint at {checkpoint_dir} belongs to a different "
+                    "circuit/cut plan; re-simulating."
+                )
+            else:
+                resumed = True
+                log.info(f"Resumed fragment results from {checkpoint_dir}.")
 
-    if not resumed:
-        tracer.start_device_trace()
-        with tracer.phase(
-            "simulate", instances=virt.total_instantiations(), engine=engine
-        ):
-            results = _run_fragments(virt, chunk_size, engine)
-        if checkpoint_dir is not None:
-            from .utils.checkpoint import save_fragment_results
+    try:
+        if not resumed:
+            tracer.start_device_trace()
+            with tracer.phase(
+                "simulate", instances=virt.total_instantiations(),
+                engine=engine,
+            ):
+                results = _run_fragments(virt, chunk_size, engine)
+            if checkpoint_dir is not None:
+                from .utils.checkpoint import (
+                    checkpoint_fingerprint,
+                    save_fragment_results,
+                )
 
-            with tracer.phase("save_checkpoint"):
-                save_fragment_results(results, checkpoint_dir)
+                with tracer.phase("save_checkpoint"):
+                    save_fragment_results(
+                        results, checkpoint_dir,
+                        fingerprint=checkpoint_fingerprint(virt),
+                    )
 
-    if shots is not None:
-        from .ops.sampling import sample_fragment_results
+        if shots is not None:
+            from .ops.sampling import sample_fragment_results
 
-        with tracer.phase("sample", shots=shots):
-            results = sample_fragment_results(results, shots, seed)
-    run_time = time.perf_counter() - now
+            with tracer.phase("sample", shots=shots):
+                results = sample_fragment_results(results, shots, seed)
+        run_time = time.perf_counter() - now
 
-    log.info("Knitting...")
-    now = time.perf_counter()
-    with tracer.phase("knit"):
-        dist = knit(virt, results)
-    knit_time = time.perf_counter() - now
-    tracer.stop_device_trace()
+        log.info("Knitting...")
+        now = time.perf_counter()
+        with tracer.phase("knit"):
+            dist = knit(virt, results)
+        knit_time = time.perf_counter() - now
+    finally:
+        tracer.stop_device_trace()
     log.info(f"Knitted in {knit_time:.2f}s.")
 
     if project:

@@ -21,13 +21,33 @@ from ..ops.variant_engine import FragmentResult
 _MANIFEST = "fragment_results.json"
 
 
+def checkpoint_fingerprint(virt) -> str:
+    """Stable identity of a virtual circuit's result layout: fragment
+    names, per-fragment touching vgates / clbit layout / variant counts.
+    Saved with checkpoints so resume refuses results from a different
+    circuit or cut plan."""
+    import hashlib
+
+    parts = [str(virt.num_clbits)]
+    for reg in virt.fragments:
+        prog = virt.programs[reg.name]
+        parts.append(
+            f"{reg.name}|{prog.num_sim_qubits}|{sorted(prog.touching)}|"
+            f"{sorted(prog.clbit_sources.items())}|"
+            f"{virt.num_instantiations(reg.name)}"
+        )
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+
+
 def save_fragment_results(
-    results: list[FragmentResult], directory: str | pathlib.Path
+    results: list[FragmentResult],
+    directory: str | pathlib.Path,
+    fingerprint: str | None = None,
 ) -> pathlib.Path:
     """Write one .npz per fragment plus a manifest; returns the dir."""
     directory = pathlib.Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
-    manifest = []
+    entries = []
     for res in results:
         fname = f"frag_{res.name}.npz"
         np.savez_compressed(
@@ -36,18 +56,29 @@ def save_fragment_results(
             bit_positions=np.asarray(res.bit_positions, dtype=np.int64),
             touching=np.asarray(res.touching, dtype=np.int64),
         )
-        manifest.append({"name": res.name, "file": fname})
+        entries.append({"name": res.name, "file": fname})
+    manifest = {"fingerprint": fingerprint, "fragments": entries}
     (directory / _MANIFEST).write_text(json.dumps(manifest, indent=2))
     return directory
 
 
 def load_fragment_results(
     directory: str | pathlib.Path,
-) -> list[FragmentResult]:
+    expect_fingerprint: str | None = None,
+) -> list[FragmentResult] | None:
+    """Load a checkpoint.  With ``expect_fingerprint``, returns None when
+    the stored fingerprint is absent or different (stale checkpoint)."""
     directory = pathlib.Path(directory)
     manifest = json.loads((directory / _MANIFEST).read_text())
+    if isinstance(manifest, list):  # pre-fingerprint layout
+        manifest = {"fingerprint": None, "fragments": manifest}
+    if (
+        expect_fingerprint is not None
+        and manifest.get("fingerprint") != expect_fingerprint
+    ):
+        return None
     out = []
-    for entry in manifest:
+    for entry in manifest["fragments"]:
         data = np.load(directory / entry["file"])
         out.append(
             FragmentResult(

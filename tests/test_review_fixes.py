@@ -1,0 +1,101 @@
+"""Regression tests for the round-2 review findings."""
+import numpy as np
+import pytest
+
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+    Circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
+    Cutter,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (
+    hellinger_fidelity,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+    simulate_circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.run import (
+    run_virtual_circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+    VirtualCircuit,
+)
+
+
+def test_streamed_three_fragments():
+    """Streamed einsum labels must not collide with the chunk label
+    ('cc' used to become a silent diagonal for 3+ fragments)."""
+    n = 6
+    circ = Circuit(n, n)
+    circ.h(0)
+    for i in range(n - 1):
+        circ.cx(i, i + 1)
+    for q in range(n):
+        circ.measure(q, q)
+    cutter = Cutter(circ, maxNPartitions=3, maxNQubitsPerPartition=2,
+                    maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
+    assert cutter.solve()
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    assert len(virt.fragments) >= 3
+    for chunk in (4, 7):
+        dist, _ = run_virtual_circuit(
+            virt, engine="streamed", chunk_size=chunk, project=False
+        )
+        fid = hellinger_fidelity(simulate_circuit(circ), dist)
+        assert fid > 1 - 1e-5, (chunk, fid)
+        assert float(np.sum(np.asarray(dist.values))) == pytest.approx(
+            1.0, abs=1e-4
+        )
+
+
+def test_lightcone_keeps_dephasing_measure():
+    """A mid-circuit measurement of a non-kept clbit dephases its qubit
+    and must stay in the lightcone."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.lightcone import (
+        lightcone_marginal,
+    )
+
+    circ = Circuit(1, 2)
+    circ.h(0)
+    circ.measure(0, 1)   # mid-circuit, non-kept
+    circ.h(0)
+    circ.measure(0, 0)
+    got = lightcone_marginal(circ, {0})
+    np.testing.assert_allclose(np.asarray(got.values), [0.5, 0.5], atol=1e-6)
+
+
+def test_stale_checkpoint_triggers_resimulation(tmp_path):
+    def cut(n):
+        circ = Circuit(n, n)
+        circ.h(0)
+        for i in range(n - 1):
+            circ.cx(i, i + 1)
+        for q in range(n):
+            circ.measure(q, q)
+        cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=n - 1,
+                        maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
+        assert cutter.solve()
+        return circ, VirtualCircuit(cutter.getResultCircs()[3])
+
+    ckpt = tmp_path / "ckpt"
+    _, virt4 = cut(4)
+    run_virtual_circuit(virt4, checkpoint_dir=ckpt)
+
+    circ5, virt5 = cut(5)
+    dist, _ = run_virtual_circuit(virt5, checkpoint_dir=ckpt, project=False)
+    fid = hellinger_fidelity(simulate_circuit(circ5), dist)
+    assert fid > 1 - 1e-5, fid
+
+
+def test_streamed_rejects_checkpoint_dir(tmp_path):
+    circ = Circuit(3, 3)
+    circ.h(0)
+    circ.cx(0, 1)
+    circ.cx(1, 2)
+    circ.measure_all()
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=2,
+                    maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
+    assert cutter.solve()
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    with pytest.raises(ValueError, match="checkpoint"):
+        run_virtual_circuit(virt, engine="streamed", checkpoint_dir=tmp_path)
