@@ -156,6 +156,20 @@ class Cutter:
             raise RuntimeError("no model exists")
         self.plan.save(path)
 
+    def use_plan(self, plan: CutPlan) -> None:
+        """Adopt a previously solved plan (solve once / cut many): the
+        plan's vertex indices must come from a circuit with the same
+        gate structure (e.g. the same ansatz with new parameters)."""
+        for cut in plan.cuts:
+            for v in cut.edge:
+                if v >= self.graph.num_vertices:
+                    raise ValueError(
+                        "plan does not match this circuit's cut graph"
+                    )
+        self.plan = plan
+        self.nWireCuts = plan.metrics.n_wire_cuts
+        self.nGateCuts = plan.metrics.n_gate_cuts
+
 
 def generate_instantiation_circuits(virt: VirtualCircuit) -> list[list[Circuit]]:
     """Materialise every variant of every fragment as an explicit circuit

@@ -25,8 +25,31 @@ from .statevector import Distribution
 from .variant_engine import FragmentResult
 
 
+def fold_weights(virt: VirtualCircuit, frag_name: str) -> list[np.ndarray]:
+    """Per-touching-vgate knit weight matrices W[v, b] this fragment
+    applies (owner-side logic).  Exposed so callers can pass them as
+    runtime arguments (parameter sweeps re-bind RZZ/CP coefficients
+    without recompiling the knit)."""
+    prog = virt.programs[frag_name]
+    sides: dict[int, list[int]] = {g: [] for g in prog.touching}
+    for slot in prog.slots:
+        sides[slot.vgate_idx].append(slot.side)
+    out = []
+    for g in prog.touching:
+        spec = virt.vgates[g].spec
+        my_sides = sides[g]
+        both = len(my_sides) == 2
+        w = np.ones((spec.num_instantiations, 2), dtype=np.float64)
+        for v in range(spec.num_instantiations):
+            if both or spec.owner_side[v] in my_sides:
+                w[v] = spec.coef[v]
+        out.append(w)
+    return out
+
+
 def _fold_fragment(
-    virt: VirtualCircuit, res: FragmentResult, keep_clbits=None
+    virt: VirtualCircuit, res: FragmentResult, keep_clbits=None,
+    weights=None,
 ) -> tuple[np.ndarray | jnp.ndarray, list[int]]:
     """Apply per-vgate coefficient weights; return E_f with shape
     [n_v1, ..., n_vm, 2^d] plus the data-bit positions (remaining bits,
@@ -52,20 +75,12 @@ def _fold_fragment(
     k = len(positions)
     t = jnp.asarray(res.values).reshape(tuple(n_inst) + (1 << k,))
 
-    # which side of each touching vgate lives here?
-    sides: dict[int, list[int]] = {g: [] for g in touching}
-    for slot in virt.programs[res.name].slots:
-        sides[slot.vgate_idx].append(slot.side)
+    if weights is None:
+        weights = fold_weights(virt, res.name)
 
     for ti, g in enumerate(touching):
         spec = virt.vgates[g].spec
-        my_sides = sides[g]
-        both = len(my_sides) == 2
-        # weight matrix W[v, b]
-        w = np.ones((spec.num_instantiations, 2), dtype=np.float64)
-        for v in range(spec.num_instantiations):
-            if both or spec.owner_side[v] in my_sides:
-                w[v] = spec.coef[v]
+        w = weights[ti]
         cg = virt.num_clbits + g
         if cg in positions:
             j = positions.index(cg)          # LSB offset of this clbit
@@ -114,9 +129,14 @@ def knit_values(
     virt: VirtualCircuit,
     results: list[FragmentResult],
     keep_clbits=None,
+    weights=None,
 ):
     """Traceable knit: results' ``values`` may be jnp tracers.  Returns
-    (flat values over written data clbits little-endian, positions)."""
+    (flat values over written data clbits little-endian, positions).
+
+    ``weights``: optional per-fragment list of per-touching-vgate weight
+    matrices (tracers allowed) replacing the trace-time constants from
+    :func:`fold_weights` — parameter sweeps pass these as arguments."""
     letters = list(string.ascii_letters)
     vgate_letter = {g: letters.pop() for g in range(len(virt.vgates))}
 
@@ -124,8 +144,11 @@ def knit_values(
     subs = []
     out_sub = ""
     frag_positions: list[list[int]] = []
-    for res in results:
-        e, data_pos = _fold_fragment(virt, res, keep_clbits)
+    for fi, res in enumerate(results):
+        e, data_pos = _fold_fragment(
+            virt, res, keep_clbits,
+            None if weights is None else weights[fi],
+        )
         sub = "".join(vgate_letter[g] for g in res.touching)
         dl = letters.pop()
         sub += dl
