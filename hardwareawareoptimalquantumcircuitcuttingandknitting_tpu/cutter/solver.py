@@ -162,7 +162,23 @@ def solve_python(graph: CutGraph, cfg: SolverConfig) -> CutPlan | None:
     native/cutsolver.cc mirrors this loop)."""
     nv = graph.num_vertices
     if nv == 0:
-        return None
+        # no 2q gates at all (e.g. an edgeless QAOA graph): the trivial
+        # cut-free plan — every gate-less qubit is packed by the rewrite's
+        # leftover-capacity pass (Cutter.py:677-698 parity)
+        if cfg.exclude:
+            return None  # enumeration already emitted the only solution
+        if (cfg.force_n_wire_cuts or 0) or (cfg.force_n_gate_cuts or 0):
+            return None
+        return CutPlan(
+            cfg.num_partitions, [], [],
+            PlanMetrics(
+                S=1, A=0, L=0, Q=0, C=0,
+                Q_p=[0] * cfg.num_partitions,
+                C_p=[0] * cfg.num_partitions,
+                n_wire_cuts=0, n_gate_cuts=0,
+            ),
+            False,
+        )
     assert cfg.num_partitions <= nv  # Cutter.py:364
 
     # edges to earlier vertices, grouped by the later vertex
@@ -308,6 +324,8 @@ def plan_signature(plan: CutPlan) -> tuple:
 
 def solve(graph: CutGraph, cfg: SolverConfig) -> CutPlan | None:
     """Solve with the native C++ solver when available, else pure Python."""
+    if graph.num_vertices == 0:
+        return solve_python(graph, cfg)  # trivial cut-free plan
     try:
         from .native_solver import solve_native, native_available
 
