@@ -18,14 +18,23 @@ from .utils.logger import get_logger
 from .virt.virtual_circuit import VirtualCircuit
 
 
-def _pallas_eligible() -> bool:
+# In auto mode the Pallas kernel is only worth its compile cost when the
+# variant fan-out is large (the kernel amortises per-gate HBM round trips
+# across lanes); on the tunneled backend kernel compiles are also slow and
+# high-variance, so small jobs take the XLA path.
+_PALLAS_AUTO_MIN_INSTANCES = 4096
+
+
+def _pallas_eligible(virt: VirtualCircuit) -> bool:
     import jax
 
-    return jax.default_backend() not in ("cpu",)
+    if jax.default_backend() in ("cpu",):
+        return False
+    return virt.total_instantiations() >= _PALLAS_AUTO_MIN_INSTANCES
 
 
 def _run_fragments(virt: VirtualCircuit, chunk_size: int, engine: str):
-    if engine == "xla" or (engine == "auto" and not _pallas_eligible()):
+    if engine == "xla" or (engine == "auto" and not _pallas_eligible(virt)):
         return run_all_fragments(virt, chunk_size)
     from .ops.pallas_sv import run_fragment_pallas
 
