@@ -64,12 +64,9 @@ def make_parameter_sweep(virt: VirtualCircuit, keep_clbits=None):
         positions = sorted(prog.clbit_sources)
         sources = [prog.clbit_sources[c] for c in positions]
         specs = [vg.spec for vg in virt.vgates]
-        n_inst = {g: specs[g].num_instantiations for g in prog.touching}
         flat_count = 1
-        strides: dict[int, int] = {}
-        for g in reversed(prog.touching):
-            strides[g] = flat_count
-            flat_count *= n_inst[g]
+        for g in prog.touching:
+            flat_count *= specs[g].num_instantiations
         template[name] = (
             skeleton, positions, sources, prog.num_sim_qubits, flat_count,
         )
