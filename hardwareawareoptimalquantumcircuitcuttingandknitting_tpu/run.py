@@ -18,23 +18,12 @@ from .utils.logger import get_logger
 from .virt.virtual_circuit import VirtualCircuit
 
 
-# In auto mode the Pallas kernel is only worth its compile cost when the
-# variant fan-out is large (the kernel amortises per-gate HBM round trips
-# across lanes); on the tunneled backend kernel compiles are also slow and
-# high-variance, so small jobs take the XLA path.
-_PALLAS_AUTO_MIN_INSTANCES = 4096
-
-
-def _pallas_eligible(virt: VirtualCircuit) -> bool:
-    import jax
-
-    if jax.default_backend() in ("cpu",):
-        return False
-    return virt.total_instantiations() >= _PALLAS_AUTO_MIN_INSTANCES
-
-
 def _run_fragments(virt: VirtualCircuit, chunk_size: int, engine: str):
-    if engine == "xla" or (engine == "auto" and not _pallas_eligible(virt)):
+    # "auto" takes the XLA path: Mosaic kernel compiles through the
+    # tunneled TPU backend are minutes-slow and high-variance (measured:
+    # 17 s for small lane counts, unbounded at sup-20/25 scale), so the
+    # Pallas engine is strictly opt-in (engine="pallas").
+    if engine in ("xla", "auto"):
         return run_all_fragments(virt, chunk_size)
     from .ops.pallas_sv import run_fragment_pallas
 
