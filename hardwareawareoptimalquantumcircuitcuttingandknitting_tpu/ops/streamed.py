@@ -187,11 +187,28 @@ def make_streamed_knit(
     return step_fn, xs, meta
 
 
+# Per-buffer budget for the scan body's [chunk, 2, 2^n] intermediates.
+# XLA keeps several gate intermediates live at once; 256 MB per buffer
+# keeps the whole working set well inside a v5e's 16 GB HBM even for
+# 18-sim-qubit fragments (measured: chunk=1024 at 2^18 OOMs at 20 GB).
+_CHUNK_BYTES_BUDGET = 256 * 1024 * 1024
+
+
+def auto_chunk(virt: VirtualCircuit, requested: int) -> int:
+    max_n = max(
+        (p.num_sim_qubits for p in virt.programs.values()), default=1
+    )
+    per_variant = 2 * (1 << max_n) * 4
+    cap = max(8, _CHUNK_BYTES_BUDGET // per_variant)
+    return int(min(requested, cap))
+
+
 def run_virtual_circuit_streamed(
     virt: VirtualCircuit, chunk: int = 512, project: bool = False
 ) -> Distribution:
-    """End-to-end streamed execution on the default device."""
-    step_fn, xs, meta = make_streamed_knit(virt, chunk)
+    """End-to-end streamed execution on the default device.  ``chunk`` is
+    capped by :func:`auto_chunk` to bound device memory."""
+    step_fn, xs, meta = make_streamed_knit(virt, auto_chunk(virt, chunk))
     values = np.asarray(jax.jit(step_fn)(xs))
     dist = Distribution(values, meta["positions"], virt.num_clbits)
     if project:
