@@ -83,9 +83,23 @@ def run_config(tag, circ_name, n, depth, P, Q, ref_s, max_instances,
     t1 = time.perf_counter()
     knitted, info = run_virtual_circuit(virt, project=False, engine=engine)
     row["sim_knit_s"] = round(time.perf_counter() - t1, 4)
-    row["fidelity_vs_uncut"] = float(
-        hellinger_fidelity(simulate_circuit(circ), knitted)
-    )
+    # fidelity check: host oracle for wide circuits (device statevectors
+    # beyond ~2^20 amplitudes hit pathological tile padding / HBM limits
+    # on the tunneled backend — see CLAUDE.md), device oracle otherwise
+    if circ.num_qubits > 20:
+        import numpy as np
+
+        from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.bench_impl import (
+            _oracle_fidelity,
+        )
+
+        row["fidelity_vs_uncut"] = _oracle_fidelity(
+            circ, np.asarray(knitted.values)
+        )
+    else:
+        row["fidelity_vs_uncut"] = float(
+            hellinger_fidelity(simulate_circuit(circ), knitted)
+        )
     row["e2e_wall_s"] = round(time.perf_counter() - t0, 4)
     row["status"] = "ok"
     return row
