@@ -82,14 +82,19 @@ def lightcone_marginal(circ: Circuit, keep_clbits: set[int]):
     # sum out retained-for-dephasing clbits (non-kept mid-circuit measures)
     keep_local = sorted(clbit_map[c] for c in keep_clbits)
     if dist.bit_positions != keep_local:
+        k = len(dist.bit_positions)
         vals = np.asarray(dist.values, dtype=np.float64)
-        out = np.zeros(1 << len(keep_local))
-        for i, v in enumerate(vals):
-            key = 0
-            for j, c in enumerate(keep_local):
-                key |= ((i >> dist.bit_positions.index(c)) & 1) << j
-            out[key] += v
-        values = out.astype(np.float32)
+        # bit j (LSB) of the flat index carries bit_positions[j]: in the
+        # (2,)*k C-order view axis t is bit k-1-t
+        arr = vals.reshape((2,) * k)
+        keep_idx = [dist.bit_positions.index(c) for c in keep_local]
+        drop_axes = tuple(
+            k - 1 - j for j in range(k) if j not in keep_idx
+        )
+        arr = arr.sum(axis=drop_axes)
+        # remaining axes keep their relative order (descending bit index),
+        # so the C-order flatten already has keep_local[0] as the LSB
+        values = arr.reshape(-1).astype(np.float32)
     else:
         values = dist.values
     return Distribution(values, sorted(keep_clbits), circ.num_clbits)

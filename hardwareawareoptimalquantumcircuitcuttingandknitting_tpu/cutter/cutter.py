@@ -160,6 +160,16 @@ class Cutter:
         """Adopt a previously solved plan (solve once / cut many): the
         plan's vertex indices must come from a circuit with the same
         gate structure (e.g. the same ansatz with new parameters)."""
+        if len(plan.assignment) != self.graph.num_vertices:
+            raise ValueError(
+                f"plan covers {len(plan.assignment)} cut-graph vertices, "
+                f"this circuit has {self.graph.num_vertices}"
+            )
+        if plan.num_partitions != self.maxNPartitions:
+            raise ValueError(
+                f"plan has {plan.num_partitions} partitions, cutter was "
+                f"configured for {self.maxNPartitions}"
+            )
         for cut in plan.cuts:
             for v in cut.edge:
                 if v >= self.graph.num_vertices:

@@ -113,6 +113,36 @@ class _Fuser:
         return self.out
 
 
+def fused_stream(prog_ops: list) -> tuple[list, list[np.ndarray]]:
+    """Fuse a FragmentProgram-style op stream (fixed "u"/"u_aux" entries
+    interleaved with slot ops).  Fixed-gate runs between slots fuse;
+    slot ops pass through as structural entries.
+
+    Returns (skeleton, mats): skeleton entries are ("u", axes) for fused
+    fixed gates (matrix in ``mats``, aligned by order of appearance) or
+    the original slot tuples; the skeleton alone is the structural key
+    used by the parameter-sweep binder.
+    """
+    skeleton: list = []
+    mats: list[np.ndarray] = []
+    run: list = []
+
+    def flush():
+        for m, ax in fuse_ops(run):
+            skeleton.append(("u", tuple(ax)))
+            mats.append(m)
+        run.clear()
+
+    for op in prog_ops:
+        if op[0] in ("u", "u_aux"):
+            run.append((op[1], op[2]))
+        else:
+            flush()
+            skeleton.append(op)
+    flush()
+    return skeleton, mats
+
+
 def fuse_ops(
     ops: list[tuple[np.ndarray, tuple[int, ...]]],
 ) -> list[tuple[np.ndarray, tuple[int, ...]]]:

@@ -28,22 +28,11 @@ import numpy as np
 
 from ..virt.virtual_circuit import VirtualCircuit
 from .bits import permute_bits_flat
-from .knit import nearest_probability_distribution
+from .knit import fold_weights, nearest_probability_distribution
 from .statevector import Distribution
 from .variant_engine import _slot_matrices, make_sim_fn
 
 
-def _weight_matrix(virt: VirtualCircuit, prog, g: int) -> np.ndarray:
-    """Per-variant knit weights W[v, b] this fragment applies for vgate
-    ``g`` (same owner logic as ops/knit._fold_fragment)."""
-    spec = virt.vgates[g].spec
-    my_sides = [s.side for s in prog.slots if s.vgate_idx == g]
-    both = len(my_sides) == 2
-    w = np.ones((spec.num_instantiations, 2), dtype=np.float64)
-    for v in range(spec.num_instantiations):
-        if both or spec.owner_side[v] in my_sides:
-            w[v] = spec.coef[v]
-    return w
 
 
 def make_streamed_knit(
@@ -102,8 +91,9 @@ def make_streamed_knit(
         plan = []
         pos = list(positions)
         k = len(pos)
-        for g in prog.touching:
-            w = _weight_matrix(virt, prog, g)
+        frag_weights = fold_weights(virt, name)
+        for ti, g in enumerate(prog.touching):
+            w = frag_weights[ti]
             v_idx = (labels // gstride[g]) % n_inst[g]
             ws.append(_chunked(w[v_idx].astype(np.float32)))
             cg = virt.num_clbits + g
@@ -200,7 +190,11 @@ def auto_chunk(virt: VirtualCircuit, requested: int) -> int:
     )
     per_variant = 2 * (1 << max_n) * 4
     cap = max(8, _CHUNK_BYTES_BUDGET // per_variant)
-    return int(min(requested, cap))
+    total = 1
+    for vg in virt.vgates:
+        total *= vg.spec.num_instantiations
+    # never pad a small fan-out up to a huge chunk of masked-out labels
+    return int(max(1, min(requested, cap, total)))
 
 
 def run_virtual_circuit_streamed(

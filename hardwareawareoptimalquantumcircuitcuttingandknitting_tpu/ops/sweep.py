@@ -17,35 +17,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..virt.virtual_circuit import VirtualCircuit
-from .fusion import fuse_ops
+from .fusion import fused_stream
 from .knit import fold_weights, knit_values
 from .statevector import apply_matrix, marginalize_flat, to_real_block
 from .variant_engine import FragmentResult, _slot_matrices
 
 
 def _fused_stream(prog):
-    """The fragment's fused op stream: ("u", axes) entries interleaved
-    with slot ops.  Returns (skeleton, blocks) where skeleton has no
-    matrices (the structural key) and blocks are the fused real blocks
-    in order."""
-    skeleton: list = []
-    blocks: list[np.ndarray] = []
-    run: list = []
-
-    def flush():
-        for m, ax in fuse_ops(run):
-            skeleton.append(("u", tuple(ax)))
-            blocks.append(to_real_block(m))
-        run.clear()
-
-    for op in prog.ops:
-        if op[0] in ("u", "u_aux"):
-            run.append((op[1], op[2]))
-        else:
-            flush()
-            skeleton.append(op)
-    flush()
-    return skeleton, blocks
+    """Shared fused op stream (ops/fusion.fused_stream) with the matrices
+    converted to real blocks."""
+    skeleton, mats = fused_stream(prog.ops)
+    return skeleton, [to_real_block(m) for m in mats]
 
 
 def make_parameter_sweep(virt: VirtualCircuit, keep_clbits=None):
@@ -118,11 +100,7 @@ def make_parameter_sweep(virt: VirtualCircuit, keep_clbits=None):
             prog = other.programs[name]
             skeleton, positions, _srcs, n, flat_count = template[name]
             skel2, blocks2 = _fused_stream(prog)
-            if [
-                (e[0], e[1]) if e[0] == "u" else e for e in skel2
-            ] != [
-                (e[0], e[1]) if e[0] == "u" else e for e in skeleton
-            ]:
+            if skel2 != skeleton:
                 raise ValueError(
                     f"fragment {name}: op structure differs from template"
                 )

@@ -102,24 +102,17 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
     # exact path: fuse contiguous fixed-gate runs between slots (the noise
     # path keeps the unfused stream — per-physical-gate noise sites)
     if noise is None:
-        from .fusion import fuse_ops
+        from .fusion import fused_stream
 
-        fused_ops: list = []
-        run: list = []
-
-        def _flush_run():
-            for m, ax in fuse_ops(run):
-                fused_ops.append(("u", m, ax))
-            run.clear()
-
-        for op in prog.ops:
-            if op[0] in ("u", "u_aux"):
-                run.append((op[1], op[2]))
+        skeleton, mats = fused_stream(prog.ops)
+        prog_ops = []
+        bi = 0
+        for op in skeleton:
+            if op[0] == "u":
+                prog_ops.append(("u", mats[bi], op[1]))
+                bi += 1
             else:
-                _flush_run()
-                fused_ops.append(op)
-        _flush_run()
-        prog_ops = fused_ops
+                prog_ops.append(op)
     else:
         prog_ops = prog.ops
 

@@ -60,9 +60,11 @@ def run_virtual_circuit(
     tracer=None,
     checkpoint_dir=None,
 ) -> tuple[Distribution, RunTimeInfo]:
-    """``engine``: "xla" (unrolled tensordot programs), "pallas" (fused
-    VMEM kernel, TPU), or "auto" (pallas on TPU when the fragment is
-    eligible, with per-fragment XLA fallback).
+    """``engine``: "auto"/"xla" (batched unrolled programs — the default
+    and recommended path), "streamed" (constant-memory lax.scan over
+    global label chunks; use for large fan-outs), or "pallas" (fused
+    VMEM kernel — strictly opt-in: Mosaic compiles through the tunneled
+    TPU backend are slow and high-variance at scale).
 
     ``tracer``: optional utils.profiling.Tracer — records phase timings
     and (if its profile_dir is set) wraps the device work in a
@@ -78,6 +80,8 @@ def run_virtual_circuit(
     """
     from .utils.profiling import Tracer
 
+    if engine not in ("auto", "xla", "streamed", "pallas"):
+        raise ValueError(f"unknown engine {engine!r}")
     log = get_logger(__name__)
     tracer = tracer or Tracer()
     if engine == "streamed":

@@ -22,21 +22,33 @@ _MANIFEST = "fragment_results.json"
 
 
 def checkpoint_fingerprint(virt) -> str:
-    """Stable identity of a virtual circuit's result layout: fragment
-    names, per-fragment touching vgates / clbit layout / variant counts.
-    Saved with checkpoints so resume refuses results from a different
-    circuit or cut plan."""
+    """Identity of a virtual circuit's results: fragment names, variant
+    layout (touching order matters — it is the variant-axis order), clbit
+    layout, AND the gate content itself (op kinds, axes and matrices), so
+    a re-parameterised same-structure ansatz gets a different fingerprint.
+    Saved with checkpoints so resume refuses stale results."""
     import hashlib
 
-    parts = [str(virt.num_clbits)]
+    h = hashlib.sha256()
+    h.update(str(virt.num_clbits).encode())
     for reg in virt.fragments:
         prog = virt.programs[reg.name]
-        parts.append(
-            f"{reg.name}|{prog.num_sim_qubits}|{sorted(prog.touching)}|"
+        h.update(
+            f"{reg.name}|{prog.num_sim_qubits}|{list(prog.touching)}|"
             f"{sorted(prog.clbit_sources.items())}|"
-            f"{virt.num_instantiations(reg.name)}"
+            f"{virt.num_instantiations(reg.name)}".encode()
         )
-    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+        for op in prog.ops:
+            if op[0] in ("u", "u_aux"):
+                h.update(f"{op[0]}|{op[2]}".encode())
+                h.update(np.ascontiguousarray(
+                    np.asarray(op[1], dtype=complex)
+                ).tobytes())
+            else:
+                h.update(f"{op[0]}|{op[1]}|{op[2]}".encode())
+    for vg in virt.vgates:
+        h.update(repr(vg.spec.coef).encode())
+    return h.hexdigest()
 
 
 def save_fragment_results(

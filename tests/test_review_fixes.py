@@ -87,6 +87,63 @@ def test_stale_checkpoint_triggers_resimulation(tmp_path):
     assert fid > 1 - 1e-5, fid
 
 
+def test_reparameterised_checkpoint_not_resumed(tmp_path):
+    """Same ansatz STRUCTURE, different parameters: the fingerprint must
+    differ (gate matrices are hashed), so stale results are not knitted."""
+    import numpy as np
+
+    def cut(theta):
+        circ = Circuit(4, 4)
+        for q in range(4):
+            circ.ry(theta, q)
+        for i in range(3):
+            circ.cx(i, i + 1)
+        for q in range(4):
+            circ.measure(q, q)
+        cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=3,
+                        maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
+        assert cutter.solve()
+        return circ, VirtualCircuit(cutter.getResultCircs()[3])
+
+    ckpt = tmp_path / "ckpt"
+    _, virt1 = cut(0.3)
+    run_virtual_circuit(virt1, checkpoint_dir=ckpt)
+
+    circ2, virt2 = cut(1.1)
+    dist, _ = run_virtual_circuit(virt2, checkpoint_dir=ckpt, project=False)
+    fid = hellinger_fidelity(simulate_circuit(circ2), dist)
+    assert fid > 1 - 1e-5, fid
+
+
+def test_unknown_engine_rejected():
+    circ = Circuit(2, 2)
+    circ.h(0)
+    circ.cx(0, 1)
+    circ.measure_all()
+    cutter = Cutter(circ, maxNPartitions=1, maxNQubitsPerPartition=2)
+    assert cutter.solve()
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    with pytest.raises(ValueError, match="unknown engine"):
+        run_virtual_circuit(virt, engine="streamd")
+
+
+def test_use_plan_rejects_mismatched_plan():
+    def cutter_for(n):
+        circ = Circuit(n, n)
+        circ.h(0)
+        for i in range(n - 1):
+            circ.cx(i, i + 1)
+        circ.measure_all()
+        return Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=n - 1,
+                      maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
+
+    small = cutter_for(4)
+    assert small.solve()
+    big = cutter_for(6)
+    with pytest.raises(ValueError, match="vertices"):
+        big.use_plan(small.plan)
+
+
 def test_streamed_rejects_checkpoint_dir(tmp_path):
     circ = Circuit(3, 3)
     circ.h(0)
