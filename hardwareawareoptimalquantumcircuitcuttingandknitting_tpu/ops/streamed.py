@@ -178,10 +178,11 @@ def make_streamed_knit(
 
 
 # Per-buffer budget for the scan body's [chunk, 2, 2^n] intermediates.
-# XLA keeps several gate intermediates live at once; 256 MB per buffer
-# keeps the whole working set well inside a v5e's 16 GB HBM even for
-# 18-sim-qubit fragments (measured: chunk=1024 at 2^18 OOMs at 20 GB).
-_CHUNK_BYTES_BUDGET = 256 * 1024 * 1024
+# XLA keeps ~10 gate intermediates live at once; measured on v5e
+# (15.75 GB usable): chunk=1024 at 2^18 sim qubits (2 GB/buffer) OOMs at
+# 20 GB, chunk=512 (1 GB/buffer) runs fine — 512 MB/buffer leaves 2x
+# headroom.
+_CHUNK_BYTES_BUDGET = 512 * 1024 * 1024
 
 
 def auto_chunk(virt: VirtualCircuit, requested: int) -> int:
