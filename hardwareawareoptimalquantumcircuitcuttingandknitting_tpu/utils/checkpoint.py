@@ -47,7 +47,9 @@ def checkpoint_fingerprint(virt) -> str:
             else:
                 h.update(f"{op[0]}|{op[1]}|{op[2]}".encode())
     for vg in virt.vgates:
-        h.update(repr(vg.spec.coef).encode())
+        coef = np.ascontiguousarray(np.asarray(vg.spec.coef, dtype=np.float64))
+        h.update(str(coef.shape).encode())
+        h.update(coef.tobytes())
     return h.hexdigest()
 
 

@@ -101,14 +101,16 @@ class QuasiDistr:
 
     # -- conversions ------------------------------------------------------
 
-    def to_counts(self, shots: int) -> dict[str, int]:
-        """Positive weights -> integer counts (reference:
-        quasi_distr.py:22-26)."""
+    def to_counts(self, num_clbits: int, shots: int) -> dict[str, int]:
+        """Integer counts, reference-exact semantics (quasi_distr.py:22-26):
+        keys are MSB-first bitstrings zero-padded to ``num_clbits``, counts
+        are ``int(abs(value * shots))`` — negative weights contribute their
+        magnitude, matching the reference's drop-in API."""
         out: dict[str, int] = {}
         for k, v in zip(self.keys, self.vals):
-            n = round(float(v) * shots)
-            if n > 0:
-                out[format(int(k), "b")] = n
+            out[format(int(k), "b").zfill(num_clbits)] = int(
+                abs(float(v) * shots)
+            )
         return out
 
     def to_dense(self, num_bits: int) -> np.ndarray:

@@ -66,8 +66,8 @@ def test_nearest_probability_distribution():
 
 def test_to_counts_roundtrip():
     q = QuasiDistr.from_pairs({0b101: 0.25, 0b010: 0.75})
-    counts = q.to_counts(1000)
-    assert counts == {"101": 250, "10": 750}
+    counts = q.to_counts(3, 1000)  # reference signature (num_clbits, shots)
+    assert counts == {"101": 250, "010": 750}
     rt = QuasiDistr.from_counts(counts)
     assert rt.get(0b101) == pytest.approx(0.25)
 
