@@ -1,0 +1,211 @@
+"""Sharded fragment execution: variant x amplitude co-sharding.
+
+The production engine for fragments that do NOT fit one device's HBM:
+one ``shard_map`` over a 2D mesh ``(dp, amp)`` runs the fragment's whole
+QPD variant fan-out with
+
+  * the *variant* axis split over ``dp`` — each device simulates a
+    contiguous slice of the 6^g * 8^w instantiations (the reference's Aer
+    batch axis, qvm/run.py:36-42);
+  * the *amplitude* axis split over ``amp`` — each device holds a
+    ``[2, 2^(n-k)]`` block of every variant's statevector, with gates on
+    global qubits exchanging partner blocks over ICI (``lax.ppermute``,
+    see ops/sharded_sv.ShardCtx).
+
+Per-variant endpoint behaviour enters purely through data (slot matrices,
+sharded over ``dp``), so the whole program is a single static-shape
+compile; the clbit marginal is assembled per variant by ShardCtx.marginal
+(static scatter + ``psum`` over ``amp``), so the full per-variant 2^n
+vector never leaves device blocks.
+
+This is BASELINE.json config #4's ask ("sharded subcircuit statevectors
+across chips") wired into the runtime: SURVEY §7.4 hard part 6, the role
+of the reference's per-fragment Aer backend at beyond-one-chip scale.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..virt.virtual_circuit import VirtualCircuit
+from .sharded_sv import ShardCtx
+from .statevector import to_real_block
+from .variant_engine import FragmentResult, _slot_matrices
+
+
+def make_sharded_fragment_fn(
+    virt: VirtualCircuit,
+    frag_name: str,
+    mesh: Mesh,
+    dp_axis: str = "dp",
+    amp_axis: str = "amp",
+):
+    """Build the co-sharded variant-fan-out program for one fragment.
+
+    Returns ``(fn, args, shardings, meta)``: ``jax.jit(fn)(*args)`` (with
+    ``in_shardings=shardings``) yields the ``[V_padded, 2^m]`` probability
+    rows, dp-sharded on the variant axis and replicated over ``amp``.
+    ``meta`` carries (positions, flat_count) for FragmentResult assembly.
+    """
+    prog = virt.programs[frag_name]
+    specs = [vg.spec for vg in virt.vgates]
+
+    n_inst = {g: specs[g].num_instantiations for g in prog.touching}
+    flat_count = 1
+    strides: dict[int, int] = {}
+    for g in reversed(prog.touching):  # last vgate varies fastest
+        strides[g] = flat_count
+        flat_count *= n_inst[g]
+
+    positions = sorted(prog.clbit_sources)
+    sources = [prog.clbit_sources[c] for c in positions]
+    n = prog.num_sim_qubits
+    amp = mesh.shape[amp_axis]
+    dp = mesh.shape[dp_axis]
+    if amp > (1 << n):
+        raise ValueError(
+            f"fragment {frag_name}: {amp} amp shards > 2^{n} amplitudes"
+        )
+    ctx = ShardCtx(n, amp, amp_axis)
+
+    # exact path: fuse contiguous fixed-gate runs between slots
+    from .fusion import fused_stream
+
+    skeleton, mats = fused_stream(prog.ops)
+    prog_ops = []
+    bi = 0
+    for op in skeleton:
+        if op[0] == "u":
+            prog_ops.append(("u", mats[bi], op[1]))
+            bi += 1
+        else:
+            prog_ops.append(op)
+    fixed_blocks = {
+        id(op): to_real_block(op[1])
+        for op in prog_ops
+        if op[0] in ("u", "u_aux")
+    }
+
+    def sim_one(slot_mats, local_state0, my_bits):
+        state = local_state0
+        for op in prog_ops:
+            kind = op[0]
+            if kind in ("u", "u_aux"):
+                state = ctx.apply(state, fixed_blocks[id(op)], op[2], my_bits)
+            else:
+                sid, axes = op[1], op[2]
+                pre, m4, post = slot_mats[sid]
+                blk = (
+                    pre if kind == "slot_pre"
+                    else m4 if kind == "slot_meas" else post
+                )
+                state = ctx.apply(state, blk, axes, my_bits)
+        return ctx.marginal(state, sources)  # psum over amp -> [2^m]
+
+    all_mats = _slot_matrices(prog, specs, flat_count, strides, n_inst)
+    padded = -(-flat_count // dp) * dp
+    if padded != flat_count:
+        all_mats = [
+            tuple(
+                np.concatenate(
+                    [m, np.repeat(m[-1:], padded - flat_count, 0)]
+                )
+                for m in ms
+            )
+            for ms in all_mats
+        ]
+
+    state0 = np.zeros((2, 1 << n), dtype=np.float32)
+    state0[0, 0] = 1.0
+
+    n_slots = len(prog.slots)
+
+    def per_device(state0_local, *flat_slot_mats):
+        my_bits = ctx.my_bits()
+        if not n_slots:
+            row = sim_one([], state0_local, my_bits)
+            return jnp.broadcast_to(row, (max(1, padded // dp), row.shape[0]))
+        slot_list = [
+            tuple(flat_slot_mats[3 * i + j] for j in range(3))
+            for i in range(n_slots)
+        ]
+        return jax.vmap(
+            lambda sm: sim_one(sm, state0_local, my_bits)
+        )(slot_list)
+
+    in_specs = (P(None, amp_axis),) + (P(dp_axis),) * (3 * n_slots)
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P(dp_axis, None),
+    )
+
+    args = [state0] + [m for ms in all_mats for m in ms]
+    shardings = [NamedSharding(mesh, s) for s in in_specs]
+    meta = {"positions": positions, "flat_count": flat_count}
+    return fn, args, shardings, meta
+
+
+def run_fragment_sharded(
+    virt: VirtualCircuit, frag_name: str, mesh: Mesh,
+    dp_axis: str = "dp", amp_axis: str = "amp",
+) -> FragmentResult:
+    """Execute one fragment's full variant fan-out co-sharded over
+    ``mesh`` and return its (host) FragmentResult."""
+    fn, args, shardings, meta = make_sharded_fragment_fn(
+        virt, frag_name, mesh, dp_axis, amp_axis
+    )
+    jitted = jax.jit(fn, in_shardings=shardings)
+    device_args = [jax.device_put(a, s) for a, s in zip(args, shardings)]
+    rows = np.asarray(jitted(*device_args))[: meta["flat_count"]]
+    prog = virt.programs[frag_name]
+    return FragmentResult(
+        frag_name, rows, meta["positions"], list(prog.touching)
+    )
+
+
+def fragment_mesh(
+    n_frag_qubits: int,
+    max_local_qubits: int | None = None,
+    devices=None,
+    dp_axis: str = "dp",
+    amp_axis: str = "amp",
+) -> Mesh:
+    """Pick a (dp, amp) mesh for one fragment: shard amplitudes just enough
+    that each device holds <= 2^max_local_qubits of them, and spend the
+    remaining devices on the variant axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    total = 1 << (len(devices).bit_length() - 1)  # largest power of 2
+    if max_local_qubits is None:
+        amp = 1
+    else:
+        amp = 1 << max(0, n_frag_qubits - max_local_qubits)
+        amp = min(amp, total)
+    dp = total // amp
+    arr = np.array(devices[: dp * amp]).reshape(dp, amp)
+    return Mesh(arr, (dp_axis, amp_axis))
+
+
+def run_all_fragments_sharded(
+    virt: VirtualCircuit,
+    max_local_qubits: int | None = None,
+    mesh: Mesh | None = None,
+    devices=None,
+) -> list[FragmentResult]:
+    """Run every fragment co-sharded.  With ``mesh=None``, each fragment
+    gets its own (dp, amp) split from :func:`fragment_mesh` — amplitude
+    shards only as deep as its size requires, variants over the rest."""
+    out = []
+    for reg in virt.fragments:
+        prog = virt.programs[reg.name]
+        m = mesh if mesh is not None else fragment_mesh(
+            prog.num_sim_qubits, max_local_qubits, devices
+        )
+        out.append(run_fragment_sharded(virt, reg.name, m))
+    return out

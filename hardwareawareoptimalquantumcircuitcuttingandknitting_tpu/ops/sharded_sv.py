@@ -46,25 +46,44 @@ def _pair_perm(num_shards: int, mask: int) -> list[tuple[int, int]]:
     return [(s, s ^ mask) for s in range(num_shards)]
 
 
-class _Builder:
-    """Builds the per-shard step function for one compiled circuit."""
+class ShardCtx:
+    """Amplitude-sharded gate application over one mesh axis.
 
-    def __init__(self, compiled: CompiledCircuit, num_shards: int,
-                 axis_name: str):
-        self.n = compiled.num_sim_qubits
+    Holds the static layout (n sim qubits, 2^k shards on ``axis_name``) and
+    dispatches any 1/2-qubit gate to the right local/global case.  Blocks
+    may be numpy constants OR jnp tracers — the latter is what the
+    sharded *fragment* engine (ops/sharded_fragment.py) feeds it: QPD slot
+    matrices that vary along a vmapped variant axis.
+    """
+
+    def __init__(self, n: int, num_shards: int, axis_name: str):
+        self.n = n
         self.k = int(math.log2(num_shards))
         assert 1 << self.k == num_shards, "mesh axis must be a power of 2"
-        assert self.k <= self.n, (
-            f"more shards ({num_shards}) than amplitudes (2^{self.n})"
+        assert self.k <= n, (
+            f"more shards ({num_shards}) than amplitudes (2^{n})"
         )
         self.num_shards = num_shards
         self.axis_name = axis_name
-        self.compiled = compiled
-        self.blocks = [
-            (to_real_block(u), axes) for u, axes in compiled.ops
-        ]
 
     # -- helpers ---------------------------------------------------------
+
+    def my_bits(self) -> dict[int, jnp.ndarray]:
+        """Per-global-qubit bit value of this shard's index (traced)."""
+        idx = lax.axis_index(self.axis_name)
+        return {
+            q: (idx >> (self.k - 1 - q)) & 1 for q in range(self.k)
+        }
+
+    def apply(self, state, block, axes, my_bits):
+        """Dispatch one gate on a local block ``[2, 2^(n-k)]``."""
+        if all(q >= self.k for q in axes):
+            return self._gate_local(state, block, axes)
+        if len(axes) == 1:
+            return self._gate_1q_global(state, block, axes[0], my_bits)
+        if any(q >= self.k for q in axes):
+            return self._gate_2q_mixed(state, block, axes, my_bits)
+        return self._gate_2q_global(state, block, axes, my_bits)
 
     def _mask(self, q: int) -> int:
         return 1 << (self.k - 1 - q)
@@ -127,25 +146,6 @@ class _Builder:
         coef = b6[:, my1, my2]                       # (x, y, j1, j2)
         return jnp.einsum("xyab,abyi->xi", coef, full)
 
-    # -- the per-shard program ------------------------------------------
-
-    def step(self, local_state):
-        idx = lax.axis_index(self.axis_name)
-        my_bits = {
-            q: (idx >> (self.k - 1 - q)) & 1 for q in range(self.k)
-        }
-        state = local_state
-        for block, axes in self.blocks:
-            if all(q >= self.k for q in axes):
-                state = self._gate_local(state, block, axes)
-            elif len(axes) == 1:
-                state = self._gate_1q_global(state, block, axes[0], my_bits)
-            elif len(axes) == 2 and any(q >= self.k for q in axes):
-                state = self._gate_2q_mixed(state, block, axes, my_bits)
-            else:
-                state = self._gate_2q_global(state, block, axes, my_bits)
-        return state
-
     def marginal(self, local_state, keep_axes: list[int]):
         """Per-shard: |amp|^2, local marginal, scatter to global slots,
         psum -> full [2^len(keep_axes)] marginal (replicated)."""
@@ -178,6 +178,25 @@ class _Builder:
         out = jnp.zeros(1 << n_keep, dtype=local_marg.dtype)
         out = out.at[jnp.asarray(spread) + offset].add(local_marg)
         return lax.psum(out, self.axis_name)
+
+
+class _Builder(ShardCtx):
+    """Per-shard step function for one compiled (static-gate) circuit."""
+
+    def __init__(self, compiled: CompiledCircuit, num_shards: int,
+                 axis_name: str):
+        super().__init__(compiled.num_sim_qubits, num_shards, axis_name)
+        self.compiled = compiled
+        self.blocks = [
+            (to_real_block(u), axes) for u, axes in compiled.ops
+        ]
+
+    def step(self, local_state):
+        my_bits = self.my_bits()
+        state = local_state
+        for block, axes in self.blocks:
+            state = self.apply(state, block, axes, my_bits)
+        return state
 
 
 def make_sharded_sim(

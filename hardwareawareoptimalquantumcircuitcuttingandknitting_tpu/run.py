@@ -18,13 +18,22 @@ from .utils.logger import get_logger
 from .virt.virtual_circuit import VirtualCircuit
 
 
-def _run_fragments(virt: VirtualCircuit, chunk_size: int, engine: str):
+def _run_fragments(
+    virt: VirtualCircuit, chunk_size: int, engine: str,
+    mesh=None, max_local_qubits=None,
+):
     # "auto" takes the XLA path: Mosaic kernel compiles through the
     # tunneled TPU backend are minutes-slow and high-variance (measured:
     # 17 s for small lane counts, unbounded at sup-20/25 scale), so the
     # Pallas engine is strictly opt-in (engine="pallas").
     if engine in ("xla", "auto"):
         return run_all_fragments(virt, chunk_size)
+    if engine == "sharded":
+        from .ops.sharded_fragment import run_all_fragments_sharded
+
+        return run_all_fragments_sharded(
+            virt, max_local_qubits=max_local_qubits, mesh=mesh
+        )
     from .ops.pallas_sv import run_fragment_pallas
 
     log = get_logger(__name__)
@@ -59,12 +68,20 @@ def run_virtual_circuit(
     engine: str = "auto",
     tracer=None,
     checkpoint_dir=None,
+    mesh=None,
+    max_local_qubits: int | None = None,
 ) -> tuple[Distribution, RunTimeInfo]:
     """``engine``: "auto"/"xla" (batched unrolled programs — the default
     and recommended path), "streamed" (constant-memory lax.scan over
-    global label chunks; use for large fan-outs), or "pallas" (fused
-    VMEM kernel — strictly opt-in: Mosaic compiles through the tunneled
-    TPU backend are slow and high-variance at scale).
+    global label chunks; use for large fan-outs), "sharded" (variant x
+    amplitude co-sharding over a ``(dp, amp)`` device mesh — fragments
+    larger than one device's budget; see ops/sharded_fragment.py), or
+    "pallas" (fused VMEM kernel — strictly opt-in: Mosaic compiles
+    through the tunneled TPU backend are slow and high-variance at scale).
+
+    ``mesh`` (engine="sharded"): a jax Mesh with axes ("dp", "amp"); with
+    ``mesh=None`` each fragment gets its own split sized so no device
+    holds more than ``2^max_local_qubits`` amplitudes.
 
     ``tracer``: optional utils.profiling.Tracer — records phase timings
     and (if its profile_dir is set) wraps the device work in a
@@ -80,7 +97,7 @@ def run_virtual_circuit(
     """
     from .utils.profiling import Tracer
 
-    if engine not in ("auto", "xla", "streamed", "pallas"):
+    if engine not in ("auto", "xla", "streamed", "pallas", "sharded"):
         raise ValueError(f"unknown engine {engine!r}")
     log = get_logger(__name__)
     tracer = tracer or Tracer()
@@ -145,7 +162,10 @@ def run_virtual_circuit(
                 "simulate", instances=virt.total_instantiations(),
                 engine=engine,
             ):
-                results = _run_fragments(virt, chunk_size, engine)
+                results = _run_fragments(
+                    virt, chunk_size, engine,
+                    mesh=mesh, max_local_qubits=max_local_qubits,
+                )
             if checkpoint_dir is not None:
                 from .utils.checkpoint import (
                     checkpoint_fingerprint,
