@@ -217,13 +217,21 @@ def run_noisy_virtual_circuit(
     noise=None,
     shots: int | None = None,
     seed: int = 0,
+    engine: str = "auto",
+    chunk_size: int = 512,
+    checkpoint_dir=None,
 ):
     """Noisy analog of run_virtual_circuit.  ``noise`` is one NoiseModel for
     all fragments, a list mapping fragment i -> NoiseModel (the
     heterogeneous-backend path, Utilities.py:106-150 /
     benchmark_different_backends.py), or None to use the per-fragment
     mapping set via ``virt.set_backend`` (virtual_circuit.py:82-95); a
-    fragment whose backend is None runs on the exact ideal engine."""
+    fragment whose backend is None runs on the exact ideal engine.
+
+    ``engine="streamed"`` runs the constant-memory scan with trajectory
+    noise + readout fused into the body (ops/streamed.py) — the path for
+    fan-outs too big to materialise (sup-20/25, aqft), shot-sampled and
+    checkpointable like the exact streamed engine."""
     from ..run import RunTimeInfo
     from .knit import knit, nearest_probability_distribution
     from .variant_engine import run_fragment
@@ -237,6 +245,23 @@ def run_noisy_virtual_circuit(
     else:
         models = [noise] * len(virt.fragments)
     assert len(models) >= len(virt.fragments)
+
+    if engine == "streamed":
+        from .streamed import run_virtual_circuit_streamed
+
+        for i, reg in enumerate(virt.fragments):
+            nm = models[i]
+            if nm is not None and nm.num_qubits is not None:
+                assert (
+                    virt.programs[reg.name].num_data_qubits <= nm.num_qubits
+                ), f"fragment {reg.name} does not fit backend {nm.name}"
+        now = time.perf_counter()
+        dist = run_virtual_circuit_streamed(
+            virt, chunk=chunk_size, project=True,
+            noise=models[: len(virt.fragments)],
+            shots=shots, seed=seed, checkpoint_dir=checkpoint_dir,
+        )
+        return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
     now = time.perf_counter()
     results = []
     for i, reg in enumerate(virt.fragments):

@@ -28,6 +28,25 @@ def _multinomial_rows(key, probs: jnp.ndarray, shots: int) -> jnp.ndarray:
     return jax.vmap(one)(keys, probs)
 
 
+def sample_distribution(dist, shots: int, seed: int = 0):
+    """Multinomial counts/shots from a (non-negative) final distribution —
+    the streamed engine's shot path (per-fragment rows never materialise
+    there, so sampling happens on the knitted marginal)."""
+    from .statevector import Distribution
+
+    p = np.asarray(dist.values, dtype=np.float64).clip(min=0.0)
+    total = p.sum()
+    if total <= 0:
+        raise ValueError("cannot sample from an all-nonpositive distribution")
+    rng = np.random.default_rng(seed)
+    counts = rng.multinomial(shots, p / total)
+    return Distribution(
+        (counts / float(shots)).astype(np.float32),
+        dist.bit_positions,
+        dist.num_clbits,
+    )
+
+
 def sample_fragment_results(
     results: list[FragmentResult], shots: int, seed: int = 0
 ) -> list[FragmentResult]:

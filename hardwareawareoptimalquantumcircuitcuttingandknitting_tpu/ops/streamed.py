@@ -15,6 +15,18 @@ One compile, bounded buffers (chunk x 2^k), any fan-out.  This is the
 production serving shape: the same scan reruns per shot-batch or
 parameter update.
 
+Full-service since r3 (reference parity: qvm/run.py:24-42 runs everything
+shot-sampled on noisy backends):
+
+  * ``noise=``: per-fragment NoiseModel — each label simulates T
+    Pauli-twirl trajectories (indices streamed as int32 xs, gathered
+    against a constant block table on device) and applies the exact
+    readout channel per row inside the scan body;
+  * ``shots=``: multinomial sampling from the knitted (projected)
+    marginal — the streamed analog of the reference's finite-shot counts;
+  * ``checkpoint_dir=``: the scan runs in fixed-size segments with the
+    carry checkpointed after each — resume mid-scan after interruption.
+
 The chunk axis is also the natural ``dp`` sharding axis on a mesh (shard
 the scan's xs, ``psum`` the carry — see parallel/).
 """
@@ -33,10 +45,30 @@ from .statevector import Distribution
 from .variant_engine import _slot_matrices, make_sim_fn
 
 
+def _resolve_noise(virt: VirtualCircuit, noise):
+    """None | NoiseModel | list-per-fragment -> list per fragment."""
+    if noise is None:
+        return [None] * len(virt.fragments)
+    if isinstance(noise, (list, tuple)):
+        assert len(noise) >= len(virt.fragments)
+        return list(noise)
+    return [noise] * len(virt.fragments)
+
+
+def _sample_pauli_indices(rng, site_probs, count: int, traj: int) -> np.ndarray:
+    """[count, traj, n_sites] int32: 0 = identity, 1..3 = sampled Pauli
+    with per-site depolarising probability (ops/noise._sample_paulis
+    semantics, streamed as indices to keep the xs small)."""
+    s = len(site_probs)
+    u = rng.random((count, traj, s))
+    which = rng.integers(1, 4, size=(count, traj, s))
+    p = np.asarray(site_probs, dtype=np.float64)[None, None, :]
+    return np.where(u < p, which, 0).astype(np.int32)
 
 
 def make_streamed_knit(
-    virt: VirtualCircuit, chunk: int = 512, keep_clbits=None
+    virt: VirtualCircuit, chunk: int = 512, keep_clbits=None,
+    noise=None, trajectories: int | None = None, seed: int = 0,
 ):
     """Build (step_fn, xs, meta): ``step_fn(xs)`` scans all global label
     chunks and returns the flat knitted quasi-distribution values.
@@ -49,6 +81,16 @@ def make_streamed_knit(
     summed out inside the scan body, so both the per-chunk rows and the
     carry shrink to the marginal's size (this is how 30+ qubit circuits
     knit: the full 2^n distribution never exists anywhere).
+
+    ``noise``: NoiseModel / per-fragment list — trajectory-noise sim with
+    exact readout channel per fragment row (see module docstring).  The
+    noise path keeps each fragment's op stream UNFUSED (per-physical-gate
+    noise sites).
+
+    ``meta`` additionally carries ``carry_shape`` / ``segment_fn`` /
+    ``finish_fn`` for segmented (checkpointable) execution:
+    ``finish_fn(segment_fn(carry, xs_seg))`` == ``step_fn(xs)`` when the
+    segments tile all chunks.
     """
     specs = [vg.spec for vg in virt.vgates]
     num_g = len(specs)
@@ -64,10 +106,16 @@ def make_streamed_knit(
     labels = np.arange(padded)
     valid = (labels < total).astype(np.float32)
 
+    models = _resolve_noise(virt, noise)
+    rng = np.random.default_rng(seed)
+
     frag_names = [r.name for r in virt.fragments]
     sim_ones = {}
     xs_slots = []      # per fragment: list of (pre, m4, post) [n_chunks, C, ...]
     xs_ws = []         # per fragment: list of w_sel [n_chunks, C, 2]
+    xs_pauli = []      # per fragment: [n_chunks, C, T, S] int32 (or [.., 0, 0])
+    readout = []       # per fragment: 2x2 readout matrix or None
+    width_bits = []    # per fragment: #written bits before folding
     fold_plans = []    # per fragment: list of (bit_offset | None)
     data_positions = []
 
@@ -76,16 +124,31 @@ def make_streamed_knit(
             a.reshape((n_chunks, chunk) + a.shape[1:])
         )
 
-    for name in frag_names:
+    for fi, name in enumerate(frag_names):
         prog = virt.programs[name]
+        nm = models[fi]
         sim_one, _local_mats, positions, _local_count = make_sim_fn(
-            virt, name
+            virt, name, noise=nm
         )
         sim_ones[name] = sim_one
         # global-label slot matrices: same gather as the local ones but with
         # the all-vgate stride table, so every label picks its variant
         mats = _slot_matrices(prog, specs, padded, gstride, n_inst)
         xs_slots.append([tuple(_chunked(m) for m in t) for t in mats])
+
+        if nm is None:
+            xs_pauli.append(np.zeros((n_chunks, chunk, 0, 0), np.int32))
+            readout.append(None)
+        else:
+            traj = trajectories or nm.trajectories
+            site_probs = [p for (_, _, p) in sim_one.noise_sites]
+            idx = _sample_pauli_indices(rng, site_probs, padded, traj)
+            xs_pauli.append(_chunked(idx))
+            readout.append(np.array(
+                [[1 - nm.readout01, nm.readout10],
+                 [nm.readout01, 1 - nm.readout10]], dtype=np.float32,
+            ))
+        width_bits.append(len(positions))
 
         ws = []
         plan = []
@@ -123,49 +186,87 @@ def make_streamed_knit(
         + "->" + letters[: len(frag_names)]
     )
 
-    def step_fn(xs):
-        slots_xs, ws_xs, valid_xs = xs
+    from .noise import _PAULI_BLOCKS  # [4, 2, 2, 2, 2] real blocks
 
-        def body(carry, x):
-            slot_chunks, w_chunks, valid_chunk = x
-            es = []
-            for fi, name in enumerate(frag_names):
-                sim_one = sim_ones[name]
-                mats = slot_chunks[fi]
-                if mats:
-                    rows = jax.vmap(sim_one)(mats)
+    pauli_table = jnp.asarray(_PAULI_BLOCKS)
+
+    def _rows_for_fragment(fi, name, mats, pidx):
+        sim_one = sim_ones[name]
+        if models[fi] is None:
+            if mats:
+                return jax.vmap(sim_one)(mats)
+            row = sim_one([])
+            return jnp.broadcast_to(row, (chunk, row.shape[0]))
+        # trajectory noise: pidx [chunk, T, S]; average rows over T
+        def one_traj(m, pt):
+            return sim_one(m, pauli_table[pt])
+
+        if mats:
+            rows = jax.vmap(
+                lambda m, pv: jnp.mean(
+                    jax.vmap(lambda pt: one_traj(m, pt))(pv), axis=0
+                )
+            )(mats, pidx)
+        else:
+            rows = jax.vmap(
+                lambda pv: jnp.mean(
+                    jax.vmap(lambda pt: one_traj([], pt))(pv), axis=0
+                )
+            )(pidx)
+        # exact readout channel on this fragment's written bits
+        m = jnp.asarray(readout[fi])
+        k = width_bits[fi]
+        for j in range(k):
+            high, low = 1 << (k - 1 - j), 1 << j
+            r4 = rows.reshape(chunk, high, 2, low)
+            rows = jnp.einsum("ab,chbl->chal", m, r4).reshape(chunk, -1)
+        return rows
+
+    def body(carry, x):
+        slot_chunks, w_chunks, pauli_chunks, valid_chunk = x
+        es = []
+        for fi, name in enumerate(frag_names):
+            rows = _rows_for_fragment(
+                fi, name, slot_chunks[fi], pauli_chunks[fi]
+            )
+            w_iter = iter(w_chunks[fi])
+            for kind, j, k in fold_plans[fi]:
+                if kind == "drop":
+                    high, low = 1 << (k - 1 - j), 1 << j
+                    rows = rows.reshape(chunk, high, 2, low).sum(axis=2)
+                    rows = rows.reshape(chunk, -1)
+                    continue
+                w_sel = next(w_iter)
+                if j is not None:
+                    high, low = 1 << (k - 1 - j), 1 << j
+                    rows = rows.reshape(chunk, high, 2, low)
+                    rows = jnp.einsum(
+                        "chbl,cb->chl", rows, w_sel
+                    ).reshape(chunk, -1)
                 else:
-                    row = sim_one([])
-                    rows = jnp.broadcast_to(row, (chunk, row.shape[0]))
-                w_iter = iter(w_chunks[fi])
-                for kind, j, k in fold_plans[fi]:
-                    if kind == "drop":
-                        high, low = 1 << (k - 1 - j), 1 << j
-                        rows = rows.reshape(chunk, high, 2, low).sum(axis=2)
-                        rows = rows.reshape(chunk, -1)
-                        continue
-                    w_sel = next(w_iter)
-                    if j is not None:
-                        high, low = 1 << (k - 1 - j), 1 << j
-                        rows = rows.reshape(chunk, high, 2, low)
-                        rows = jnp.einsum(
-                            "chbl,cb->chl", rows, w_sel
-                        ).reshape(chunk, -1)
-                    else:
-                        rows = rows * w_sel[:, :1]
-                es.append(rows)
-            es[0] = es[0] * valid_chunk[:, None]
-            return carry + jnp.einsum(expr, *es), None
+                    rows = rows * w_sel[:, :1]
+            es.append(rows)
+        es[0] = es[0] * valid_chunk[:, None]
+        return carry + jnp.einsum(expr, *es), None
 
-        carry0 = jnp.zeros(shape, dtype=jnp.float32)
-        out, _ = jax.lax.scan(body, carry0, (slots_xs, ws_xs, valid_xs))
+    def segment_fn(carry, xs_seg):
+        out, _ = jax.lax.scan(body, carry, xs_seg)
+        return out
+
+    def finish_fn(carry):
         # interleave fragment bit groups to global ascending clbit order
         src_bits: list[int] = []
         for pos_list in reversed(data_positions):
             src_bits.extend(pos_list)
-        return permute_bits_flat(out.reshape(-1), src_bits, sorted(src_bits))
+        return permute_bits_flat(
+            carry.reshape(-1), src_bits, sorted(src_bits)
+        )
 
-    xs = (xs_slots, xs_ws, _chunked(valid))
+    def step_fn(xs):
+        carry0 = jnp.zeros(shape, dtype=jnp.float32)
+        return finish_fn(segment_fn(carry0, xs))
+
+    xs = (xs_slots, xs_ws, xs_pauli, _chunked(valid))
     meta = {
         "positions": sorted(
             p for pos_list in data_positions for p in pos_list
@@ -173,6 +274,9 @@ def make_streamed_knit(
         "global_labels": total,
         "n_chunks": n_chunks,
         "chunk": chunk,
+        "carry_shape": shape,
+        "segment_fn": segment_fn,
+        "finish_fn": finish_fn,
     }
     return step_fn, xs, meta
 
@@ -185,11 +289,13 @@ def make_streamed_knit(
 _CHUNK_BYTES_BUDGET = 512 * 1024 * 1024
 
 
-def auto_chunk(virt: VirtualCircuit, requested: int) -> int:
+def auto_chunk(
+    virt: VirtualCircuit, requested: int, trajectories: int = 1
+) -> int:
     max_n = max(
         (p.num_sim_qubits for p in virt.programs.values()), default=1
     )
-    per_variant = 2 * (1 << max_n) * 4
+    per_variant = 2 * (1 << max_n) * 4 * max(1, trajectories)
     cap = max(8, _CHUNK_BYTES_BUDGET // per_variant)
     total = 1
     for vg in virt.vgates:
@@ -198,14 +304,134 @@ def auto_chunk(virt: VirtualCircuit, requested: int) -> int:
     return int(max(1, min(requested, cap, total)))
 
 
+# ---------------------------------------------------------------------------
+# Segmented (checkpointable) execution
+# ---------------------------------------------------------------------------
+
+_STREAM_CKPT = "stream_carry.npz"
+
+
+def _stream_fingerprint(virt, chunk, segment_chunks, models, trajectories,
+                        seed) -> str:
+    import hashlib
+
+    from ..utils.checkpoint import checkpoint_fingerprint
+
+    h = hashlib.sha256()
+    h.update(checkpoint_fingerprint(virt).encode())
+    h.update(f"|chunk={chunk}|seg={segment_chunks}|seed={seed}".encode())
+    for nm in models:
+        h.update(
+            b"none" if nm is None else
+            f"{nm.name}|{nm.p1}|{nm.p2}|{nm.readout01}|{nm.readout10}|"
+            f"{trajectories or nm.trajectories}".encode()
+        )
+    return h.hexdigest()
+
+
+def _load_stream_checkpoint(directory, fingerprint, carry_shape):
+    import pathlib
+
+    path = pathlib.Path(directory) / _STREAM_CKPT
+    if not path.exists():
+        return None, 0
+    data = np.load(path, allow_pickle=False)
+    if str(data["fingerprint"]) != fingerprint:
+        return None, 0
+    carry = data["carry"]
+    if carry.shape != tuple(carry_shape):
+        return None, 0
+    return carry, int(data["next_segment"])
+
+
+def _save_stream_checkpoint(directory, fingerprint, carry, next_segment):
+    import os
+    import pathlib
+
+    directory = pathlib.Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    tmp = directory / (_STREAM_CKPT + ".tmp")
+    np.savez(
+        tmp, carry=carry, next_segment=next_segment, fingerprint=fingerprint
+    )
+    # np.savez appends .npz to a name without it; handle both layouts
+    src = tmp if tmp.exists() else tmp.with_suffix(".tmp.npz")
+    os.replace(src, directory / _STREAM_CKPT)
+
+
 def run_virtual_circuit_streamed(
-    virt: VirtualCircuit, chunk: int = 512, project: bool = False
+    virt: VirtualCircuit,
+    chunk: int = 512,
+    project: bool = False,
+    noise=None,
+    trajectories: int | None = None,
+    shots: int | None = None,
+    seed: int = 0,
+    checkpoint_dir=None,
+    segment_chunks: int | None = None,
 ) -> Distribution:
     """End-to-end streamed execution on the default device.  ``chunk`` is
-    capped by :func:`auto_chunk` to bound device memory."""
-    step_fn, xs, meta = make_streamed_knit(virt, auto_chunk(virt, chunk))
-    values = np.asarray(jax.jit(step_fn)(xs))
+    capped by :func:`auto_chunk` to bound device memory.
+
+    ``checkpoint_dir``: run the scan in segments of ``segment_chunks``
+    chunks, saving the accumulator after each — a rerun with the same
+    arguments resumes at the first unfinished segment (stale or
+    mismatching checkpoints are ignored via fingerprint).
+
+    ``shots``: multinomial-sample the knitted distribution (projected
+    first).  Unlike the batched engines — which sample each fragment's
+    variant rows like the reference's per-instantiation Aer counts — the
+    streamed path samples the *final* marginal: per-fragment rows never
+    materialise here.  Statistically both emulate finite-shot estimation.
+    """
+    models = _resolve_noise(virt, noise)
+    traj_eff = max(
+        [trajectories or nm.trajectories for nm in models if nm is not None],
+        default=1,
+    )
+    chunk = auto_chunk(virt, chunk, traj_eff)
+    step_fn, xs, meta = make_streamed_knit(
+        virt, chunk, noise=noise, trajectories=trajectories, seed=seed
+    )
+    n_chunks = meta["n_chunks"]
+
+    if checkpoint_dir is None:
+        values = np.asarray(jax.jit(step_fn)(xs))
+    else:
+        seg = segment_chunks or max(1, min(n_chunks, 16))
+        nseg = math.ceil(n_chunks / seg)
+        pad = nseg * seg - n_chunks
+        if pad:
+            # padded chunks carry valid=0, so their contribution is masked
+            xs = jax.tree.map(
+                lambda a: np.concatenate(
+                    [a, np.zeros((pad,) + a.shape[1:], a.dtype)]
+                ),
+                xs,
+            )
+        fp = _stream_fingerprint(
+            virt, chunk, seg, models, trajectories, seed
+        )
+        carry, start = _load_stream_checkpoint(
+            checkpoint_dir, fp, meta["carry_shape"]
+        )
+        if carry is None:
+            carry = np.zeros(meta["carry_shape"], np.float32)
+            start = 0
+        segment = jax.jit(meta["segment_fn"])
+        for si in range(start, nseg):
+            xs_seg = jax.tree.map(
+                lambda a: a[si * seg:(si + 1) * seg], xs
+            )
+            carry = np.asarray(segment(carry, xs_seg))
+            _save_stream_checkpoint(checkpoint_dir, fp, carry, si + 1)
+        values = np.asarray(jax.jit(meta["finish_fn"])(carry))
+
     dist = Distribution(values, meta["positions"], virt.num_clbits)
-    if project:
+    if project or shots is not None:
         dist = nearest_probability_distribution(dist)
+    if shots is not None:
+        from .sampling import sample_distribution
+
+        dist = sample_distribution(dist, shots, seed)
     return dist

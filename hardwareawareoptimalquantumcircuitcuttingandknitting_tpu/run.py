@@ -93,7 +93,10 @@ def run_virtual_circuit(
 
     ``engine="streamed"`` runs the constant-memory lax.scan path
     (ops/streamed.py) — sim and knit fuse into one program, so the two
-    RunTimeInfo phases collapse into run_time.  Exact path only.
+    RunTimeInfo phases collapse into run_time.  ``shots`` samples the
+    knitted marginal; ``checkpoint_dir`` checkpoints the scan carry per
+    segment (resume mid-scan); noisy execution goes through
+    ``ops.noise.run_noisy_virtual_circuit(engine="streamed")``.
     """
     from .utils.profiling import Tracer
 
@@ -102,17 +105,6 @@ def run_virtual_circuit(
     log = get_logger(__name__)
     tracer = tracer or Tracer()
     if engine == "streamed":
-        if shots is not None:
-            raise ValueError(
-                "engine='streamed' is the exact path; shot sampling needs "
-                "the batched engines"
-            )
-        if checkpoint_dir is not None:
-            raise ValueError(
-                "engine='streamed' fuses sim+knit into one scan and never "
-                "materialises fragment results; checkpointing needs the "
-                "batched engines"
-            )
         from .ops.streamed import run_virtual_circuit_streamed
 
         now = time.perf_counter()
@@ -121,7 +113,8 @@ def run_virtual_circuit(
             chunk=chunk_size,
         ):
             dist = run_virtual_circuit_streamed(
-                virt, chunk=chunk_size, project=project
+                virt, chunk=chunk_size, project=project,
+                shots=shots, seed=seed, checkpoint_dir=checkpoint_dir,
             )
         return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
     frag_sizes = tuple(p.num_data_qubits for p in virt.programs.values())
