@@ -51,15 +51,28 @@ def sample_fragment_results(
     results: list[FragmentResult], shots: int, seed: int = 0
 ) -> list[FragmentResult]:
     key = jax.random.PRNGKey(seed)
+    rng = np.random.default_rng(seed)
     out = []
     for res in results:
         key, sub = jax.random.split(key)
-        probs = jnp.asarray(res.values)
-        # guard: rows are probability rows (exact engine); renormalise to
-        # absorb float error before sampling
-        probs = probs / jnp.sum(probs, axis=1, keepdims=True)
-        counts = _multinomial_rows(sub, probs, shots)
-        vals = np.asarray(counts, dtype=np.float32) / float(shots)
+        v, k = res.values.shape
+        # the device categorical materialises a [shots, K] gumbel block per
+        # row; past ~2^26 sampled cells that dwarfs the distribution itself
+        # (a single 2^24-wide row at 1000 shots would allocate ~67 GB), so
+        # wide/low-count blocks sample on host via multinomial instead
+        if v * shots * k > (1 << 26):
+            vals = np.empty((v, k), dtype=np.float32)
+            rows = np.asarray(res.values, dtype=np.float64).clip(min=0.0)
+            for i in range(v):
+                p = rows[i] / rows[i].sum()
+                vals[i] = rng.multinomial(shots, p) / float(shots)
+        else:
+            probs = jnp.asarray(res.values)
+            # guard: rows are probability rows (exact engine); renormalise
+            # to absorb float error before sampling
+            probs = probs / jnp.sum(probs, axis=1, keepdims=True)
+            counts = _multinomial_rows(sub, probs, shots)
+            vals = np.asarray(counts, dtype=np.float32) / float(shots)
         out.append(
             FragmentResult(res.name, vals, res.bit_positions, res.touching)
         )

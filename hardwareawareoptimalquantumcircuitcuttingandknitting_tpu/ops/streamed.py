@@ -144,10 +144,13 @@ def make_streamed_knit(
             site_probs = [p for (_, _, p) in sim_one.noise_sites]
             idx = _sample_pauli_indices(rng, site_probs, padded, traj)
             xs_pauli.append(_chunked(idx))
-            readout.append(np.array(
-                [[1 - nm.readout01, nm.readout10],
-                 [nm.readout01, 1 - nm.readout10]], dtype=np.float32,
-            ))
+            from .noise import frag_clbit_qubits
+
+            cq = frag_clbit_qubits(virt, name)
+            readout.append(np.stack([
+                nm.readout_matrix(cq.get(c, j))
+                for j, c in enumerate(positions)
+            ]) if positions else None)
         width_bits.append(len(positions))
 
         ws = []
@@ -214,12 +217,15 @@ def make_streamed_knit(
                 )
             )(pidx)
         # exact readout channel on this fragment's written bits
-        m = jnp.asarray(readout[fi])
-        k = width_bits[fi]
-        for j in range(k):
-            high, low = 1 << (k - 1 - j), 1 << j
-            r4 = rows.reshape(chunk, high, 2, low)
-            rows = jnp.einsum("ab,chbl->chal", m, r4).reshape(chunk, -1)
+        if readout[fi] is not None:
+            ms = jnp.asarray(readout[fi])  # [k, 2, 2] per-bit calibrated
+            k = width_bits[fi]
+            for j in range(k):
+                high, low = 1 << (k - 1 - j), 1 << j
+                r4 = rows.reshape(chunk, high, 2, low)
+                rows = jnp.einsum(
+                    "ab,chbl->chal", ms[j], r4
+                ).reshape(chunk, -1)
         return rows
 
     def body(carry, x):

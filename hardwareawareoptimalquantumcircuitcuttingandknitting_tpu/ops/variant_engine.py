@@ -95,12 +95,15 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
         strides[g] = flat_count
         flat_count *= n_inst[g]
 
-    positions = sorted(prog.clbit_sources)
-    sources = [prog.clbit_sources[c] for c in positions]
     n = prog.num_sim_qubits
+    clbit_sources = prog.clbit_sources
+    phys = None
 
-    # exact path: fuse contiguous fixed-gate runs between slots (the noise
-    # path keeps the unfused stream — per-physical-gate noise sites)
+    # exact path: fuse contiguous fixed-gate runs between slots.  The
+    # noise path keeps the unfused stream (per-physical-gate noise sites)
+    # and, when the NoiseModel carries a coupling map, routes it onto the
+    # device topology first — matching the reference where backend.run
+    # implies transpilation (SWAP-inflated CNOT counts, BASELINE.md).
     if noise is None:
         from .fusion import fused_stream
 
@@ -113,8 +116,21 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
                 bi += 1
             else:
                 prog_ops.append(op)
+    elif getattr(noise, "coupling", None) is not None:
+        from ..circuit.routing import route_stream
+
+        routed = route_stream(
+            prog.ops, prog.num_data_qubits, prog.clbit_sources,
+            noise.coupling,
+        )
+        prog_ops = routed.ops
+        phys = routed.phys
+        clbit_sources = routed.clbit_sources
     else:
         prog_ops = prog.ops
+
+    positions = sorted(clbit_sources)
+    sources = [clbit_sources[c] for c in positions]
 
     fixed_blocks = {
         id(op): to_real_block(op[1])
@@ -125,15 +141,30 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
     # physical-gate noise sites: (after which op, on which qubit, prob)
     noise_sites: list[tuple[int, int, float]] = []
     if noise is not None:
-        for op_i, op in enumerate(prog.ops):
+        for op_i, op in enumerate(prog_ops):
             kind = op[0]
+            ph = phys[op_i] if phys is not None else op[2]
             if kind == "u":
-                p = noise.p1 if len(op[2]) == 1 else noise.p2
-                for q in op[2]:
-                    noise_sites.append((op_i, q, p))
+                if any(p is None for p in ph):
+                    continue  # deferral-ancilla op: readout covers it
+                if len(op[2]) == 1:
+                    noise_sites.append(
+                        (op_i, op[2][0], noise.rate_1q(ph[0]))
+                    )
+                else:
+                    # one site per 2q gate (same convention as the uncut
+                    # path in ops/noise.simulate_noisy_circuit, so cut and
+                    # uncut circuits carry comparable noise burdens)
+                    noise_sites.append(
+                        (op_i, op[2][0], noise.rate_2q(ph[0], ph[1]))
+                    )
             elif kind == "slot_post":
-                # one endpoint of a cut 2q gate: charge the 2q rate
-                noise_sites.append((op_i, op[2][0], noise.p2))
+                # one endpoint of a cut 2q gate: the pair splits across
+                # fragments, so each endpoint carries half the 2q rate
+                dev = ph[0] if ph and ph[0] is not None else op[2][0]
+                noise_sites.append(
+                    (op_i, op[2][0], 0.5 * noise.rate_2q(dev, dev))
+                )
     sites_after: dict[int, list[int]] = {}
     for s_i, (op_i, _, _) in enumerate(noise_sites):
         sites_after.setdefault(op_i, []).append(s_i)

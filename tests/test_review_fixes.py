@@ -144,7 +144,10 @@ def test_use_plan_rejects_mismatched_plan():
         big.use_plan(small.plan)
 
 
-def test_streamed_rejects_checkpoint_dir(tmp_path):
+def test_streamed_supports_checkpoint_dir(tmp_path):
+    """r2 rejected checkpoint_dir on the streamed engine; r3 made the scan
+    segmented+checkpointable (tests/test_streamed_full.py proves resume),
+    so the run must now succeed and leave a carry checkpoint behind."""
     circ = Circuit(3, 3)
     circ.h(0)
     circ.cx(0, 1)
@@ -154,5 +157,8 @@ def test_streamed_rejects_checkpoint_dir(tmp_path):
                     maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
     assert cutter.solve()
     virt = VirtualCircuit(cutter.getResultCircs()[3])
-    with pytest.raises(ValueError, match="checkpoint"):
-        run_virtual_circuit(virt, engine="streamed", checkpoint_dir=tmp_path)
+    dist, _ = run_virtual_circuit(
+        virt, engine="streamed", chunk_size=4, checkpoint_dir=tmp_path
+    )
+    assert (tmp_path / "stream_carry.npz").exists()
+    assert abs(float(dist.values.sum()) - 1.0) < 1e-4
