@@ -1,0 +1,163 @@
+"""Pallas-vs-XLA steady-state shootout on the real TPU (r2 VERDICT #5).
+
+The Pallas kernel's design predicts wins on deep, narrow fragments (one
+HBM roundtrip for the whole gate chain vs the unrolled XLA path's
+per-gate state materialisation).  This records the evidence either way on
+hwe-16 d5 (the deep-narrow north-star config: 5 gate cuts, 7776 variants,
+13-sim-qubit fragments).
+
+Timing per the measured axon rules (.claude/skills/verify/SKILL.md):
+block_until_ready returns early through the tunnel, so every timed run
+fetches a scalar; the first call is compile+exec, steady state is the
+median of the following fetches.
+
+Usage: python benchmarks/pallas_vs_xla.py [--reps 3] [--config hwe 16 5]
+Writes pallas_vs_xla.json at the repo root.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--config", nargs=3, default=["hwe", "16", "5"])
+    args = ap.parse_args()
+    name, n, d = args.config[0], int(args.config[1]), int(args.config[2])
+
+    import jax
+    import jax.numpy as jnp
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
+        Cutter,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
+        genCirc,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.pallas_sv import (
+        build_fragment_kernel,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.variant_engine import (
+        make_sim_fn,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+        VirtualCircuit,
+    )
+
+    dev = jax.devices()[0]
+    print(f"[shootout] device: {dev.device_kind}", flush=True)
+
+    circ = genCirc(name, n, d)
+    cutter = Cutter(
+        circ, maxNPartitions=2, maxNQubitsPerPartition=10,
+        maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5,
+    )
+    assert cutter.solve()
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    frag = virt.fragments[0].name
+    prog = virt.programs[frag]
+    print(
+        f"[shootout] fragment {frag}: {prog.num_data_qubits} data / "
+        f"{prog.num_sim_qubits} sim qubits, "
+        f"{virt.num_instantiations(frag)} variants", flush=True,
+    )
+
+    out = {
+        "config": f"{name}_{n}_{d}_p2_q10",
+        "fragment": frag,
+        "variants": virt.num_instantiations(frag),
+        "sim_qubits": prog.num_sim_qubits,
+        "device": str(dev.device_kind),
+    }
+
+    def timed_scalar(fn, *a):
+        t0 = time.perf_counter()
+        v = float(fn(*a))
+        return time.perf_counter() - t0, v
+
+    # ---- XLA engine: chunked vmapped scalar-sum --------------------------
+    sim_one, all_mats, _pos, flat_count = make_sim_fn(virt, frag)
+    chunk = min(512, flat_count)
+    n_chunks = -(-flat_count // chunk)
+    padded = n_chunks * chunk
+    if padded != flat_count:
+        all_mats = [
+            tuple(
+                np.concatenate([m, np.repeat(m[-1:], padded - flat_count, 0)])
+                for m in mats
+            )
+            for mats in all_mats
+        ]
+    batches = [
+        [tuple(np.asarray(m[i * chunk:(i + 1) * chunk]) for m in mats)
+         for mats in all_mats]
+        for i in range(n_chunks)
+    ]
+    xla_step = jax.jit(lambda b: jnp.sum(jax.vmap(sim_one)(b)))
+
+    def xla_all():
+        return sum(float(xla_step(b)) for b in batches)
+
+    t0 = time.perf_counter()
+    first_val = xla_all()
+    out["xla_first_s"] = round(time.perf_counter() - t0, 3)
+    xla_times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        val = xla_all()
+        xla_times.append(time.perf_counter() - t0)
+    out["xla_steady_s"] = round(float(np.median(xla_times)), 4)
+    out["xla_sum"] = first_val
+    print(f"[shootout] xla: first={out['xla_first_s']}s "
+          f"steady={out['xla_steady_s']}s sum={first_val:.4f}", flush=True)
+
+    # ---- Pallas engine ---------------------------------------------------
+    built = build_fragment_kernel(virt, frag)
+    if built is None:
+        out["pallas"] = "unsupported fragment"
+    else:
+        fn, params, meta = built
+        params = jnp.asarray(params)
+        pfn = jax.jit(lambda p: jnp.sum(fn(p)))
+        try:
+            t0 = time.perf_counter()
+            pv = float(pfn(params))
+            out["pallas_first_s"] = round(time.perf_counter() - t0, 3)
+            p_times = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                pv = float(pfn(params))
+                p_times.append(time.perf_counter() - t0)
+            out["pallas_steady_s"] = round(float(np.median(p_times)), 4)
+            out["pallas_sum"] = pv
+            out["pallas_speedup_vs_xla"] = round(
+                out["xla_steady_s"] / out["pallas_steady_s"], 2
+            )
+            print(
+                f"[shootout] pallas: first={out['pallas_first_s']}s "
+                f"steady={out['pallas_steady_s']}s sum={pv:.4f} "
+                f"speedup={out['pallas_speedup_vs_xla']}x", flush=True,
+            )
+        except Exception as e:  # record the failure as evidence
+            out["pallas_error"] = f"{type(e).__name__}: {e}"[:500]
+            print(f"[shootout] pallas FAILED: {out['pallas_error']}",
+                  flush=True)
+
+    path = pathlib.Path(__file__).resolve().parent.parent / (
+        "pallas_vs_xla.json"
+    )
+    path.write_text(json.dumps(out, indent=2))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

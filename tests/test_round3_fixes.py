@@ -66,7 +66,10 @@ def test_smolin_project_large_is_fast():
     out = smolin_project(v)
     dt = time.perf_counter() - t0
     assert (out >= 0).all()
-    assert dt < 2.0, f"vectorised projection too slow: {dt:.2f}s"
+    # generous bound: the box is 1 CPU core and often co-loaded; the
+    # pre-fix Python loop took >20s at this size, the vectorised path
+    # ~50ms idle
+    assert dt < 8.0, f"vectorised projection too slow: {dt:.2f}s"
 
 
 def test_to_counts_reference_signature():
