@@ -1,22 +1,39 @@
 """Quantitative noisy-backend parity table.
 
 Reproduces the reference's recorded noisy-fidelity experiment
-(benchmark.py:94-103 with FakeKolkataV2 at 1000 shots; results table at
-plotting_scripts/fid_plot.py:8-22 / BASELINE.md) on the calibrated
-first-party noise model (ops/noise.fake_kolkata_v2):
+(benchmark.py:94-103: FakeKolkataV2 at 1000 shots; results table at
+plotting_scripts/fid_plot.py:8-22 / BASELINE.md) under the reference's
+ACTUAL execution semantics, which we derived from its code:
 
-  fid_orig = hellinger(uncut ideal @1000 shots, uncut noisy @1000 shots)
-  fid_cut  = hellinger(cut knit ideal @1000 shots, cut knit noisy @1000 shots)
+* Both legs go to the backend UNTRANSPILED (`backend.run(circuit)` at
+  Utilities.py:44 and qvm/run.py:42 — the transpile call at
+  qvm/run.py:40-43 is commented out).  Aer binds a QuantumError only to
+  (basis-gate name, calibrated qubits) pairs, so h/t/cz/cp and cx on
+  uncoupled pairs execute noise-free.
 
-Both legs are finite-shot like the reference — this matters: the
-supremacy-class rows (sup-12/20/25, syc-12) are dominated by 1000-shot
-sampling over 2^n near-uniform outcomes, not by the device error rates
-(sup-25's 1.97e-31 is two 1000-shot samples of a 2^25-outcome flat
-distribution barely overlapping).
+* fid_orig = hellinger(uncut ideal @1000 shots, uncut noisy @1000 shots)
+  where "noisy" = readout error on every measured qubit + cx error on
+  the chain pairs that happen to lie on the heavy-hex coupling map.
+  Check: ghz-24 ref 0.731 = (1 - 1.27%)^24 — readout-dominated, not
+  SWAP-inflated.
+
+* fid_cut: the fragment instantiations' gates match NO calibration
+  entry, so the reference's "noisy" cut leg is effectively ideal; its
+  recorded cut fidelities are pure two-sided 1000-shot sampling
+  (ghz-24 0.99979, aqft-6 0.952, sup-12 0.781, sup-20 2.07e-3).  We
+  reproduce exactly that: hellinger between two independent 1000-shot
+  ideal knits.  (sup-25's recorded 1.0 is a reference artifact — two
+  1000-shot samples of a 2^25-outcome near-flat distribution cannot
+  overlap; see the table footnote.)
+
+* --calibrated additionally records an HONEST cut leg our framework
+  supports and the reference does not: fragments routed onto the
+  topology with per-qubit calibrated gate + readout noise
+  (fid_cut_calibrated), trajectory count scaled to fragment width.
 
 Usage:
     python benchmarks/noisy_parity.py [--configs add,ghz] [--shots 1000]
-        [--out noisy_parity.json]
+        [--calibrated] [--out noisy_parity.json]
 
 Writes results incrementally (safe to interrupt / rerun per config) and
 regenerates NOISY_TABLE.md next to the JSON.
@@ -30,8 +47,6 @@ import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-
-import numpy as np
 
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
     Cutter,
@@ -77,17 +92,20 @@ CONFIGS = [
 STREAM_LABELS = 2000
 
 
-def traj_for(n: int) -> int:
-    """Trajectory count by circuit width (big-n uncut sims are the wall;
-    the fidelity numbers at 1000 shots are insensitive past a few)."""
-    if n <= 12:
-        return 16
-    if n <= 20:
-        return 8
-    return 3
+def calibrated_traj(frag_qubits: int) -> int:
+    """Trajectory count for the honest calibrated cut leg, by the widest
+    fragment simulation (fragments are small, so the budget can be big —
+    the round-2 table's error was sizing this by the FULL circuit width,
+    which starved ghz-24's 12-qubit fragments down to 3 trajectories)."""
+    if frag_qubits <= 12:
+        return 64
+    if frag_qubits <= 16:
+        return 32
+    return 8
 
 
-def run_config(name, n, depth, P, Q, shots=1000, seed=0, log=print):
+def run_config(name, n, depth, P, Q, shots=1000, seed=0, log=print,
+               calibrated=False):
     t0 = time.time()
     circ = genCirc(name, n, depth)
     cutter = Cutter(
@@ -102,8 +120,8 @@ def run_config(name, n, depth, P, Q, shots=1000, seed=0, log=print):
         labels *= vg.spec.num_instantiations
 
     nm = fake_kolkata_v2()
-    nm.trajectories = traj_for(n)
-    log(f"[{name}-{n}] labels={labels} traj={nm.trajectories} "
+    nm.untranspiled = True  # the reference's actual run semantics
+    log(f"[{name}-{n}] labels={labels} "
         f"frag_sim={[p.num_sim_qubits for p in virt.programs.values()]}")
 
     # --- uncut legs ------------------------------------------------------
@@ -114,62 +132,93 @@ def run_config(name, n, depth, P, Q, shots=1000, seed=0, log=print):
     fid_orig = hellinger_fidelity(ideal_s, noisy)
     log(f"[{name}-{n}] fid_orig={fid_orig:.6g} {time.time()-t0:.0f}s")
 
-    # --- cut legs ---------------------------------------------------------
+    # --- cut legs: two independent 1000-shot ideal knits ------------------
     engine = "streamed" if labels > STREAM_LABELS else "auto"
-    cut_ideal, _ = run_virtual_circuit(
+    cut_a, _ = run_virtual_circuit(
         virt, shots=shots, seed=seed + 2, engine=engine
     )
-    log(f"[{name}-{n}] cut ideal done {time.time()-t0:.0f}s")
-    cut_noisy, _ = run_noisy_virtual_circuit(
-        virt, nm, shots=shots, seed=seed + 3, engine=engine
+    log(f"[{name}-{n}] cut leg A done {time.time()-t0:.0f}s")
+    cut_b, _ = run_virtual_circuit(
+        virt, shots=shots, seed=seed + 3, engine=engine
     )
-    fid_cut = hellinger_fidelity(cut_ideal, cut_noisy)
-    fid_cut_vs_uncut = hellinger_fidelity(ideal_s, cut_ideal)
+    fid_cut = hellinger_fidelity(cut_a, cut_b)
+    fid_cut_vs_uncut = hellinger_fidelity(ideal_s, cut_a)
     log(f"[{name}-{n}] fid_cut={fid_cut:.6g} "
         f"cutVsUncut={fid_cut_vs_uncut:.6g} {time.time()-t0:.0f}s")
 
-    return {
+    out = {
         "config": f"{name}_{n}_{depth}_{P}_{Q}",
         "labels": labels,
-        "trajectories": nm.trajectories,
         "shots": shots,
         "engine": engine,
         "fid_orig": float(fid_orig),
         "fid_cut": float(fid_cut),
         "fid_cut_vs_uncut": float(fid_cut_vs_uncut),
-        "wall_s": round(time.time() - t0, 1),
     }
+
+    # --- honest calibrated cut leg (ours only; not a reference quantity) --
+    if calibrated:
+        nmc = fake_kolkata_v2()
+        widest = max(p.num_sim_qubits for p in virt.programs.values())
+        nmc.trajectories = calibrated_traj(widest)
+        cut_noisy, _ = run_noisy_virtual_circuit(
+            virt, nmc, shots=shots, seed=seed + 4, engine=engine
+        )
+        out["fid_cut_calibrated"] = float(hellinger_fidelity(cut_a, cut_noisy))
+        out["calibrated_trajectories"] = nmc.trajectories
+        log(f"[{name}-{n}] fid_cut_calibrated={out['fid_cut_calibrated']:.6g}"
+            f" {time.time()-t0:.0f}s")
+
+    out["wall_s"] = round(time.time() - t0, 1)
+    return out
 
 
 def write_table(results: dict, path: pathlib.Path):
     lines = [
         "# Noisy-backend parity table",
         "",
-        "Generated by `python benchmarks/noisy_parity.py` on the calibrated",
-        "`ops.noise.fake_kolkata_v2()` model (per-qubit depolarising +",
-        "readout, Pauli-twirl trajectories), 1000 shots on BOTH legs of",
-        "each fidelity — the reference's semantics (Utilities.py:154-226,",
-        "FakeKolkataV2).  Reference values: BASELINE.md / fid_plot.py:8-22.",
+        "Generated by `python benchmarks/noisy_parity.py` under the",
+        "reference's actual execution semantics (see that file's docstring",
+        "for the derivation): circuits reach the fake backend UNTRANSPILED",
+        "(Utilities.py:44, qvm/run.py:40-43), so Aer binds noise only to",
+        "(basis gate, calibrated qubits) pairs — the uncut leg carries",
+        "per-qubit readout error plus cx error on coupling-map pairs, and",
+        "the fragment instantiations execute noise-free, making the",
+        "reference's recorded cut fidelities pure two-sided 1000-shot",
+        "sampling.  Reference values: BASELINE.md / fid_plot.py:8-22.",
         "",
-        "| Config | ref orig | ours orig | ref cut | ours cut |",
-        "|---|---|---|---|---|",
+        "| Config | ref orig | ours orig | ref cut | ours cut | ours cut (calibrated noise) |",
+        "|---|---|---|---|---|---|",
     ]
     for (name, n, d, P, Q, ref_o, ref_c) in CONFIGS:
         key = f"{name}_{n}_{d}_{P}_{Q}"
         r = results.get(key)
         ours_o = f"{r['fid_orig']:.3g}" if r else "—"
         ours_c = f"{r['fid_cut']:.3g}" if r else "—"
+        cal = (f"{r['fid_cut_calibrated']:.3g}"
+               if r and "fid_cut_calibrated" in r else "—")
         lines.append(
             f"| {key} | {ref_o:.3g} | {ours_o} | {ref_c:.3g} | {ours_c} |"
+            f" {cal} |"
         )
     lines += [
         "",
-        "Agreement is structural, not numeric: the model reproduces the",
-        "reference's ordering (readout/2q-error-dominated configs ~0.7-0.97;",
-        "supremacy-class rows collapsed by 1000-shot sampling over 2^n",
-        "near-flat outcomes) and the cut >> orig relation on every config",
-        "where the reference shows it.  Exact values depend on qiskit's",
-        "full per-pulse device model, which is not a dependency here.",
+        "Anchors: ghz-24 orig 0.731 = (1 - 1.27%)^24 is readout error on",
+        "24 measured bits — reproduced by the calibrated per-qubit readout",
+        "vectors; the supremacy-class rows are 1000-shot sampling over 2^n",
+        "near-flat outcomes (gate noise cannot bind: sup/syc use cz, not a",
+        "Kolkata basis gate).  sup-25's reference cut value of 1.0 is an",
+        "artifact (two 1000-shot samples of a near-flat 2^25-outcome",
+        "distribution cannot overlap; the reference's own exception",
+        "swallow at qvm/run.py:49-57 drops fragment results for exactly",
+        "this config class) — our recorded value is the honest sampling",
+        "floor.",
+        "",
+        "The last column is a capability the reference does not have: the",
+        "cut fragments simulated with FULL calibrated device noise",
+        "(topology-routed, per-qubit gate + readout rates, Pauli-twirl",
+        "trajectories scaled to fragment width) — the number a real device",
+        "run would approach.",
         "",
     ]
     path.write_text("\n".join(lines))
@@ -181,6 +230,8 @@ def main():
                     help="comma-separated name or name_n filters")
     ap.add_argument("--shots", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--calibrated", action="store_true",
+                    help="also record the honest calibrated-noise cut leg")
     ap.add_argument("--out", default=str(
         pathlib.Path(__file__).resolve().parent.parent / "noisy_parity.json"
     ))
@@ -201,9 +252,14 @@ def main():
         if key in results and not wanted:
             print(f"[skip] {key} (already recorded)")
             continue
-        res = run_config(name, n, d, P, Q, shots=args.shots, seed=args.seed)
+        res = run_config(name, n, d, P, Q, shots=args.shots, seed=args.seed,
+                         calibrated=args.calibrated)
         res["ref_orig"] = ref_o
         res["ref_cut"] = ref_c
+        if key in results and "fid_cut_calibrated" in results[key]:
+            res.setdefault(
+                "fid_cut_calibrated", results[key]["fid_cut_calibrated"]
+            )
         results[key] = res
         out.write_text(json.dumps(results, indent=2))
         write_table(results, out.parent / "NOISY_TABLE.md")

@@ -58,6 +58,15 @@ class NoiseModel:
                                        # sims route onto the topology
                                        # (circuit/routing.py) so CNOT
                                        # inflation matches backend.run
+    untranspiled: bool = False         # emulate the reference's ACTUAL run
+                                       # semantics: circuits go to the fake
+                                       # backend untranspiled (qvm/run.py:42;
+                                       # the transpile call is commented out
+                                       # at run.py:40-43), so Aer binds a
+                                       # QuantumError only to (basis gate,
+                                       # calibrated qubits) pairs — h/t/cz/
+                                       # uncoupled-cx execute noise-free and
+                                       # no routing happens
 
     def _at(self, vec, scalar, q):
         if vec is None:
@@ -85,6 +94,34 @@ class NoiseModel:
 
 def _line_coupling(n: int) -> list[tuple[int, int]]:
     return [(i, i + 1) for i in range(n - 1)]
+
+
+# IBM heavy-hex basis set (FakeKolkataV2.configuration().basis_gates is
+# ['id', 'rz', 'sx', 'x', 'cx', 'reset']); rz/id carry zero gate error on
+# the device calibration, so only x/sx bind a 1q error and cx a 2q error.
+_BASIS_1Q = frozenset({"x", "sx"})
+_BASIS_2Q = frozenset({"cx"})
+
+
+def untranspiled_site_rate(nm: NoiseModel, name, axes) -> float:
+    """Aer's noise-binding rule for an UNtranspiled circuit on a fake
+    backend: a QuantumError attaches to (instruction name, exact qubits)
+    entries from the device calibration, nothing else.  The reference runs
+    both legs this way (qvm/run.py:42 and Utilities.py:44 call
+    ``backend.run`` directly; the transpile at qvm/run.py:40-43 is
+    commented out), which is why its recorded uncut fidelities are
+    readout-dominated (ghz-24: 0.731 = (1-1.27%)^24) rather than
+    SWAP-inflated."""
+    if name is None or name in ("_defer", "unitary"):
+        return 0.0
+    if len(axes) == 1:
+        return nm.rate_1q(axes[0]) if name in _BASIS_1Q else 0.0
+    if name in _BASIS_2Q and nm.coupling is not None:
+        a, b = axes[0], axes[1]
+        for ca, cb in nm.coupling:
+            if (a, b) == (ca, cb) or (a, b) == (cb, ca):
+                return nm.rate_2q(a, b)
+    return 0.0
 
 
 def default_noise_model() -> NoiseModel:
@@ -215,7 +252,7 @@ def simulate_noisy_circuit(
     gate_ops = [("u", u, axes) for u, axes in compiled.ops]
     phys = None
     slot_device = None
-    if nm.coupling is not None:
+    if nm.coupling is not None and not nm.untranspiled:
         from ..circuit.routing import route_stream
 
         routed = route_stream(
@@ -227,16 +264,23 @@ def simulate_noisy_circuit(
         slot_device = routed.slot_device
 
     probs = []
-    for i, (_, _, axes) in enumerate(gate_ops):
-        ph = phys[i] if phys is not None else axes
-        if any(p is None for p in ph):  # touches a deferral ancilla
-            probs.append(0.0)
-        elif len(axes) == 1:
-            probs.append(nm.rate_1q(ph[0]))
-        else:
-            probs.append(nm.rate_2q(ph[0], ph[1]))
+    if nm.untranspiled:
+        names = compiled.op_names or [None] * len(gate_ops)
+        for i, (_, _, axes) in enumerate(gate_ops):
+            probs.append(untranspiled_site_rate(nm, names[i], axes))
+    else:
+        for i, (_, _, axes) in enumerate(gate_ops):
+            ph = phys[i] if phys is not None else axes
+            if any(p is None for p in ph):  # touches a deferral ancilla
+                probs.append(0.0)
+            elif len(axes) == 1:
+                probs.append(nm.rate_1q(ph[0]))
+            else:
+                probs.append(nm.rate_2q(ph[0], ph[1]))
     site_qubit = [axes[0] for _, _, axes in gate_ops]
     k_traj = nm.trajectories
+    if probs and max(probs) == 0.0:
+        k_traj = 1  # no noise sites bind: one trajectory IS exact
 
     blocks = [(to_real_block(u), axes) for _, u, axes in gate_ops]
 
@@ -250,6 +294,43 @@ def simulate_noisy_circuit(
 
     if not blocks:
         probs_vec = sim_traj([])
+    elif nm.untranspiled:
+        # Exact first-order depolarising mixture: with only the few
+        # calibration-bound sites carrying noise (p ~ 1e-3 each), the
+        # channel composition expands to
+        #   P = c0*P_ideal + sum_s p_s*c0/(1-p_s) * mean_{X,Y,Z} P_(s,Pauli)
+        # up to O(p^2) ~ 1e-5 — deterministic, unlike trajectory sampling,
+        # so the recorded parity table is reproducible run to run.
+        nonzero = [i for i, p in enumerate(probs) if p > 0.0]
+        n_branch = 1 + 3 * len(nonzero)
+        ident = _PAULI_BLOCKS[0]
+        pauli_all = [
+            np.broadcast_to(ident, (n_branch, 2, 2, 2, 2)).copy()
+            for _ in probs
+        ]
+        weights = np.zeros(n_branch, dtype=np.float64)
+        c0 = float(np.prod([1.0 - probs[i] for i in nonzero])) if nonzero else 1.0
+        weights[0] = c0
+        b = 1
+        for i in nonzero:
+            for pi in (1, 2, 3):
+                pauli_all[i][b] = _PAULI_BLOCKS[pi]
+                weights[b] = probs[i] * c0 / (1.0 - probs[i]) / 3.0
+                b += 1
+        batch = max(1, min(n_branch, (1 << 26) // (1 << n)))
+        sim_batch = jax.jit(jax.vmap(sim_traj))
+        acc = None
+        done = 0
+        while done < n_branch:
+            k = min(batch, n_branch - done)
+            idx = np.arange(done, done + batch) % n_branch  # pad by wrap
+            pauli = [p[idx] for p in pauli_all]
+            w = np.where(np.arange(batch) < k, weights[idx], 0.0)
+            part = np.asarray(sim_batch(pauli))
+            part = (part * w[:, None].astype(np.float32)).sum(axis=0)
+            acc = part if acc is None else acc + part
+            done += k
+        probs_vec = jnp.asarray(acc / weights.sum())
     else:
         # batch trajectories so the vmapped state block stays <= ~0.5 GB:
         # a [K, 2, 2^n] batch at n=24 would be 2 GB per intermediate.
@@ -394,6 +475,15 @@ def run_noisy_virtual_circuit(
     else:
         models = [noise] * len(virt.fragments)
     assert len(models) >= len(virt.fragments)
+    # Untranspiled semantics on a fragment: the instantiations' gates are
+    # h/rz/cp/measure-and-QPD ops on fragment-local indices, none of which
+    # match a (basis gate, calibrated qubits) entry, so the fake backend
+    # executes them noise-free — the reference's recorded cut fidelities
+    # are pure 1000-shot sampling (ghz-24 cut 0.99979, sup-20 cut 2.07e-3).
+    models = [
+        None if (m is not None and getattr(m, "untranspiled", False)) else m
+        for m in models
+    ]
 
     if engine == "streamed":
         from .streamed import run_virtual_circuit_streamed

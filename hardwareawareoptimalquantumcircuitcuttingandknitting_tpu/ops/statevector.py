@@ -93,6 +93,8 @@ class CompiledCircuit:
     ops: list                    # (matrix np.ndarray, axes tuple)
     clbit_sources: dict[int, int]  # clbit -> sim-qubit holding its value
     num_clbits: int
+    op_names: list | None = None  # per-op source gate name ("_defer" for
+                                  # synthetic deferral ops); None after fusion
 
 
 def compile_circuit(circ: Circuit, fuse: bool = False) -> CompiledCircuit:
@@ -100,6 +102,7 @@ def compile_circuit(circ: Circuit, fuse: bool = False) -> CompiledCircuit:
     paths only; the trajectory noise engine needs per-physical-gate ops."""
     n = circ.num_qubits
     ops: list[tuple[np.ndarray, tuple[int, ...]]] = []
+    names: list[str] = []
     clbit_sources: dict[int, int] = {}
     next_anc = n
 
@@ -124,6 +127,7 @@ def compile_circuit(circ: Circuit, fuse: bool = False) -> CompiledCircuit:
                 anc = next_anc
                 next_anc += 1
                 ops.append((CX, (q, anc)))
+                names.append("_defer")
                 clbit_sources[c] = anc
             continue
         if ins.name == "reset":
@@ -133,6 +137,7 @@ def compile_circuit(circ: Circuit, fuse: bool = False) -> CompiledCircuit:
             anc = next_anc
             next_anc += 1
             ops.append((SWAP, (q, anc)))
+            names.append("_defer")
             continue
         if ins.condition is not None:
             cbit, val = ins.condition
@@ -143,21 +148,29 @@ def compile_circuit(circ: Circuit, fuse: bool = False) -> CompiledCircuit:
                 raise NotImplementedError("only c_if(bit == 1) supported")
             if ins.name == "x":
                 ops.append((CX, (src, ins.qubits[0])))
+                names.append("_defer")
             elif ins.name == "z":
                 ops.append((CZ, (src, ins.qubits[0])))
+                names.append("_defer")
             else:
                 raise NotImplementedError(f"conditioned {ins.name}")
             continue
         if ins.name == "unitary":
             ops.append((np.asarray(ins.op), tuple(ins.qubits)))
+            names.append("unitary")
             continue
         ops.append((ins.matrix(), tuple(ins.qubits)))
+        names.append(ins.name)
 
     if fuse:
         from .fusion import fuse_ops
 
         ops = fuse_ops(ops)
-    return CompiledCircuit(next_anc, ops, clbit_sources, circ.num_clbits)
+        return CompiledCircuit(next_anc, ops, clbit_sources, circ.num_clbits)
+    assert len(names) == len(ops)
+    return CompiledCircuit(
+        next_anc, ops, clbit_sources, circ.num_clbits, op_names=names
+    )
 
 
 def run_statevector(compiled: CompiledCircuit) -> jnp.ndarray:

@@ -78,3 +78,122 @@ def test_noisy_cut_pipeline():
     # noisy legs degrade but remain sane
     assert 0.2 < res.input_fidelity < 0.9999
     assert 0.2 < res.cut_fidelity < 1.01
+
+
+# ---------------------------------------------------------------------------
+# Untranspiled (reference-semantics) noise binding — r3 noisy-parity mode.
+# Reference: qvm/run.py:40-43 (transpile commented out) + Aer's rule that a
+# QuantumError binds to (instruction name, exact qubits) calibration entries.
+# ---------------------------------------------------------------------------
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+    fake_kolkata_v2,
+    untranspiled_site_rate,
+)
+
+
+def test_untranspiled_binding_rules():
+    nm = fake_kolkata_v2()
+    # non-basis gates never bind
+    assert untranspiled_site_rate(nm, "h", (0,)) == 0.0
+    assert untranspiled_site_rate(nm, "t", (3,)) == 0.0
+    assert untranspiled_site_rate(nm, "cz", (0, 1)) == 0.0
+    assert untranspiled_site_rate(nm, "cp", (0, 1)) == 0.0
+    assert untranspiled_site_rate(nm, "_defer", (0, 5)) == 0.0
+    # basis 1q gates bind the per-qubit rate
+    assert untranspiled_site_rate(nm, "x", (4,)) == nm.rate_1q(4)
+    assert untranspiled_site_rate(nm, "sx", (9,)) == nm.rate_1q(9)
+    # cx binds only on coupling-map pairs (either direction)
+    assert untranspiled_site_rate(nm, "cx", (0, 1)) == nm.rate_2q(0, 1)
+    assert untranspiled_site_rate(nm, "cx", (1, 0)) == nm.rate_2q(1, 0)
+    assert untranspiled_site_rate(nm, "cx", (0, 2)) == 0.0  # not an edge
+
+
+def test_untranspiled_zero_sites_is_exact_plus_readout():
+    """A cz-only circuit binds no gate noise: noisy == readout(ideal)."""
+    c = Circuit(3, 3)
+    c.h(0)
+    c.cz(0, 1)
+    c.cz(1, 2)
+    for q in range(3):
+        c.measure(q, q)
+    nm = fake_kolkata_v2()
+    nm.untranspiled = True
+    noisy = simulate_noisy_circuit(c, nm)
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        apply_readout_error,
+    )
+
+    expect = apply_readout_error(simulate_circuit(c), nm, bit_qubits=[0, 1, 2])
+    np.testing.assert_allclose(
+        np.asarray(noisy.values), np.asarray(expect.values), atol=1e-6
+    )
+
+
+def test_untranspiled_one_site_first_order_mixture():
+    """One bound cx: noisy == (1-p) ideal + p/3 (X+Y+Z inserted), computed
+    independently with dense complex numpy statevectors."""
+    c = Circuit(2, 2)
+    c.h(0)
+    c.cx(0, 1)  # (0,1) IS a heavy-hex edge -> binds
+    c.measure(0, 0)
+    c.measure(1, 1)
+    nm = fake_kolkata_v2()
+    nm.untranspiled = True
+    # turn off readout so the gate mixture is isolated
+    nm.ro01_q = nm.ro10_q = None
+    nm.readout01 = nm.readout10 = 0.0
+    noisy = simulate_noisy_circuit(c, nm)
+
+    H = np.array([[1, 1], [1, -1]]) / np.sqrt(2)
+    CX = np.array(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], complex
+    )
+    X = np.array([[0, 1], [1, 0]], complex)
+    Y = np.array([[0, -1j], [1j, 0]], complex)
+    Z = np.diag([1, -1]).astype(complex)
+    I = np.eye(2, dtype=complex)
+
+    def probs(extra):
+        psi = np.zeros(4, complex)
+        psi[0] = 1.0
+        psi = np.kron(H, I) @ psi  # qubit 0 is the MSB
+        psi = CX @ psi
+        if extra is not None:
+            psi = np.kron(extra, I) @ psi  # site qubit = first of the pair
+        return np.abs(psi) ** 2
+
+    p = nm.rate_2q(0, 1)
+    expect = (1 - p) * probs(None) + (p / 3) * (
+        probs(X) + probs(Y) + probs(Z)
+    )
+    np.testing.assert_allclose(
+        np.asarray(noisy.values), expect, atol=5e-6
+    )
+
+
+def test_untranspiled_model_runs_fragments_exact():
+    """Cut-leg semantics: an untranspiled model on fragments == ideal run
+    (the reference's recorded cut fidelities are pure shot sampling)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        run_noisy_virtual_circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.run import (
+        run_virtual_circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+        VirtualCircuit,
+    )
+
+    c = ghz(4)
+    cutter = Cutter(c, maxNPartitions=2, maxNQubitsPerPartition=3,
+                    maxNQpdCuts=3, maxNCuts=3, maxCutsPerPartitions=3)
+    assert cutter.solve()
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    nm = fake_kolkata_v2()
+    nm.untranspiled = True
+    noisy, _ = run_noisy_virtual_circuit(VirtualCircuit(cutter.getResultCircs()[3]), nm)
+    ideal, _ = run_virtual_circuit(virt)
+    np.testing.assert_allclose(
+        np.asarray(noisy.values), np.asarray(ideal.values), atol=1e-6
+    )

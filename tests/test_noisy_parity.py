@@ -1,19 +1,22 @@
 """Noisy-backend parity assertions (r2 VERDICT item 2).
 
 The committed artifact `noisy_parity.json` (benchmarks/noisy_parity.py)
-records orig/cut noisy fidelities for all 8 reference configs on the
-calibrated fake_kolkata_v2 model, both legs 1000-shot like the reference
-(Utilities.py:154-226).  The assertions here are structural — orderings
-and cut-vs-orig relations — because exact values depend on qiskit's full
-pulse-level device model:
+records orig/cut noisy fidelities for all 8 reference configs under the
+reference's actual execution semantics — circuits reach FakeKolkataV2
+UNTRANSPILED (Utilities.py:44, qvm/run.py:40-43), so Aer binds noise only
+to (basis gate, calibrated qubits) calibration entries:
 
-  * the readout/2q-error-dominated group (add/aqft/ghz/hwe) sits in
-    0.7..1.0 and the shot-noise-collapsed supremacy group far below it,
-    in the reference's order;
-  * ghz-24 orig matches the reference to ~0.3% (0.733 vs 0.731);
-  * cut >> orig holds on the supremacy-class rows where the reference
-    shows it (knitting restores a sampleable distribution that the
-    1000-shot uncut run cannot resolve over 2^n outcomes).
+  * orig leg = per-qubit readout error + cx error on coupling-map pairs
+    (ghz-24's reference 0.731 = (1 - 1.27%)^24, readout-dominated);
+  * cut leg = the fragment instantiations bind nothing, so the recorded
+    values are pure two-sided 1000-shot sampling.
+
+With the semantics matched, agreement is NUMERIC on most cells (see
+NOISY_TABLE.md), so the assertions here are tight where the quantity is
+deterministic-ish and structural where shot sampling dominates.  sup-25's
+reference cut value (1.0) is an artifact — two 1000-shot samples of a
+near-flat 2^25-outcome distribution cannot overlap — so that cell only
+asserts the sampling-floor ordering.
 
 A small live leg re-runs syc-12 end-to-end so the pipeline itself (not
 just the artifact) is exercised in-suite.
@@ -25,6 +28,11 @@ import pytest
 
 ART = pathlib.Path(__file__).parent.parent / "noisy_parity.json"
 
+ALL = [
+    "add_10_1_2_9", "aqft_6_2_2_5", "ghz_24_1_2_12", "hwe_10_1_2_5",
+    "sup_12_1_2_10", "sup_20_1_2_10", "sup_25_1_2_13", "syc_12_2_2_10",
+]
+
 
 @pytest.fixture(scope="module")
 def table():
@@ -34,46 +42,69 @@ def table():
 
 
 def test_all_reference_configs_recorded(table):
-    want = {
-        "add_10_1_2_9", "aqft_6_2_2_5", "ghz_24_1_2_12", "hwe_10_1_2_5",
-        "sup_12_1_2_10", "sup_20_1_2_10", "sup_25_1_2_13", "syc_12_2_2_10",
+    assert set(table) == set(ALL)
+    for k in ALL:
+        assert table[k]["shots"] == 1000
+
+
+def test_orig_legs_match_reference_numerically(table):
+    """The orig leg is readout + coupled-cx noise — deterministic up to
+    1000-shot scatter, so ballpark-numeric agreement is expected."""
+    tight = {  # config -> (ref value, abs tolerance)
+        "add_10_1_2_9": (0.878, 0.05),
+        "aqft_6_2_2_5": (0.966, 0.04),
+        "ghz_24_1_2_12": (0.731, 0.05),
+        "hwe_10_1_2_5": (0.863, 0.06),
+        "sup_12_1_2_10": (0.126, 0.06),
     }
-    assert set(table) == want
+    for k, (ref, tol) in tight.items():
+        assert table[k]["fid_orig"] == pytest.approx(ref, abs=tol), (
+            k, table[k]["fid_orig"], ref
+        )
+    # sampling-collapsed rows: orders of magnitude, not values
+    assert table["sup_20_1_2_10"]["fid_orig"] < 1e-2
+    assert table["sup_25_1_2_13"]["fid_orig"] < 1e-2
+    # syc-12 d2 orig is spread-distribution sampling; group membership only
+    assert table["syc_12_2_2_10"]["fid_orig"] < 0.35
 
 
-def test_orig_fidelity_grouping_matches_reference(table):
-    """High group (gate/readout-limited) well above the shot-noise-
-    collapsed supremacy group, like the reference's table."""
-    high = ["add_10_1_2_9", "aqft_6_2_2_5", "ghz_24_1_2_12", "hwe_10_1_2_5"]
-    low = ["sup_12_1_2_10", "syc_12_2_2_10"]
-    floor = ["sup_20_1_2_10", "sup_25_1_2_13"]
-    for k in high:
-        assert table[k]["fid_orig"] > 0.65, (k, table[k]["fid_orig"])
-    for k in low:
-        assert table[k]["fid_orig"] < 0.35, (k, table[k]["fid_orig"])
-    for k in floor:
-        assert table[k]["fid_orig"] < 1e-2, (k, table[k]["fid_orig"])
-    assert min(table[k]["fid_orig"] for k in high) > max(
-        table[k]["fid_orig"] for k in low
-    )
+def test_cut_legs_match_reference_numerically(table):
+    tight = {
+        "add_10_1_2_9": (0.991, 0.03),
+        "aqft_6_2_2_5": (0.952, 0.05),
+        "sup_12_1_2_10": (0.781, 0.06),
+        "syc_12_2_2_10": (0.963, 0.04),
+    }
+    for k, (ref, tol) in tight.items():
+        assert table[k]["fid_cut"] == pytest.approx(ref, abs=tol), (
+            k, table[k]["fid_cut"], ref
+        )
+    # ghz-24: two 1000-shot samples of a 2-outcome distribution
+    assert table["ghz_24_1_2_12"]["fid_cut"] > 0.995
+    # hwe-10: our 1-gate-cut plan carries less QPD sampling noise than the
+    # reference's recorded 0.981 — assert at least that level
+    assert table["hwe_10_1_2_5"]["fid_cut"] > 0.97
 
 
-def test_ghz24_orig_matches_reference_closely(table):
-    assert table["ghz_24_1_2_12"]["fid_orig"] == pytest.approx(
-        0.731, abs=0.05
-    )
-
-
-def test_cut_beats_orig_on_supremacy_class(table):
-    """The reference shows cut >> orig for sup-12 (0.781 vs 0.126) and
-    syc-12 (0.963 vs 0.181); the calibrated model reproduces both."""
-    for k in ("sup_12_1_2_10", "syc_12_2_2_10"):
+def test_cut_beats_orig_where_reference_shows_it(table):
+    for k in ("sup_12_1_2_10", "syc_12_2_2_10", "ghz_24_1_2_12",
+              "add_10_1_2_9", "hwe_10_1_2_5"):
         row = table[k]
-        assert row["fid_cut"] > 4 * row["fid_orig"], (k, row)
-        assert row["fid_cut"] > 0.6, (k, row)
-    # sup-20: reference cut 2.07e-3 vs orig 1.27e-5 — two orders better
+        assert row["fid_cut"] > row["fid_orig"], (k, row)
+    # sup-20: reference cut 2.07e-3 vs orig 1.27e-5 — orders apart
     row = table["sup_20_1_2_10"]
-    assert row["fid_cut"] > max(row["fid_orig"], 1e-5), row
+    assert row["fid_cut"] > max(10 * row["fid_orig"], 1e-4), row
+
+
+def test_calibrated_cut_column_present(table):
+    """The honest calibrated-noise cut leg (a capability the reference
+    lacks) is recorded for the non-streamed configs and sits below the
+    noise-free parity leg."""
+    for k in ("add_10_1_2_9", "aqft_6_2_2_5", "hwe_10_1_2_5",
+              "sup_12_1_2_10", "syc_12_2_2_10"):
+        row = table[k]
+        assert "fid_cut_calibrated" in row, k
+        assert row["fid_cut_calibrated"] <= row["fid_cut"] + 0.02, (k, row)
 
 
 def test_live_syc12_parity():
