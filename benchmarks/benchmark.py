@@ -139,12 +139,17 @@ def run_benchmark(cfg: BenchConfig) -> int:
         compare_original_with_cut,
     )
     from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
-        default_noise_model,
+        fake_kolkata_v2,
     )
 
+    # FakeKolkataV2 with the reference's actual run semantics (circuits
+    # reach the backend untranspiled — reference benchmark.py:95,
+    # qvm/run.py:40-43); see NOISY_TABLE.md for the recorded parity table
+    backend = fake_kolkata_v2()
+    backend.untranspiled = True
     res = compare_original_with_cut(
         decomposed, cut_circuit,
-        noise_model=default_noise_model(), shots=cfg.shots,
+        noise_model=backend, shots=cfg.shots,
     )
     log.info(f"inputCircFidelity: {res.input_fidelity}")
     log.info(f"cutCircFidelity: {res.cut_fidelity}")

@@ -77,17 +77,27 @@ def compare_original_with_cut(
     """
     log = get_logger(__name__)
     input_ideal = simulate_circuit(original)
+    if shots is not None:
+        # the reference's "ideal" legs are themselves 1000-shot Aer runs
+        # (Utilities.py:49-51), so sample the uncut oracle too
+        from .ops.sampling import sample_distribution
+
+        input_ideal = sample_distribution(input_ideal, shots, seed + 101)
     virt = VirtualCircuit(cut)
     cut_ideal, _ = run_virtual_circuit(virt, shots=shots, seed=seed)
 
     if noise_model is not None:
         from .ops.noise import simulate_noisy_circuit, run_noisy_virtual_circuit
 
+        # distinct seeds: the reference's noisy legs are independent
+        # backend jobs, so their shot draws never coincide with the
+        # ideal legs' (an untranspiled model would otherwise reproduce
+        # the ideal leg bit-for-bit and report exactly 1.0)
         input_noisy = simulate_noisy_circuit(
-            original, noise_model, shots=shots, seed=seed
+            original, noise_model, shots=shots, seed=seed + 211
         )
         cut_noisy, _ = run_noisy_virtual_circuit(
-            VirtualCircuit(cut), noise_model, shots=shots, seed=seed
+            VirtualCircuit(cut), noise_model, shots=shots, seed=seed + 223
         )
     else:
         input_noisy = input_ideal
