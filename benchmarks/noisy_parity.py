@@ -57,6 +57,9 @@ from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
     genCirc,
 )
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.knit import (
+    prune_distribution,
+)
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
     fake_kolkata_v2,
     run_noisy_virtual_circuit,
@@ -141,6 +144,11 @@ def run_config(name, n, depth, P, Q, shots=1000, seed=0, log=print,
     cut_b, _ = run_virtual_circuit(
         virt, shots=shots, seed=seed + 3, engine=engine
     )
+    # the reference's QuasiDistr drops |v| <= 1e-5 at every construction
+    # (quasi_distr.py:3,8-10); at sup-20/25 scale this concentrates the
+    # sampled knit's support and sets its recorded cut fidelity
+    cut_a = prune_distribution(cut_a)
+    cut_b = prune_distribution(cut_b)
     fid_cut = hellinger_fidelity(cut_a, cut_b)
     fid_cut_vs_uncut = hellinger_fidelity(ideal_s, cut_a)
     log(f"[{name}-{n}] fid_cut={fid_cut:.6g} "

@@ -158,3 +158,25 @@ def test_sampled_path_statistical():
         VirtualCircuit(cut), shots=20000, seed=3, project=True
     )
     assert hellinger_fidelity(ideal, knitted) > 0.995
+
+
+def test_prune_distribution_reference_accuracy():
+    """Reference-compatible pruning (quasi_distr.py:3,8-10): |v| <= 1e-5
+    zeroed, larger entries untouched, sign preserved."""
+    import numpy as np
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.knit import (
+        prune_distribution,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+        Distribution,
+    )
+
+    vals = np.array([0.5, 1e-5, -1e-5, 2e-5, -2e-5, 0.0, 1e-6, -0.4],
+                    dtype=np.float64)
+    d = prune_distribution(Distribution(vals, [0, 1, 2], 3))
+    np.testing.assert_allclose(
+        np.asarray(d.values),
+        [0.5, 0.0, 0.0, 2e-5, -2e-5, 0.0, 0.0, -0.4],
+    )
+    assert d.bit_positions == [0, 1, 2] and d.num_clbits == 3
