@@ -410,8 +410,10 @@ def run_fragment_noisy(
     ]
     pauli = _sample_paulis(rng, site_probs, (total,))
 
-    sim_batch = jax.jit(jax.vmap(sim_one))
-    chunk = min(chunk_size, total)
+    chunk = min(
+        chunk_size, total,
+        max(1, (1 << 19) >> virt.programs[frag_name].num_sim_qubits),
+    )
     n_chunks = math.ceil(total / chunk)
     padded = n_chunks * chunk
     if padded != total:
@@ -426,18 +428,40 @@ def run_fragment_noisy(
             np.concatenate([p, np.repeat(p[-1:], padded - total, 0)])
             for p in pauli
         ]
-    rows = []
-    for i in range(n_chunks):
-        sl = slice(i * chunk, (i + 1) * chunk)
-        rows.append(
-            np.asarray(
-                sim_batch(
-                    [tuple(m[sl] for m in mats) for mats in batched_slots],
-                    [p[sl] for p in pauli],
-                )
+    if n_chunks == 1:
+        values = np.asarray(
+            jax.jit(jax.vmap(sim_one))(
+                [tuple(np.asarray(m) for m in mats) for mats in batched_slots],
+                [np.asarray(p) for p in pauli],
             )
+        )[:total]
+    else:
+        # one dispatch for (variants x trajectories): scan over chunks on
+        # device, like the exact engine (see run_fragment)
+        xs = (
+            [
+                tuple(
+                    np.asarray(m).reshape((n_chunks, chunk) + m.shape[1:])
+                    for m in mats
+                )
+                for mats in batched_slots
+            ],
+            [
+                np.asarray(p).reshape((n_chunks, chunk) + p.shape[1:])
+                for p in pauli
+            ],
         )
-    values = np.concatenate(rows, axis=0)[:total]
+
+        def _body(carry, x):
+            sl, pl = x
+            return carry, jax.vmap(sim_one)(sl, pl)
+
+        @jax.jit
+        def _scan_all(xs):
+            _, ys = jax.lax.scan(_body, None, xs)
+            return ys.reshape(padded, ys.shape[-1])
+
+        values = np.asarray(_scan_all(xs))[:total]
     values = values.reshape(flat_count, k_traj, width).mean(axis=1)
     return FragmentResult(frag_name, values, positions, list(prog.touching))
 

@@ -213,7 +213,9 @@ def run_fragment(
         values = np.broadcast_to(row, (flat_count, width)).copy()
         return FragmentResult(frag_name, values, positions, list(prog.touching))
 
-    chunk = min(chunk_size, flat_count)
+    # cap the per-step buffer at 2^20 floats: tunneled-TPU compile time
+    # scales with the largest buffer in the program (verify SKILL.md)
+    chunk = min(chunk_size, flat_count, max(1, (1 << 19) >> prog.num_sim_qubits))
     n_chunks = math.ceil(flat_count / chunk)
     padded = n_chunks * chunk
     if padded != flat_count:
@@ -224,12 +226,36 @@ def run_fragment(
             )
             for mats in all_mats
         ]
-    rows = []
-    for i in range(n_chunks):
-        sl = slice(i * chunk, (i + 1) * chunk)
-        batch = [tuple(m[sl] for m in mats) for mats in all_mats]
-        rows.append(np.asarray(sim_batch(batch)))
-    values = np.concatenate(rows, axis=0)[:flat_count]
+    if n_chunks == 1:
+        values = np.asarray(
+            sim_batch([tuple(np.asarray(m) for m in mats)
+                       for mats in all_mats])
+        )[:flat_count]
+        return FragmentResult(
+            frag_name, values, positions, list(prog.touching)
+        )
+
+    # One dispatch for the whole fan-out: lax.scan over chunks on device.
+    # A host-side chunk loop pays a dispatch+fetch round-trip per chunk —
+    # measured 8.5x slower end-to-end on the v5e (BENCH_TABLE_TPU.md,
+    # r3 shootout); per-step buffers stay at chunk * 2^n either way.
+    xs = [
+        tuple(
+            np.asarray(m).reshape((n_chunks, chunk) + m.shape[1:])
+            for m in mats
+        )
+        for mats in all_mats
+    ]
+
+    def _body(carry, chunk_mats):
+        return carry, jax.vmap(_sim_one)(chunk_mats)
+
+    @jax.jit
+    def _scan_all(xs):
+        _, ys = jax.lax.scan(_body, None, xs)
+        return ys.reshape(padded, ys.shape[-1])
+
+    values = np.asarray(_scan_all(xs))[:flat_count]
     return FragmentResult(frag_name, values, positions, list(prog.touching))
 
 
