@@ -33,14 +33,82 @@ def _fragment_sparse_rows(res, prune: float) -> list[QuasiDistr]:
     return rows
 
 
+def sampled_sparse_fragment_rows(
+    virt: VirtualCircuit,
+    frag_name: str,
+    shots: int,
+    seed: int = 0,
+    chunk_size: int = 256,
+) -> list[QuasiDistr]:
+    """Stream one fragment's variant rows chunk-by-chunk, multinomially
+    sample each at ``shots``, and return global-clbit-keyed sparse rows.
+
+    Constant memory in the variant count — for sup-25-class fragments the
+    dense ``[V, 2^18]`` row matrix cannot materialise, but each sampled
+    row carries at most ``shots`` keys.  This is bit-for-bit the
+    reference's data path: per-instance Aer ``counts`` ->
+    ``QuasiDistr.from_counts`` (qvm/run.py:42-57)."""
+    import jax
+
+    from ..ops.variant_engine import make_sim_fn
+
+    sim_one, all_mats, positions, flat_count = make_sim_fn(virt, frag_name)
+    prog = virt.programs[frag_name]
+    rng = np.random.default_rng(seed)
+    chunk = min(chunk_size, flat_count,
+                max(1, (1 << 19) >> prog.num_sim_qubits))
+    n_chunks = -(-flat_count // chunk)
+    padded = n_chunks * chunk
+    if padded != flat_count:
+        all_mats = [
+            tuple(
+                np.concatenate([m, np.repeat(m[-1:], padded - flat_count, 0)])
+                for m in mats
+            )
+            for mats in all_mats
+        ]
+    sim_batch = jax.jit(jax.vmap(sim_one))
+    bit_masks = np.array(
+        [sum(1 << p for j, p in enumerate(positions) if (i >> j) & 1)
+         for i in range(1 << len(positions))],
+        dtype=np.int64,
+    ) if positions else np.zeros(1, np.int64)
+
+    def _sample_row(r: np.ndarray) -> QuasiDistr:
+        p = np.clip(np.asarray(r, dtype=np.float64), 0.0, None)
+        counts = rng.multinomial(shots, p / p.sum())
+        nz = np.nonzero(counts)[0]
+        keys = bit_masks[nz]
+        order = np.argsort(keys, kind="stable")
+        return QuasiDistr(keys[order], (counts[nz] / shots)[order])
+
+    rows: list[QuasiDistr] = []
+    if not prog.slots:
+        row = np.asarray(jax.jit(sim_one)([]))
+        return [_sample_row(row) for _ in range(flat_count)]
+
+    for i in range(n_chunks):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        batch = [tuple(np.asarray(m[sl]) for m in mats) for mats in all_mats]
+        vals = np.asarray(sim_batch(batch))
+        for r in vals:
+            if len(rows) >= flat_count:
+                break
+            rows.append(_sample_row(r))
+    return rows
+
+
 def sparse_knit(
-    virt: VirtualCircuit, results: list, prune: float = 0.0
+    virt: VirtualCircuit, results: list = None, prune: float = 0.0,
+    rows: dict | None = None,
 ) -> QuasiDistr:
     """Knit fragment results with the reference's sparse algorithm.
 
     ``results``: FragmentResults from the variant engine (exact rows or
-    shot-sampled).  Returns the quasi-distribution over the original
-    clbits, keys little-endian over global clbit positions.
+    shot-sampled); alternatively ``rows`` maps fragment name -> prebuilt
+    sparse rows (see :func:`sampled_sparse_fragment_rows`).  Returns the
+    quasi-distribution over the original clbits, keys little-endian over
+    global clbit positions.
     """
     specs = [vg.spec for vg in virt.vgates]
     num_g = len(specs)
@@ -53,9 +121,16 @@ def sparse_knit(
 
     frag_rows = []
     frag_meta = []
-    for res in results:
-        frag_rows.append(_fragment_sparse_rows(res, prune))
-        prog = virt.programs[res.name]
+    if rows is not None:
+        names = [reg.name for reg in virt.fragments if reg.name in rows]
+    else:
+        names = [res.name for res in results]
+    for idx, name in enumerate(names):
+        if rows is not None:
+            frag_rows.append(rows[name])
+        else:
+            frag_rows.append(_fragment_sparse_rows(results[idx], prune))
+        prog = virt.programs[name]
         strides: dict[int, int] = {}
         acc = 1
         for g in reversed(prog.touching):

@@ -70,3 +70,41 @@ def test_sparse_knit_matches_tensor(builder):
     assert set(got) == set(want), (set(got) ^ set(want))
     for key, val in want.items():
         assert got[key] == pytest.approx(val, abs=2e-4), key
+
+
+def test_sampled_sparse_rows_knit_converges_to_exact():
+    """sampled_sparse_fragment_rows + sparse_knit (the reference's full
+    counts->QuasiDistr->hierarchical-knit data path, incl. its 1e-5
+    pruning) converges to the exact dense knit at large shot counts."""
+    import numpy as np
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (
+        hellinger_fidelity,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+        simulate_circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.sparse_knit import (
+        sampled_sparse_fragment_rows,
+        sparse_knit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+        Circuit,
+    )
+
+    circ = Circuit(8, 8)
+    circ.h(0)
+    for i in range(7):
+        circ.cx(i, i + 1)
+    for q in range(8):
+        circ.measure(q, q)
+    virt = _cut(circ, 5)
+    rows = {
+        reg.name: sampled_sparse_fragment_rows(
+            virt, reg.name, shots=100_000, seed=11 + i
+        )
+        for i, reg in enumerate(virt.fragments)
+    }
+    q = sparse_knit(virt, rows=rows).nearest_probability_distribution()
+    fid = hellinger_fidelity(q.to_dict(), simulate_circuit(circ))
+    assert fid > 0.999, fid
