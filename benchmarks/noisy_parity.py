@@ -110,7 +110,10 @@ def calibrated_traj(frag_qubits: int) -> int:
 def run_config(name, n, depth, P, Q, shots=1000, seed=0, log=print,
                calibrated=False):
     t0 = time.time()
-    circ = genCirc(name, n, depth)
+    # fixed generator seed: sup/syc draw random 1q gates per call (the
+    # reference averages 3 unseeded runs; a pinned instance makes the
+    # committed artifact reproducible)
+    circ = genCirc(name, n, depth, seed=seed + 42)
     cutter = Cutter(
         circ, maxNPartitions=P, maxNQubitsPerPartition=Q,
         maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5,

@@ -133,13 +133,20 @@ def generate_ghz(n_qubits: int) -> Circuit:
     return circ
 
 
-def genCirc(circ_name: str, n_qubits: int, depth: int) -> Circuit:
+def genCirc(circ_name: str, n_qubits: int, depth: int,
+            seed=None) -> Circuit:
+    """Reference benchmark.py's genCirc dispatch.  ``seed`` (ours only) pins
+    the generator RNG for reproducible instances — the reference draws a
+    fresh random instance per call (helper_functions.py:67 with
+    seed=None) and averages runs instead."""
     log = get_logger(__name__)
+    if seed is not None:
+        random.seed(seed)
     if circ_name == "ran":
         circ = random_circuit(n_qubits, depth)
         circ.measure_all()
     elif circ_name == "sup":
-        circ = generate_circ(n_qubits, depth, "supremacy")
+        circ = generate_circ(n_qubits, depth, "supremacy", seed=seed)
         circ.measure_all()
     elif circ_name == "su":
         circ = efficient_su2(n_qubits, "linear", reps=2)
@@ -147,7 +154,7 @@ def genCirc(circ_name: str, n_qubits: int, depth: int) -> Circuit:
     elif circ_name == "ghz":
         return generate_ghz(n_qubits)
     elif circ_name == "syc":
-        circ = generate_circ(n_qubits, depth, "sycamore")
+        circ = generate_circ(n_qubits, depth, "sycamore", seed=seed)
         circ.measure_all()
     elif circ_name == "hwe":
         circ = generate_circ(n_qubits, depth, "hwea")

@@ -410,9 +410,11 @@ def run_fragment_noisy(
     ]
     pauli = _sample_paulis(rng, site_probs, (total,))
 
+    from .variant_engine import chunk_cap
+
     chunk = min(
         chunk_size, total,
-        max(1, (1 << 19) >> virt.programs[frag_name].num_sim_qubits),
+        chunk_cap(virt.programs[frag_name].num_sim_qubits),
     )
     n_chunks = math.ceil(total / chunk)
     padded = n_chunks * chunk

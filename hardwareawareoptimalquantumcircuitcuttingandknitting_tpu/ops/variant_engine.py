@@ -28,6 +28,16 @@ from .statevector import (
 _I4 = np.eye(4, dtype=COMPLEX)
 
 
+def chunk_cap(num_sim_qubits: int) -> int:
+    """Per-scan-step variant cap.  On the tunneled TPU, server-side
+    compile time scales with the largest buffer in the program, so keep
+    chunk * 2^n <= 2^20 floats (verify SKILL.md); on CPU the compile is
+    local and cached, and tiny chunks just multiply dispatch overhead."""
+    if jax.default_backend() == "cpu":
+        return max(1, (1 << 23) >> num_sim_qubits)
+    return max(1, (1 << 19) >> num_sim_qubits)
+
+
 def _stack_blocks(mats: np.ndarray) -> np.ndarray:
     """[V, m, m] complex -> [V, 2, m, 2, m] real blocks."""
     return np.stack([to_real_block(m) for m in mats])
@@ -213,9 +223,7 @@ def run_fragment(
         values = np.broadcast_to(row, (flat_count, width)).copy()
         return FragmentResult(frag_name, values, positions, list(prog.touching))
 
-    # cap the per-step buffer at 2^20 floats: tunneled-TPU compile time
-    # scales with the largest buffer in the program (verify SKILL.md)
-    chunk = min(chunk_size, flat_count, max(1, (1 << 19) >> prog.num_sim_qubits))
+    chunk = min(chunk_size, flat_count, chunk_cap(prog.num_sim_qubits))
     n_chunks = math.ceil(flat_count / chunk)
     padded = n_chunks * chunk
     if padded != flat_count:

@@ -55,8 +55,9 @@ def sampled_sparse_fragment_rows(
     sim_one, all_mats, positions, flat_count = make_sim_fn(virt, frag_name)
     prog = virt.programs[frag_name]
     rng = np.random.default_rng(seed)
-    chunk = min(chunk_size, flat_count,
-                max(1, (1 << 19) >> prog.num_sim_qubits))
+    from ..ops.variant_engine import chunk_cap
+
+    chunk = min(chunk_size, flat_count, chunk_cap(prog.num_sim_qubits))
     n_chunks = -(-flat_count // chunk)
     padded = n_chunks * chunk
     if padded != flat_count:
