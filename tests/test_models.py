@@ -84,3 +84,21 @@ def test_supremacy_dims():
     circ = generate_circ(12, 1, "supremacy")
     assert circ.num_qubits == 12
     assert circ.count_ops().get("cz", 0) > 0
+
+
+def test_genCirc_seed_reproducible():
+    """seed= pins the random 1q-gate draws of sup/syc instances (ours
+    only; the reference draws fresh instances per call and averages)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
+        genCirc,
+    )
+
+    a = genCirc("sup", 12, 1, seed=7)
+    b = genCirc("sup", 12, 1, seed=7)
+    c = genCirc("sup", 12, 1, seed=8)
+    sig = lambda circ: [
+        (i.name, tuple(i.qubits), tuple(getattr(i, "params", ()) or ()))
+        for i in circ.instructions
+    ]
+    assert sig(a) == sig(b)
+    assert sig(a) != sig(c)
