@@ -234,6 +234,14 @@ def smolin_project(vals: np.ndarray) -> np.ndarray:
     negative tail can be discarded (plus a small safety margin of tiny
     positives), so the sort runs over O(#negatives) entries, not 2^n:
     ghz-24's 16.7M-entry projection drops from ~30 s to <50 ms.
+
+    Tie caveat: when several entries share the exact boundary value,
+    ``argpartition`` may zero a different (equal-valued) subset than a
+    full stable ascending sort would, so the per-index output can differ
+    from the reference's when exact ties straddle the cut.  The choice is
+    arbitrary in the reference too (its ordering depends on dict
+    insertion order); both follow the same published scan, which is not
+    tie-deterministic.
     """
     vals = np.asarray(vals, dtype=np.float64)
     n = vals.size

@@ -160,12 +160,14 @@ def fake_kolkata_v2(seed: int = 27) -> NoiseModel:
 
 
 def fake_athens() -> NoiseModel:
-    return NoiseModel("fake_athens", 0.0004, 0.012, 0.02, 0.035, num_qubits=5)
+    """5-qubit line device (FakeAthens' real topology)."""
+    return NoiseModel("fake_athens", 0.0004, 0.012, 0.02, 0.035,
+                      num_qubits=5, coupling=_line_coupling(5))
 
 
 def fake_open_pulse(n: int) -> NoiseModel:
     return NoiseModel(f"fake_openpulse{n}q", 0.001, 0.02, 0.03, 0.05,
-                      num_qubits=n)
+                      num_qubits=n, coupling=_line_coupling(n))
 
 
 def _sample_paulis(rng: np.random.Generator, probs, shape):
@@ -185,10 +187,18 @@ def apply_readout_error(
 ) -> Distribution:
     """Exact readout-error channel on the written bits.  ``bit_qubits``:
     per-bit device qubit (aligned with ``dist.bit_positions``) for
-    per-qubit calibrated error rates; None uses the scalar rates."""
+    per-qubit calibrated error rates; None uses the model's SCALAR rates
+    on every bit (the per-qubit vectors are ignored — a bit index is not
+    a device qubit)."""
     k = len(dist.bit_positions)
     if k == 0:
         return dist
+    if bit_qubits is None:
+        scalar = NoiseModel(
+            p1=nm.p1, p2=nm.p2,
+            readout01=nm.readout01, readout10=nm.readout10,
+        )
+        nm = scalar
     # split one bit at a time out of the flat axis: rank stays <= 3 for
     # any k (a (2,)*k reshape + transposes stalls the TPU compiler at
     # k ~ 24 — see ops/bits.py)
@@ -372,6 +382,31 @@ def simulate_noisy_circuit(
     return dist
 
 
+def _apply_rows_readout(
+    values: np.ndarray,
+    bit_positions: list[int],
+    nm: NoiseModel,
+    bit_qubits: dict[int, int],
+) -> np.ndarray:
+    """Exact readout channel on ``[V, 2^k]`` rows.  Distributions are
+    little-endian (bit j of the flat index carries ``bit_positions[j]``),
+    so bit j splits the flat axis as (high=1<<(k-1-j), 2, low=1<<j) —
+    the same contraction as the streamed engine and apply_readout_error.
+    ``bit_qubits``: clbit -> device qubit for calibrated rates."""
+    k = len(bit_positions)
+    if not k:
+        return values
+    v = values
+    n_rows = v.shape[0]
+    for j in range(k):
+        q = bit_qubits.get(bit_positions[j], j)
+        m = nm.readout_matrix(q)
+        high, low = 1 << (k - 1 - j), 1 << j
+        r4 = v.reshape(n_rows, high, 2, low)
+        v = np.einsum("ab,vhbl->vhal", m, r4).reshape(n_rows, -1)
+    return v
+
+
 def run_fragment_noisy(
     virt: VirtualCircuit,
     frag_name: str,
@@ -380,7 +415,10 @@ def run_fragment_noisy(
     chunk_size: int = 256,
 ) -> FragmentResult:
     """Noisy fragment execution: variants x trajectories batched in one
-    vmapped program, averaged over the trajectory axis."""
+    vmapped program, averaged over the trajectory axis; the per-qubit
+    calibrated readout channel is applied to every variant row (device
+    nodes from the routed placement when the model carries a coupling
+    map)."""
     import math
 
     sim_one, slot_mats, positions, flat_count = make_sim_fn(
@@ -393,11 +431,18 @@ def run_fragment_noisy(
 
     site_probs = [p for (_, _, p) in sim_one.noise_sites]
 
+    cq = dict(frag_clbit_qubits(virt, frag_name))
+    if sim_one.readout_device is not None:
+        cq.update({
+            c: d for c, d in sim_one.readout_device.items() if d is not None
+        })
+
     if not prog.slots:
         pauli = _sample_paulis(rng, site_probs, (k_traj,))
         rows = jax.vmap(lambda pm: sim_one([], pm))(pauli)
         row = jnp.mean(rows, axis=0)
         values = np.broadcast_to(np.asarray(row), (flat_count, width)).copy()
+        values = _apply_rows_readout(values, positions, nm, cq)
         return FragmentResult(
             frag_name, values, positions, list(prog.touching)
         )
@@ -410,61 +455,17 @@ def run_fragment_noisy(
     ]
     pauli = _sample_paulis(rng, site_probs, (total,))
 
-    from .variant_engine import chunk_cap
+    from .variant_engine import chunk_cap, scan_variant_rows
 
     chunk = min(
         chunk_size, total,
         chunk_cap(virt.programs[frag_name].num_sim_qubits),
     )
-    n_chunks = math.ceil(total / chunk)
-    padded = n_chunks * chunk
-    if padded != total:
-        batched_slots = [
-            tuple(
-                np.concatenate([m, np.repeat(m[-1:], padded - total, 0)])
-                for m in mats
-            )
-            for mats in batched_slots
-        ]
-        pauli = [
-            np.concatenate([p, np.repeat(p[-1:], padded - total, 0)])
-            for p in pauli
-        ]
-    if n_chunks == 1:
-        values = np.asarray(
-            jax.jit(jax.vmap(sim_one))(
-                [tuple(np.asarray(m) for m in mats) for mats in batched_slots],
-                [np.asarray(p) for p in pauli],
-            )
-        )[:total]
-    else:
-        # one dispatch for (variants x trajectories): scan over chunks on
-        # device, like the exact engine (see run_fragment)
-        xs = (
-            [
-                tuple(
-                    np.asarray(m).reshape((n_chunks, chunk) + m.shape[1:])
-                    for m in mats
-                )
-                for mats in batched_slots
-            ],
-            [
-                np.asarray(p).reshape((n_chunks, chunk) + p.shape[1:])
-                for p in pauli
-            ],
-        )
-
-        def _body(carry, x):
-            sl, pl = x
-            return carry, jax.vmap(sim_one)(sl, pl)
-
-        @jax.jit
-        def _scan_all(xs):
-            _, ys = jax.lax.scan(_body, None, xs)
-            return ys.reshape(padded, ys.shape[-1])
-
-        values = np.asarray(_scan_all(xs))[:total]
+    values = scan_variant_rows(
+        sim_one, (batched_slots, pauli), total, chunk
+    )
     values = values.reshape(flat_count, k_traj, width).mean(axis=1)
+    values = _apply_rows_readout(values, positions, nm, cq)
     return FragmentResult(frag_name, values, positions, list(prog.touching))
 
 
@@ -538,26 +539,11 @@ def run_noisy_virtual_circuit(
             assert virt.programs[reg.name].num_data_qubits <= nm.num_qubits, (
                 f"fragment {reg.name} does not fit backend {nm.name}"
             )
-        res = run_fragment_noisy(virt, reg.name, nm, seed=seed + i)
-        # readout error on this fragment's written bits (incl. vgate clbits),
-        # applied to every variant row at once, per-qubit calibrated
-        k = len(res.bit_positions)
-        if k:
-            cq = frag_clbit_qubits(virt, reg.name)
-            vals = res.values.reshape((res.values.shape[0],) + (2,) * k)
-            for axis in range(1, k + 1):
-                q = cq.get(res.bit_positions[axis - 1], axis - 1)
-                m = nm.readout_matrix(q)
-                vals = np.moveaxis(
-                    np.tensordot(m, vals, axes=([1], [axis])), 0, axis
-                )
-            res = FragmentResult(
-                res.name,
-                vals.reshape(res.values.shape[0], -1),
-                res.bit_positions,
-                res.touching,
-            )
-        results.append(res)
+        # readout is applied inside run_fragment_noisy (little-endian bit
+        # order, routed-device calibrated rates)
+        results.append(
+            run_fragment_noisy(virt, reg.name, nm, seed=seed + i)
+        )
     if shots is not None:
         from .sampling import sample_fragment_results
 

@@ -146,7 +146,15 @@ def make_streamed_knit(
             xs_pauli.append(_chunked(idx))
             from .noise import frag_clbit_qubits
 
-            cq = frag_clbit_qubits(virt, name)
+            cq = dict(frag_clbit_qubits(virt, name))
+            if sim_one.readout_device is not None:
+                # routed placement: readout rates come from the device
+                # node actually holding the bit, matching the gate-noise
+                # lookup (and the uncut path's _ro_qubit)
+                cq.update({
+                    c: d for c, d in sim_one.readout_device.items()
+                    if d is not None
+                })
             readout.append(np.stack([
                 nm.readout_matrix(cq.get(c, j))
                 for j, c in enumerate(positions)
@@ -323,15 +331,29 @@ def _stream_fingerprint(virt, chunk, segment_chunks, models, trajectories,
 
     from ..utils.checkpoint import checkpoint_fingerprint
 
+    import numpy as _np
+
     h = hashlib.sha256()
     h.update(checkpoint_fingerprint(virt).encode())
     h.update(f"|chunk={chunk}|seg={segment_chunks}|seed={seed}".encode())
     for nm in models:
+        if nm is None:
+            h.update(b"none")
+            continue
         h.update(
-            b"none" if nm is None else
             f"{nm.name}|{nm.p1}|{nm.p2}|{nm.readout01}|{nm.readout10}|"
-            f"{trajectories or nm.trajectories}".encode()
+            f"{trajectories or nm.trajectories}|{nm.untranspiled}|"
+            f"{sorted(map(tuple, nm.coupling)) if nm.coupling else None}"
+            .encode()
         )
+        # per-qubit calibration vectors: two models sharing name/scalars
+        # but different vectors must not share a checkpoint
+        for vec in (nm.p1_q, nm.p2_q, nm.ro01_q, nm.ro10_q):
+            if vec is None:
+                h.update(b"|none")
+            else:
+                a = _np.ascontiguousarray(_np.asarray(vec, _np.float64))
+                h.update(b"|" + a.tobytes())
     return h.hexdigest()
 
 

@@ -28,6 +28,56 @@ from .statevector import (
 _I4 = np.eye(4, dtype=COMPLEX)
 
 
+def pad_variants(leaves, total: int, padded: int):
+    """Pad every array in a pytree from ``total`` to ``padded`` rows by
+    repeating the last row (padding rows are sliced off after the run)."""
+    if padded == total:
+        return leaves
+    return jax.tree.map(
+        lambda m: np.concatenate(
+            [np.asarray(m), np.repeat(np.asarray(m)[-1:], padded - total, 0)]
+        ),
+        leaves,
+    )
+
+
+def scan_variant_rows(sim_fn, arg_trees: tuple, total: int, chunk: int):
+    """Run ``sim_fn(*args)`` for every variant row in ONE dispatch.
+
+    ``arg_trees``: tuple of pytrees, each with arrays of leading dim
+    ``total`` (positional args of ``sim_fn`` per variant).  Pads to a
+    multiple of ``chunk``, reshapes to ``[n_chunks, chunk, ...]`` and
+    ``lax.scan``s a vmapped body — a host-side chunk loop pays a
+    dispatch+fetch round-trip per chunk, measured 8.5x slower end-to-end
+    on the v5e (BENCH_TABLE_TPU.md, r3 shootout).  Returns ``[total,
+    width]`` rows (host numpy)."""
+    n_chunks = math.ceil(total / chunk)
+    padded = n_chunks * chunk
+    args = pad_variants(arg_trees, total, padded)
+    if n_chunks == 1:
+        return np.asarray(
+            jax.jit(jax.vmap(sim_fn))(
+                *jax.tree.map(np.asarray, args)
+            )
+        )[:total]
+    xs = jax.tree.map(
+        lambda m: np.ascontiguousarray(
+            np.asarray(m).reshape((n_chunks, chunk) + np.asarray(m).shape[1:])
+        ),
+        args,
+    )
+
+    def _body(carry, x):
+        return carry, jax.vmap(sim_fn)(*x)
+
+    @jax.jit
+    def _run(xs):
+        _, ys = jax.lax.scan(_body, None, xs)
+        return ys.reshape(padded, ys.shape[-1])
+
+    return np.asarray(_run(xs))[:total]
+
+
 def chunk_cap(num_sim_qubits: int) -> int:
     """Per-scan-step variant cap.  On the tunneled TPU, server-side
     compile time scales with the largest buffer in the program, so keep
@@ -108,6 +158,7 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
     n = prog.num_sim_qubits
     clbit_sources = prog.clbit_sources
     phys = None
+    readout_device = None
 
     # exact path: fuse contiguous fixed-gate runs between slots.  The
     # noise path keeps the unfused stream (per-physical-gate noise sites)
@@ -136,6 +187,13 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
         prog_ops = routed.ops
         phys = routed.phys
         clbit_sources = routed.clbit_sources
+        # device node holding each written clbit's value, for calibrated
+        # readout lookup (same rule as the uncut path's _ro_qubit)
+        readout_device = {
+            c: (routed.slot_device[s] if s < len(routed.slot_device)
+                else None)
+            for c, s in clbit_sources.items()
+        }
     else:
         prog_ops = prog.ops
 
@@ -203,6 +261,7 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
         return marginalize_flat(p, n, sources)
 
     _sim_one.noise_sites = noise_sites
+    _sim_one.readout_device = readout_device
     all_mats = _slot_matrices(prog, specs, flat_count, strides, n_inst)
     return _sim_one, all_mats, positions, flat_count
 
@@ -215,7 +274,6 @@ def run_fragment(
     """Exact probability rows for every variant of one fragment."""
     prog = virt.programs[frag_name]
     _sim_one, all_mats, positions, flat_count = make_sim_fn(virt, frag_name)
-    sim_batch = jax.jit(jax.vmap(_sim_one))
     width = max(1, 2 ** len(positions))
 
     if not prog.slots:
@@ -224,46 +282,7 @@ def run_fragment(
         return FragmentResult(frag_name, values, positions, list(prog.touching))
 
     chunk = min(chunk_size, flat_count, chunk_cap(prog.num_sim_qubits))
-    n_chunks = math.ceil(flat_count / chunk)
-    padded = n_chunks * chunk
-    if padded != flat_count:
-        all_mats = [
-            tuple(
-                np.concatenate([m, np.repeat(m[-1:], padded - flat_count, 0)])
-                for m in mats
-            )
-            for mats in all_mats
-        ]
-    if n_chunks == 1:
-        values = np.asarray(
-            sim_batch([tuple(np.asarray(m) for m in mats)
-                       for mats in all_mats])
-        )[:flat_count]
-        return FragmentResult(
-            frag_name, values, positions, list(prog.touching)
-        )
-
-    # One dispatch for the whole fan-out: lax.scan over chunks on device.
-    # A host-side chunk loop pays a dispatch+fetch round-trip per chunk —
-    # measured 8.5x slower end-to-end on the v5e (BENCH_TABLE_TPU.md,
-    # r3 shootout); per-step buffers stay at chunk * 2^n either way.
-    xs = [
-        tuple(
-            np.asarray(m).reshape((n_chunks, chunk) + m.shape[1:])
-            for m in mats
-        )
-        for mats in all_mats
-    ]
-
-    def _body(carry, chunk_mats):
-        return carry, jax.vmap(_sim_one)(chunk_mats)
-
-    @jax.jit
-    def _scan_all(xs):
-        _, ys = jax.lax.scan(_body, None, xs)
-        return ys.reshape(padded, ys.shape[-1])
-
-    values = np.asarray(_scan_all(xs))[:flat_count]
+    values = scan_variant_rows(_sim_one, (all_mats,), flat_count, chunk)
     return FragmentResult(frag_name, values, positions, list(prog.touching))
 
 

@@ -55,19 +55,12 @@ def sampled_sparse_fragment_rows(
     sim_one, all_mats, positions, flat_count = make_sim_fn(virt, frag_name)
     prog = virt.programs[frag_name]
     rng = np.random.default_rng(seed)
-    from ..ops.variant_engine import chunk_cap
+    from ..ops.variant_engine import chunk_cap, pad_variants
 
     chunk = min(chunk_size, flat_count, chunk_cap(prog.num_sim_qubits))
     n_chunks = -(-flat_count // chunk)
     padded = n_chunks * chunk
-    if padded != flat_count:
-        all_mats = [
-            tuple(
-                np.concatenate([m, np.repeat(m[-1:], padded - flat_count, 0)])
-                for m in mats
-            )
-            for mats in all_mats
-        ]
+    all_mats = pad_variants(all_mats, flat_count, padded)
     sim_batch = jax.jit(jax.vmap(sim_one))
     bit_masks = np.array(
         [sum(1 << p for j, p in enumerate(positions) if (i >> j) & 1)
@@ -123,7 +116,11 @@ def sparse_knit(
     frag_rows = []
     frag_meta = []
     if rows is not None:
-        names = [reg.name for reg in virt.fragments if reg.name in rows]
+        missing = [
+            reg.name for reg in virt.fragments if reg.name not in rows
+        ]
+        assert not missing, f"rows missing fragments: {missing}"
+        names = [reg.name for reg in virt.fragments]
     else:
         names = [res.name for res in results]
     for idx, name in enumerate(names):

@@ -197,3 +197,41 @@ def test_untranspiled_model_runs_fragments_exact():
     np.testing.assert_allclose(
         np.asarray(noisy.values), np.asarray(ideal.values), atol=1e-6
     )
+
+
+def test_batched_noisy_readout_matches_streamed_engine():
+    """Regression for the r3 review finding: the batched noisy path applied
+    per-qubit readout matrices to REVERSED bit positions (tensordot axis j
+    is the most-significant local bit in a C-order reshape, but flat
+    distributions are little-endian).  With strongly asymmetric per-qubit
+    readout rates the batched and streamed engines must still agree."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        run_noisy_virtual_circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+        VirtualCircuit,
+    )
+
+    c = ghz(6)
+    cutter = Cutter(c, maxNPartitions=2, maxNQubitsPerPartition=4,
+                    maxNQpdCuts=3, maxNCuts=3, maxCutsPerPartitions=3)
+    assert cutter.solve()
+    cut = cutter.getResultCircs()[3]
+
+    nm = NoiseModel(
+        name="asym", p1=0.0, p2=0.0, trajectories=1,
+        ro01_q=np.array([0.4, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        ro10_q=np.array([0.4, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        num_qubits=6,
+    )
+    batched, _ = run_noisy_virtual_circuit(VirtualCircuit(cut), nm)
+    streamed, _ = run_noisy_virtual_circuit(
+        VirtualCircuit(cut), nm, engine="streamed"
+    )
+    np.testing.assert_allclose(
+        np.asarray(batched.values), np.asarray(streamed.values), atol=2e-5
+    )
+    # NOTE no uncut comparison here: fragment-local qubit i maps to device
+    # qubit i (NoiseModel docstring), so a rate pinned to device qubit 0
+    # hits BOTH fragments' local qubit 0 — unlike the uncut run.  The
+    # engines agreeing with each other is the regression being locked.
