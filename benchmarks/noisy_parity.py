@@ -263,7 +263,10 @@ def write_table(results: dict, path: pathlib.Path):
         "cut fragments simulated with FULL calibrated device noise",
         "(topology-routed, per-qubit gate + readout rates, Pauli-twirl",
         "trajectories scaled to fragment width) — the number a real device",
-        "run would approach.",
+        "run would approach.  The sup-20/25 cells are omitted: at 1000",
+        "shots those rows are sampling-collapsed, so calibrated gate noise",
+        "cannot move them measurably (the column would equal the parity",
+        "column at ~30x the compute).",
         "",
     ]
     path.write_text("\n".join(lines))
