@@ -180,3 +180,27 @@ def test_prune_distribution_reference_accuracy():
         [0.5, 0.0, 0.0, 2e-5, -2e-5, 0.0, 0.0, -0.4],
     )
     assert d.bit_positions == [0, 1, 2] and d.num_clbits == 3
+
+
+def test_scan_variant_rows_padding_edge():
+    """scan_variant_rows pads to a chunk multiple by repeating the last
+    row and slices the padding back off — totals not divisible by the
+    chunk must round-trip exactly (incl. the n_chunks==1 shortcut)."""
+    import numpy as np
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.variant_engine import (
+        scan_variant_rows,
+    )
+
+    mats = np.arange(7, dtype=np.float32).reshape(7, 1)
+
+    def sim(m):
+        import jax.numpy as jnp
+
+        return jnp.stack([m[0], m[0] * 10.0])
+
+    for chunk in (2, 3, 7, 16):
+        rows = scan_variant_rows(sim, (mats,), 7, min(chunk, 7))
+        np.testing.assert_allclose(rows[:, 0], np.arange(7))
+        np.testing.assert_allclose(rows[:, 1], np.arange(7) * 10.0)
+        assert rows.shape == (7, 2)

@@ -235,3 +235,26 @@ def test_batched_noisy_readout_matches_streamed_engine():
     # qubit i (NoiseModel docstring), so a rate pinned to device qubit 0
     # hits BOTH fragments' local qubit 0 — unlike the uncut run.  The
     # engines agreeing with each other is the regression being locked.
+
+
+def test_compare_original_with_cut_untranspiled_bands():
+    """The CLI's --simulate path (untranspiled FakeKolkataV2, both legs
+    1000-shot): reference-shaped bands for a ghz-8 cut."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        fake_kolkata_v2,
+    )
+
+    c = ghz(8)
+    cutter = Cutter(c, maxNPartitions=2, maxNQubitsPerPartition=5,
+                    maxNQpdCuts=3, maxNCuts=3, maxCutsPerPartitions=3)
+    assert cutter.solve()
+    cut = cutter.getResultCircs()[3]
+    nm = fake_kolkata_v2()
+    nm.untranspiled = True
+    res = compare_original_with_cut(c, cut, noise_model=nm, shots=1000,
+                                    seed=3)
+    # readout on 8 bits + a few coupled-cx sites: ~0.85-0.95
+    assert 0.80 < res.input_fidelity < 0.97, res
+    # fragments bind no noise: two-sided shot sampling of a 2-peak distr
+    assert res.cut_fidelity > 0.95, res
+    assert res.cut_vs_uncut_fidelity > 0.99, res
