@@ -258,3 +258,40 @@ def test_compare_original_with_cut_untranspiled_bands():
     # fragments bind no noise: two-sided shot sampling of a 2-peak distr
     assert res.cut_fidelity > 0.95, res
     assert res.cut_vs_uncut_fidelity > 0.99, res
+
+
+def test_batched_vs_streamed_with_routed_calibrated_model():
+    """With a coupling-map model (fragments routed, per-qubit calibrated
+    gate + readout rates at device nodes) the batched and streamed noisy
+    engines must agree exactly when gate noise is zeroed (routing and
+    readout lookups are deterministic; trajectory draws only differ)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.routing import (
+        HEAVY_HEX_27,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        run_noisy_virtual_circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+        VirtualCircuit,
+    )
+
+    c = ghz(6)
+    cutter = Cutter(c, maxNPartitions=2, maxNQubitsPerPartition=4,
+                    maxNQpdCuts=3, maxNCuts=3, maxCutsPerPartitions=3)
+    assert cutter.solve()
+    cut = cutter.getResultCircs()[3]
+
+    rng = np.random.default_rng(5)
+    nm = NoiseModel(
+        name="routed-ro", p1=0.0, p2=0.0, trajectories=1,
+        ro01_q=rng.uniform(0.0, 0.2, 27),
+        ro10_q=rng.uniform(0.0, 0.2, 27),
+        num_qubits=27, coupling=HEAVY_HEX_27,
+    )
+    batched, _ = run_noisy_virtual_circuit(VirtualCircuit(cut), nm)
+    streamed, _ = run_noisy_virtual_circuit(
+        VirtualCircuit(cut), nm, engine="streamed"
+    )
+    np.testing.assert_allclose(
+        np.asarray(batched.values), np.asarray(streamed.values), atol=2e-5
+    )
