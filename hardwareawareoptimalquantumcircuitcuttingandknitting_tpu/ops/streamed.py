@@ -304,13 +304,21 @@ _CHUNK_BYTES_BUDGET = 512 * 1024 * 1024
 
 
 def auto_chunk(
-    virt: VirtualCircuit, requested: int, trajectories: int = 1
+    virt: VirtualCircuit, requested: int, trajectories: int = 1,
+    noisy: bool = False,
 ) -> int:
     max_n = max(
         (p.num_sim_qubits for p in virt.programs.values()), default=1
     )
     per_variant = 2 * (1 << max_n) * 4 * max(1, trajectories)
-    cap = max(8, _CHUNK_BYTES_BUDGET // per_variant)
+    budget = _CHUNK_BYTES_BUDGET
+    if noisy or trajectories > 1:
+        # the noise path keeps the op stream UNFUSED (per-gate noise
+        # sites), so XLA holds several chunk-sized intermediates live at
+        # once; a 512 MB-per-buffer budget crashed the v5e worker on
+        # sup-20 x 8 trajectories — keep noisy buffers <= 64 MB
+        budget //= 8
+    cap = max(8, budget // per_variant)
     total = 1
     for vg in virt.vgates:
         total *= vg.spec.num_instantiations
@@ -417,7 +425,7 @@ def run_virtual_circuit_streamed(
         [trajectories or nm.trajectories for nm in models if nm is not None],
         default=1,
     )
-    chunk = auto_chunk(virt, chunk, traj_eff)
+    chunk = auto_chunk(virt, chunk, traj_eff, noisy=noise is not None)
     step_fn, xs, meta = make_streamed_knit(
         virt, chunk, noise=noise, trajectories=trajectories, seed=seed
     )
