@@ -42,7 +42,7 @@ from ..virt.virtual_circuit import VirtualCircuit
 from .bits import permute_bits_flat
 from .knit import fold_weights, nearest_probability_distribution
 from .statevector import Distribution
-from .variant_engine import _slot_matrices, make_sim_fn
+from .variant_engine import _slot_tables, make_sim_fn
 
 
 def _resolve_noise(virt: VirtualCircuit, noise):
@@ -91,6 +91,14 @@ def make_streamed_knit(
     ``finish_fn`` for segmented (checkpointable) execution:
     ``finish_fn(segment_fn(carry, xs_seg))`` == ``step_fn(xs)`` when the
     segments tile all chunks.
+
+    The scanned ``xs`` carry only per-label *variant indices* (``[n_chunks,
+    chunk, num_vgates]`` int32) plus a validity mask (and, for the noise
+    path, sampled Pauli indices).  Slot matrices and knit weights live as
+    tiny per-instantiation constant tables inside the jitted program and
+    are gathered on device — so host memory and host->device traffic scale
+    with ``labels x vgates x 4 B`` instead of ``labels x slots x ~384 B``
+    (load-bearing on the tunneled TPU and for aqft-16-class fan-outs).
     """
     specs = [vg.spec for vg in virt.vgates]
     num_g = len(specs)
@@ -105,14 +113,21 @@ def make_streamed_knit(
 
     labels = np.arange(padded)
     valid = (labels < total).astype(np.float32)
+    # per-label variant index of every vgate (host int64 avoids overflow
+    # for huge label spaces; the streamed column is a small int32)
+    vidx = np.empty((padded, max(1, num_g)), np.int32)
+    vidx[:] = 0
+    for g in range(num_g):
+        vidx[:, g] = (labels // gstride[g]) % n_inst[g]
 
     models = _resolve_noise(virt, noise)
     rng = np.random.default_rng(seed)
 
     frag_names = [r.name for r in virt.fragments]
     sim_ones = {}
-    xs_slots = []      # per fragment: list of (pre, m4, post) [n_chunks, C, ...]
-    xs_ws = []         # per fragment: list of w_sel [n_chunks, C, 2]
+    slot_tables = []   # per fragment: list of (pre, m4, post) [nI, ...] consts
+    slot_gcols = []    # per fragment: vgate column per slot
+    w_tables = []      # per fragment: list of [nI, 2] f32 consts (touching)
     xs_pauli = []      # per fragment: [n_chunks, C, T, S] int32 (or [.., 0, 0])
     readout = []       # per fragment: 2x2 readout matrix or None
     width_bits = []    # per fragment: #written bits before folding
@@ -131,10 +146,11 @@ def make_streamed_knit(
             virt, name, noise=nm
         )
         sim_ones[name] = sim_one
-        # global-label slot matrices: same gather as the local ones but with
-        # the all-vgate stride table, so every label picks its variant
-        mats = _slot_matrices(prog, specs, padded, gstride, n_inst)
-        xs_slots.append([tuple(_chunked(m) for m in t) for t in mats])
+        slot_tables.append([
+            tuple(jnp.asarray(m) for m in t)
+            for t in _slot_tables(prog, specs)
+        ])
+        slot_gcols.append([slot.vgate_idx for slot in prog.slots])
 
         if nm is None:
             xs_pauli.append(np.zeros((n_chunks, chunk, 0, 0), np.int32))
@@ -167,9 +183,9 @@ def make_streamed_knit(
         k = len(pos)
         frag_weights = fold_weights(virt, name)
         for ti, g in enumerate(prog.touching):
-            w = frag_weights[ti]
-            v_idx = (labels // gstride[g]) % n_inst[g]
-            ws.append(_chunked(w[v_idx].astype(np.float32)))
+            ws.append(
+                (g, jnp.asarray(frag_weights[ti].astype(np.float32)))
+            )
             cg = virt.num_clbits + g
             if cg in pos:
                 j = pos.index(cg)
@@ -184,7 +200,7 @@ def make_streamed_knit(
                 plan.append(("drop", j, k))
                 pos.pop(j)
                 k -= 1
-        xs_ws.append(ws)
+        w_tables.append(ws)
         fold_plans.append(plan)
         data_positions.append(pos)
 
@@ -201,8 +217,13 @@ def make_streamed_knit(
 
     pauli_table = jnp.asarray(_PAULI_BLOCKS)
 
-    def _rows_for_fragment(fi, name, mats, pidx):
+    def _rows_for_fragment(fi, name, vidx_chunk, pidx):
         sim_one = sim_ones[name]
+        # device-side gather: per-label variant index -> slot matrices
+        mats = [
+            tuple(t[vidx_chunk[:, g]] for t in tabs)
+            for g, tabs in zip(slot_gcols[fi], slot_tables[fi])
+        ]
         if models[fi] is None:
             if mats:
                 return jax.vmap(sim_one)(mats)
@@ -237,20 +258,21 @@ def make_streamed_knit(
         return rows
 
     def body(carry, x):
-        slot_chunks, w_chunks, pauli_chunks, valid_chunk = x
+        vidx_chunk, pauli_chunks, valid_chunk = x
         es = []
         for fi, name in enumerate(frag_names):
             rows = _rows_for_fragment(
-                fi, name, slot_chunks[fi], pauli_chunks[fi]
+                fi, name, vidx_chunk, pauli_chunks[fi]
             )
-            w_iter = iter(w_chunks[fi])
+            w_iter = iter(w_tables[fi])
             for kind, j, k in fold_plans[fi]:
                 if kind == "drop":
                     high, low = 1 << (k - 1 - j), 1 << j
                     rows = rows.reshape(chunk, high, 2, low).sum(axis=2)
                     rows = rows.reshape(chunk, -1)
                     continue
-                w_sel = next(w_iter)
+                g, w_tab = next(w_iter)
+                w_sel = w_tab[vidx_chunk[:, g]]
                 if j is not None:
                     high, low = 1 << (k - 1 - j), 1 << j
                     rows = rows.reshape(chunk, high, 2, low)
@@ -280,7 +302,7 @@ def make_streamed_knit(
         carry0 = jnp.zeros(shape, dtype=jnp.float32)
         return finish_fn(segment_fn(carry0, xs))
 
-    xs = (xs_slots, xs_ws, xs_pauli, _chunked(valid))
+    xs = (_chunked(vidx), xs_pauli, _chunked(valid))
     meta = {
         "positions": sorted(
             p for pos_list in data_positions for p in pos_list

@@ -102,17 +102,21 @@ class FragmentResult:
                                  # fastest — reference label order)
 
 
-def _slot_matrices(
-    prog: FragmentProgram, specs: list[VGateSpec], flat_count: int,
-    strides: dict[int, int], n_inst: dict[int, int],
+def _slot_tables(
+    prog: FragmentProgram, specs: list[VGateSpec],
 ) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Per-slot (pre[V,2,2], meas4[V,4,4], post[V,2,2]) gathered per flat
-    variant index."""
+    """Per-slot (pre[nI,...], meas4[nI,...], post[nI,...]) real-block
+    variant tables — one row per instantiation of the slot's vgate.
+
+    These are the *un-gathered* building blocks: the batched path gathers
+    them per flat variant index on the host (:func:`_slot_matrices`), the
+    streamed path embeds them as jit constants and gathers per-label
+    variant indices on device (host->device traffic and host memory then
+    scale with #labels x #vgates x 4 bytes instead of #labels x #slots x
+    ~384 bytes)."""
     out = []
-    flat = np.arange(flat_count)
     for slot in prog.slots:
         spec = specs[slot.vgate_idx]
-        v_idx = (flat // strides[slot.vgate_idx]) % n_inst[slot.vgate_idx]
         pres = np.stack([p[slot.side].pre for p in spec.endpoints])
         posts = np.stack([p[slot.side].post for p in spec.endpoints])
         meas = np.array(
@@ -123,12 +127,23 @@ def _slot_matrices(
             + (1.0 - meas[:, None, None]) * _I4[None]
         ).astype(COMPLEX)
         out.append(
-            (
-                _stack_blocks(pres)[v_idx],
-                _stack_blocks(m4)[v_idx],
-                _stack_blocks(posts)[v_idx],
-            )
+            (_stack_blocks(pres), _stack_blocks(m4), _stack_blocks(posts))
         )
+    return out
+
+
+def _slot_matrices(
+    prog: FragmentProgram, specs: list[VGateSpec], flat_count: int,
+    strides: dict[int, int], n_inst: dict[int, int],
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Per-slot (pre[V,2,2], meas4[V,4,4], post[V,2,2]) gathered per flat
+    variant index."""
+    out = []
+    flat = np.arange(flat_count)
+    tables = _slot_tables(prog, specs)
+    for slot, (pre_t, m4_t, post_t) in zip(prog.slots, tables):
+        v_idx = (flat // strides[slot.vgate_idx]) % n_inst[slot.vgate_idx]
+        out.append((pre_t[v_idx], m4_t[v_idx], post_t[v_idx]))
     return out
 
 
