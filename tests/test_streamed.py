@@ -85,3 +85,27 @@ def test_streamed_no_cuts():
     streamed = run_virtual_circuit_streamed(virt, chunk=8)
     ideal = simulate_circuit(circ)
     assert hellinger_fidelity(ideal, streamed) > 1 - 1e-6
+
+
+def test_streamed_xs_payload_scales_with_indices_only():
+    """The scan xs must carry only per-label int32 variant indices, the
+    validity mask, and (empty here) Pauli index blocks — NOT gathered
+    slot matrices.  Guards the on-device-gather design: host memory and
+    host->device traffic stay at O(labels x vgates x 4 B)."""
+    import jax
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
+        make_streamed_knit,
+    )
+
+    virt = _cut(_mixed(6), 4)
+    num_g = len(virt.vgates)
+    assert num_g >= 2
+    _, xs, meta = make_streamed_knit(virt, chunk=16)
+    padded = meta["n_chunks"] * meta["chunk"]
+    leaves = jax.tree.leaves(xs)
+    nbytes = sum(np.asarray(a).nbytes for a in leaves)
+    # indices [padded, G] int32 + valid [padded] f32 + empty pauli blocks
+    assert nbytes <= padded * (4 * num_g + 4) + 64, (
+        f"xs payload {nbytes} B — gathered matrices leaked back into xs?"
+    )
