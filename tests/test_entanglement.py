@@ -1,0 +1,82 @@
+"""n-tangle entanglement measure (reference testhwea.py parity)."""
+import numpy as np
+
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+    Circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.hwea import (
+    gen_hwea,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.utils.entanglement import (
+    circuit_n_tangle,
+    n_tangle,
+    sgn_star,
+)
+
+
+def _ghz_state(n):
+    a = np.zeros(1 << n, complex)
+    a[0] = a[-1] = 1 / np.sqrt(2)
+    return a
+
+
+def test_ghz_tangle_is_one():
+    for n in (2, 4, 6):
+        assert abs(n_tangle(_ghz_state(n), n) - 1.0) < 1e-12
+
+
+def test_product_state_tangle_is_zero():
+    a = np.zeros(1 << 4, complex)
+    a[0] = 1.0
+    assert n_tangle(a, 4) == 0.0
+
+
+def test_w_state_tangle_is_zero():
+    # the W state's n-tangle vanishes (it carries no GHZ-class
+    # entanglement) — a classic discriminator the measure must show
+    n = 4
+    a = np.zeros(1 << n, complex)
+    for q in range(n):
+        a[1 << q] = 1 / np.sqrt(n)
+    assert abs(n_tangle(a, n)) < 1e-12
+
+
+def test_matches_scalar_formula_on_random_state():
+    rng = np.random.default_rng(7)
+    n = 6
+    a = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    a /= np.linalg.norm(a)
+    # independent scalar evaluation of the published formula
+    total = 0.0
+    for i in range(1 << (n - 2)):
+        s = int(sgn_star(n, np.array([i]))[0])
+        total += s * (
+            a[2 * i] * a[(1 << n) - 1 - 2 * i]
+            - a[2 * i + 1] * a[(1 << n) - 2 - 2 * i]
+        )
+    assert abs(n_tangle(a, n) - 2 * abs(total)) < 1e-12
+
+
+def test_odd_n_rejected():
+    a = np.zeros(8, complex)
+    a[0] = 1.0
+    try:
+        n_tangle(a, 3)
+    except ValueError:
+        return
+    raise AssertionError("odd n must be rejected")
+
+
+def test_hwea_circuit_flow():
+    # the reference scratch's end-to-end flow: gen_hwea(6, 1) -> tau
+    circ = gen_hwea(6, 1)
+    tau = circuit_n_tangle(circ)
+    assert 0.0 <= tau <= 1.0 + 1e-9
+
+
+def test_real_rep_input():
+    circ = Circuit(4, 0)
+    circ.h(0)
+    for i in range(3):
+        circ.cx(i, i + 1)
+    assert abs(circuit_n_tangle(circ) - 1.0) < 1e-6
