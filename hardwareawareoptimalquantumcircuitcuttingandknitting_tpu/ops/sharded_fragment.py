@@ -12,11 +12,12 @@ QPD variant fan-out with
     global qubits exchanging partner blocks over ICI (``lax.ppermute``,
     see ops/sharded_sv.ShardCtx).
 
-Per-variant endpoint behaviour enters purely through data (slot matrices,
-sharded over ``dp``), so the whole program is a single static-shape
-compile; the clbit marginal is assembled per variant by ShardCtx.marginal
-(static scatter + ``psum`` over ``amp``), so the full per-variant 2^n
-vector never leaves device blocks.
+Per-variant endpoint behaviour enters purely through data — an int32
+variant-index row per label, sharded over ``dp``; the per-instantiation
+slot-matrix tables are jit constants gathered on device — so the whole
+program is a single static-shape compile; the clbit marginal is assembled
+per variant by ShardCtx.marginal (static scatter + ``psum`` over ``amp``),
+so the full per-variant 2^n vector never leaves device blocks.
 
 This is BASELINE.json config #4's ask ("sharded subcircuit statevectors
 across chips") wired into the runtime: SURVEY §7.4 hard part 6, the role
@@ -35,7 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..virt.virtual_circuit import VirtualCircuit
 from .sharded_sv import ShardCtx
 from .statevector import to_real_block
-from .variant_engine import FragmentResult, _slot_matrices
+from .variant_engine import FragmentResult, _slot_tables
 
 
 def make_sharded_fragment_fn(
@@ -107,38 +108,40 @@ def make_sharded_fragment_fn(
                 state = ctx.apply(state, blk, axes, my_bits)
         return ctx.marginal(state, sources)  # psum over amp -> [2^m]
 
-    all_mats = _slot_matrices(prog, specs, flat_count, strides, n_inst)
+    # per-label variant index of every touching vgate (the only sharded
+    # payload: 4 B x #touching per label; the [nI, ...] matrix tables are
+    # jit constants gathered on device — see ops/streamed.py)
     padded = -(-flat_count // dp) * dp
-    if padded != flat_count:
-        all_mats = [
-            tuple(
-                np.concatenate(
-                    [m, np.repeat(m[-1:], padded - flat_count, 0)]
-                )
-                for m in ms
-            )
-            for ms in all_mats
-        ]
+    flat = np.arange(padded)
+    touch_col = {g: i for i, g in enumerate(prog.touching)}
+    vidx = np.zeros((padded, max(1, len(prog.touching))), np.int32)
+    for g in prog.touching:
+        vidx[:, touch_col[g]] = np.minimum(flat, flat_count - 1) \
+            // strides[g] % n_inst[g]
+    tables = [
+        tuple(jnp.asarray(m) for m in t) for t in _slot_tables(prog, specs)
+    ]
+    slot_cols = [touch_col[slot.vgate_idx] for slot in prog.slots]
 
     state0 = np.zeros((2, 1 << n), dtype=np.float32)
     state0[0, 0] = 1.0
 
     n_slots = len(prog.slots)
 
-    def per_device(state0_local, *flat_slot_mats):
+    def per_device(state0_local, vidx_local):
         my_bits = ctx.my_bits()
         if not n_slots:
             row = sim_one([], state0_local, my_bits)
             return jnp.broadcast_to(row, (max(1, padded // dp), row.shape[0]))
         slot_list = [
-            tuple(flat_slot_mats[3 * i + j] for j in range(3))
-            for i in range(n_slots)
+            tuple(t[vidx_local[:, c]] for t in tabs)
+            for c, tabs in zip(slot_cols, tables)
         ]
         return jax.vmap(
             lambda sm: sim_one(sm, state0_local, my_bits)
         )(slot_list)
 
-    in_specs = (P(None, amp_axis),) + (P(dp_axis),) * (3 * n_slots)
+    in_specs = (P(None, amp_axis), P(dp_axis))
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
@@ -146,7 +149,7 @@ def make_sharded_fragment_fn(
         out_specs=P(dp_axis, None),
     )
 
-    args = [state0] + [m for ms in all_mats for m in ms]
+    args = [state0, vidx]
     shardings = [NamedSharding(mesh, s) for s in in_specs]
     meta = {"positions": positions, "flat_count": flat_count}
     return fn, args, shardings, meta
