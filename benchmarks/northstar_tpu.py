@@ -1,0 +1,132 @@
+"""North-star configs end-to-end on the real TPU (BASELINE.json #2/#3).
+
+Runs aqft-16 (mixed wire+gate cuts) and hwe-16 d5 (multi-gate-cut) through
+the streamed engine at FULL scale — every global QPD label — and records
+wall-clock + steady-state step + fidelity vs the uncut oracle in
+``northstar_tpu.json``.
+
+Tunnel measurement rules (.claude/skills/verify/SKILL.md): time by
+fetching the result (block_until_ready returns early on axon); keep the
+largest program buffer ~2^23 floats so the server-side compile stays in
+the minutes range (chunk x 2^n_sv x 2).
+
+Usage: python benchmarks/northstar_tpu.py [--configs aqft16,hwe16] [--reps 3]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (  # noqa: E402
+    Cutter,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (  # noqa: E402
+    hellinger_fidelity,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (  # noqa: E402
+    genCirc,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (  # noqa: E402
+    Distribution,
+    simulate_circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (  # noqa: E402
+    VirtualCircuit,
+)
+
+CONFIGS = {
+    # name: (zoo name, n, depth, Q, chunk)  — chunk keeps the scan-body
+    # buffer (chunk x 2 x 2^max_frag_qubits floats) near 2^23
+    "aqft16": ("aqft", 16, 1, 10, 128),
+    "hwe16": ("hwe", 16, 5, 10, 512),
+    "qft16": ("qft", 16, 1, 14, 128),
+}
+
+
+def run_config(key: str, reps: int) -> dict:
+    import jax
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
+        auto_chunk,
+        make_streamed_knit,
+    )
+
+    name, n, depth, q, chunk = CONFIGS[key]
+    out = {"config": key, "device": jax.devices()[0].device_kind}
+    t_all = time.perf_counter()
+    circ = genCirc(name, n, depth)
+    t0 = time.perf_counter()
+    cutter = Cutter(
+        circ, maxNPartitions=2, maxNQubitsPerPartition=q,
+        maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5,
+    )
+    if not cutter.solve():
+        out["status"] = "unsat"
+        return out
+    _, _, _, cut_circ, _ = cutter.getResultCircs()
+    out["solve_s"] = round(time.perf_counter() - t0, 3)
+    virt = VirtualCircuit(cut_circ)
+    labels = 1
+    for vg in virt.vgates:
+        labels *= vg.spec.num_instantiations
+    out["global_labels"] = labels
+    out["frag_qubits"] = [
+        p.num_sim_qubits for p in virt.programs.values()
+    ]
+    out["chunk"] = auto_chunk(virt, chunk)
+
+    step_fn, xs, meta = make_streamed_knit(virt, out["chunk"])
+    step = jax.jit(step_fn)
+    t0 = time.perf_counter()
+    values = np.asarray(step(xs))  # fetch = completion barrier
+    out["first_call_s"] = round(time.perf_counter() - t0, 2)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        values = np.asarray(step(xs))
+        times.append(time.perf_counter() - t0)
+    out["steady_step_s"] = round(float(np.median(times)), 3)
+
+    knitted = Distribution(values, meta["positions"], virt.num_clbits)
+    ideal = simulate_circuit(circ)  # host oracle (16q fits easily)
+    out["fidelity_vs_uncut"] = float(hellinger_fidelity(ideal, knitted))
+    out["e2e_wall_s"] = round(time.perf_counter() - t_all, 2)
+    out["status"] = "ok"
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="aqft16,hwe16")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    rows = []
+    for key in args.configs.split(","):
+        print(f"[northstar] {key} ...", flush=True)
+        row = run_config(key.strip(), args.reps)
+        print(f"[northstar] {row}", flush=True)
+        rows.append(row)
+
+    path = pathlib.Path(__file__).resolve().parent.parent / (
+        "northstar_tpu.json"
+    )
+    existing = []
+    if path.exists():
+        existing = [
+            r for r in json.loads(path.read_text())
+            if r["config"] not in {x["config"] for x in rows}
+        ]
+    path.write_text(json.dumps(existing + rows, indent=2))
+    print(f"[northstar] wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

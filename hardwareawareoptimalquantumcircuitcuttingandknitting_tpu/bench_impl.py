@@ -115,7 +115,6 @@ def main() -> None:
 
     from .cutter.cutter import Cutter
     from .models.zoo import genCirc
-    from .ops.knit import knit_values
     from .ops.variant_engine import FragmentResult, make_sim_fn
     from .utils.logger import get_logger
     from .virt.virtual_circuit import VirtualCircuit
@@ -146,14 +145,18 @@ def main() -> None:
         arg_mats.append(slot_mats)
 
     # One fused device program: all fragments' variant fan-outs + the knit
-    # contraction + scalar diagnostics.  The uncut-circuit oracle is NOT in
-    # the device program: the tunneled backend's compile time scales with
-    # buffer size (measured: ~6 s at 2^16 amplitudes, ~50 s at 2^20, >15 min
-    # at 2^24), so a 24-qubit unrolled chain never compiles — and the
-    # oracle is a *correctness check*, not benchmark work (the reference's
-    # 878 s baseline includes no simulation at all).  Fragments are 2^13,
-    # the knit is one MXU matmul + a block transpose; that compiles fast.
-    def fused(all_mats):
+    # contraction folded to scalar diagnostics in COLUMN BLOCKS (<= 2^20
+    # floats per buffer).  The uncut-circuit oracle is NOT in the device
+    # program, and neither is the full 2^24 knitted vector: the tunneled
+    # backend's compile time scales with the largest program buffer
+    # (measured: ~6 s at 2^16 amplitudes, ~50 s at 2^20, >15 min at 2^24 —
+    # a cold-cache full-vector knit program took 978 s to compile, r3), so
+    # the scan in ops/knit.knit_scalars_blocked keeps every buffer at
+    # 2^20 while doing the identical contraction FLOPs.  The distribution
+    # itself is fetched untimed, per block, for the correctness check.
+    from .ops.knit import knit_scalars_blocked, make_blocked_knit
+
+    def sim_results(all_mats):
         results = []
         for name, mats in zip(frag_names, all_mats):
             sim_one, positions, flat_count = sims[name]
@@ -166,25 +169,24 @@ def main() -> None:
                 FragmentResult(name, values, positions,
                                list(virt.programs[name].touching))
             )
-        knitted, knit_positions = knit_values(virt, results)
-        total = jnp.sum(knitted)
-        negativity = jnp.sum(jnp.minimum(knitted, 0.0))
-        return knitted, total, negativity, knit_positions
+        return results
 
-    fused_jit = jax.jit(lambda m: fused(m)[:3])
+    fused_jit = jax.jit(
+        lambda m: knit_scalars_blocked(virt, sim_results(m))
+    )
 
     # NOTE: block_until_ready returns early on the tunneled backend; a
     # scalar fetch is the only reliable completion barrier, so the timed
     # windows end with float() conversions.
-    _phase("compiling fused cut-sim-knit program")
+    _phase("compiling fused cut-sim-knit program (blocked scalars)")
     t = time.perf_counter()
-    knitted, total, neg = fused_jit(arg_mats)
+    total, neg = fused_jit(arg_mats)
     total_f, neg_f = float(total), float(neg)
     compile_and_run_s = time.perf_counter() - t
     _phase(f"first run (compile+exec) {compile_and_run_s:.1f}s")
 
     t = time.perf_counter()
-    knitted, total, neg = fused_jit(arg_mats)
+    total, neg = fused_jit(arg_mats)
     total_f, neg_f = float(total), float(neg)
     exec_s = time.perf_counter() - t
     work_s = time.perf_counter() - t_work
@@ -192,8 +194,22 @@ def main() -> None:
     _phase(f"steady-state exec {exec_s:.3f}s; total={total_f:.8f}")
 
     # ---- untimed correctness check: host-side numpy oracle ----
-    _phase("fetching knitted distribution + running host oracle")
-    knitted_host = np.asarray(knitted)
+    _phase("fetching knitted distribution per block + running host oracle")
+    from .ops.bits import permute_bits_flat_np
+
+    es = jax.jit(
+        lambda m: [r.values for r in sim_results(m)]
+    )(arg_mats)
+    results_dev = [
+        FragmentResult(name, e, sims[name][1],
+                       list(virt.programs[name].touching))
+        for name, e in zip(frag_names, es)
+    ]
+    block_fn, nb, bc, src_bits = make_blocked_knit(virt, results_dev)
+    bf = jax.jit(block_fn)
+    blocks = [np.asarray(bf(j)) for j in range(nb)]
+    merged = np.concatenate(blocks, axis=1).reshape(-1)
+    knitted_host = permute_bits_flat_np(merged, src_bits, sorted(src_bits))
     fid = _oracle_fidelity(circ, knitted_host)
     _phase(f"fidelity vs uncut oracle: {fid:.8f}")
 

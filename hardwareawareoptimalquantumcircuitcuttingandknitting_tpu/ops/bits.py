@@ -72,3 +72,21 @@ def permute_bits_flat(x, src_bits: list[int], dst_bits: list[int]):
     for j, b in enumerate(dst_bits):
         s = s | (((d >> j) & 1) << src_lsb[b])
     return jnp.take(x, s, axis=-1)
+
+
+def permute_bits_flat_np(x, src_bits: list[int], dst_bits: list[int]):
+    """Host (numpy) twin of :func:`permute_bits_flat` — for fetch-side
+    reordering of large distributions whose 2^m buffers must never enter
+    a tunneled-TPU program (compile time scales with buffer size)."""
+    import numpy as np
+
+    m = len(src_bits)
+    assert sorted(src_bits) == sorted(dst_bits)
+    if m == 0 or src_bits == dst_bits:
+        return x
+    src_lsb = {b: j for j, b in enumerate(src_bits)}
+    d = np.arange(1 << m, dtype=np.int64)
+    s = np.zeros_like(d)
+    for j, b in enumerate(dst_bits):
+        s |= ((d >> j) & 1) << src_lsb[b]
+    return np.asarray(x)[..., s]

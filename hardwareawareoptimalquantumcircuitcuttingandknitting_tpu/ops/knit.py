@@ -292,3 +292,91 @@ def prune_distribution(dist: Distribution, accuracy: float = 1e-5) -> Distributi
     return Distribution(
         out.astype(vals.dtype), dist.bit_positions, dist.num_clbits
     )
+
+
+def _knit_operands(virt, results, weights=None):
+    """Shared setup of :func:`knit_values`'s einsum: returns
+    (expr, es, frag_positions)."""
+    letters = list(string.ascii_letters)
+    vgate_letter = {g: letters.pop() for g in range(len(virt.vgates))}
+    operands, subs, out_sub = [], [], ""
+    frag_positions: list[list[int]] = []
+    for fi, res in enumerate(results):
+        e, data_pos = _fold_fragment(
+            virt, res, None, None if weights is None else weights[fi]
+        )
+        sub = "".join(vgate_letter[g] for g in res.touching)
+        dl = letters.pop()
+        subs.append(sub + dl)
+        out_sub += dl
+        operands.append(jnp.asarray(e))
+        frag_positions.append(data_pos)
+    return ",".join(subs) + "->" + out_sub, operands, frag_positions
+
+
+def _knit_block_cols(frag_positions, max_elems: int) -> int:
+    """Column-block width over the LAST fragment's data axis such that one
+    output block holds <= max_elems floats."""
+    other = 1
+    for pos in frag_positions[:-1]:
+        other <<= len(pos)
+    last = 1 << len(frag_positions[-1])
+    bc = max(1, max_elems // other)
+    while last % bc:
+        bc >>= 1
+    return max(1, bc)
+
+
+def knit_scalars_blocked(virt, results, max_elems: int = 1 << 20):
+    """Traceable (total, negativity) of the knitted distribution WITHOUT
+    ever materialising it: the last fragment's data axis is processed in
+    column blocks inside a ``lax.scan``, so the largest live buffer is
+    ``max_elems`` floats instead of 2^num_clbits.  On the tunneled TPU
+    backend, where compile time scales with the largest program buffer
+    (>15 min at 2^24 floats), this is the difference between a ~1 s and a
+    ~16 min first call for a ghz-24-class knit."""
+    expr, es, frag_positions = _knit_operands(virt, results)
+    bc = _knit_block_cols(frag_positions, max_elems)
+    last = es[-1]
+    nb = last.shape[-1] // bc
+    blocks = jnp.moveaxis(
+        last.reshape(last.shape[:-1] + (nb, bc)), -2, 0
+    )
+
+    def body(carry, blk):
+        tot, neg = carry
+        out = jnp.einsum(expr, *es[:-1], blk)
+        return (tot + jnp.sum(out), neg + jnp.sum(jnp.minimum(out, 0.0))), None
+
+    (total, neg), _ = jax.lax.scan(
+        body, (jnp.float32(0.0), jnp.float32(0.0)), blocks
+    )
+    return total, neg
+
+
+def make_blocked_knit(virt, results, max_elems: int = 1 << 20):
+    """Build (block_fn, nb, bc, src_bits): ``block_fn(j)`` (jit once, call
+    per block) returns column block ``j`` of the knit einsum — shape
+    ``[other_size, bc]`` — with every device buffer <= ``max_elems``.
+
+    Host assembly: concatenate the fetched blocks along the column axis,
+    flatten C-order, then reorder with
+    ``ops.bits.permute_bits_flat_np(flat, src_bits, sorted(src_bits))`` to
+    get :func:`knit_values`'s output (fetch-side permutation — the 2^m
+    buffer never enters a device program)."""
+    expr, es, frag_positions = _knit_operands(virt, results)
+    bc = _knit_block_cols(frag_positions, max_elems)
+    last = es[-1]
+    nb = last.shape[-1] // bc
+    other = 1
+    for pos in frag_positions[:-1]:
+        other <<= len(pos)
+
+    def block_fn(j):
+        blk = jax.lax.dynamic_slice_in_dim(last, j * bc, bc, axis=-1)
+        return jnp.einsum(expr, *es[:-1], blk).reshape(other, bc)
+
+    src_bits: list[int] = []
+    for pos_list in reversed(frag_positions):
+        src_bits.extend(pos_list)
+    return block_fn, nb, bc, src_bits

@@ -204,3 +204,62 @@ def test_scan_variant_rows_padding_edge():
         np.testing.assert_allclose(rows[:, 0], np.arange(7))
         np.testing.assert_allclose(rows[:, 1], np.arange(7) * 10.0)
         assert rows.shape == (7, 2)
+
+
+def test_blocked_knit_matches_knit_values():
+    """knit_scalars_blocked + make_blocked_knit (the bounded-buffer knit
+    used by bench_impl on the tunneled TPU) must agree exactly with
+    knit_values for a mixed gate+wire cut set, at any block budget."""
+    import jax
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+        Circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
+        Cutter,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.bits import (
+        permute_bits_flat_np,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.knit import (
+        knit_scalars_blocked,
+        knit_values,
+        make_blocked_knit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.variant_engine import (
+        run_all_fragments,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+        VirtualCircuit,
+    )
+
+    c = Circuit(6, 6)
+    c.h(0)
+    for i in range(5):
+        c.cx(i, i + 1)
+    c.cz(0, 5)
+    for q in range(6):
+        c.measure(q, q)
+    cut = Cutter(c, maxNPartitions=2, maxNQubitsPerPartition=4,
+                 maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
+    assert cut.solve()
+    virt = VirtualCircuit(cut.getResultCircs()[3])
+    res = run_all_fragments(virt)
+    ref, positions = knit_values(virt, res)
+    ref = np.asarray(ref)
+
+    for max_elems in (8, 32, 1 << 20):
+        tot, neg = jax.jit(
+            lambda me=max_elems: knit_scalars_blocked(virt, res, me)
+        )()
+        assert abs(float(tot) - ref.sum()) < 1e-5
+        assert abs(float(neg) - np.minimum(ref, 0).sum()) < 1e-5
+
+        block_fn, nb, bc, src_bits = make_blocked_knit(virt, res, max_elems)
+        bf = jax.jit(block_fn)
+        merged = np.concatenate(
+            [np.asarray(bf(j)) for j in range(nb)], axis=1
+        ).reshape(-1)
+        flat = permute_bits_flat_np(merged, src_bits, sorted(src_bits))
+        assert sorted(src_bits) == positions
+        np.testing.assert_allclose(flat, ref, atol=1e-6)
