@@ -3,8 +3,10 @@
 One jitted step computes every fragment's full QPD variant fan-out and the
 knit contraction, with GSPMD shardings over a 2D mesh:
 
-  * slot-matrix inputs (leading variant axis) sharded over ``dp`` — each
-    device simulates a slice of the 6^g * 8^w instantiations;
+  * per-label variant-index inputs (leading variant axis, int32) sharded
+    over ``dp`` — each device simulates a slice of the 6^g * 8^w
+    instantiations, gathering its slot matrices on device from constant
+    per-instantiation tables (see ops/streamed.py);
   * per-variant probability rows constrained to ``("dp", "tp")`` — the knit
     einsum over the variant axis then lowers to sharded matmuls with an
     all-reduce over ``dp`` riding ICI (the TPU analog of the reference's
@@ -23,60 +25,65 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.knit import knit_values
 from ..ops.statevector import Distribution
-from ..ops.variant_engine import FragmentResult, make_sim_fn
+from ..ops.variant_engine import FragmentResult, _slot_tables, make_sim_fn
 from ..virt.virtual_circuit import VirtualCircuit
 
 
-def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
-    if x.shape[0] == n:
-        return x
-    reps = np.repeat(x[-1:], n - x.shape[0], axis=0)
-    return np.concatenate([x, reps], axis=0)
-
-
 def make_sharded_step(virt: VirtualCircuit, mesh: Mesh):
-    """Build (step_fn, example_args).  ``step_fn(*flat_slot_mats)`` returns
-    the knitted quasi-distribution values; jit it with the returned
-    shardings for multi-chip execution:
+    """Build (step_fn, example_args).  ``step_fn(*frag_vidx)`` — one
+    ``[padded, n_touching]`` int32 variant-index array per fragment —
+    returns the knitted quasi-distribution values; jit it with the
+    returned shardings for multi-chip execution:
 
         jitted = jax.jit(step_fn, in_shardings=shardings)
     """
     dp = mesh.shape["dp"]
+    specs = [vg.spec for vg in virt.vgates]
     frag_meta = []
     flat_args: list[np.ndarray] = []
     shardings: list[NamedSharding] = []
     for reg in virt.fragments:
-        sim_one, slot_mats, positions, flat_count = make_sim_fn(
+        prog = virt.programs[reg.name]
+        sim_one, _mats, positions, flat_count = make_sim_fn(
             virt, reg.name
         )
+        n_inst = {g: specs[g].num_instantiations for g in prog.touching}
+        strides: dict[int, int] = {}
+        fc = 1
+        for g in reversed(prog.touching):
+            strides[g] = fc
+            fc *= n_inst[g]
         padded = -(-flat_count // dp) * dp
-        arrs = []
-        for mats in slot_mats:
-            arrs.append(tuple(_pad_to(np.asarray(m), padded) for m in mats))
+        flat = np.minimum(np.arange(padded), flat_count - 1)
+        touch_col = {g: i for i, g in enumerate(prog.touching)}
+        vidx = np.zeros((padded, max(1, len(prog.touching))), np.int32)
+        for g in prog.touching:
+            vidx[:, touch_col[g]] = flat // strides[g] % n_inst[g]
+        tables = [
+            tuple(jnp.asarray(m) for m in t)
+            for t in _slot_tables(prog, specs)
+        ]
+        slot_cols = [touch_col[s.vgate_idx] for s in prog.slots]
         frag_meta.append(
-            (reg.name, sim_one, positions, flat_count, padded, len(arrs))
+            (reg.name, sim_one, positions, flat_count, tables, slot_cols)
         )
-        for mats in arrs:
-            for m in mats:
-                flat_args.append(m)
-                shardings.append(
-                    NamedSharding(mesh, P("dp", *([None] * (m.ndim - 1))))
-                )
+        flat_args.append(vidx)
+        shardings.append(NamedSharding(mesh, P("dp", None)))
 
     def step_fn(*args):
-        idx = 0
         results = []
-        for name, sim_one, positions, flat_count, padded, n_slots in frag_meta:
-            slot_mats = []
-            for _ in range(n_slots):
-                slot_mats.append((args[idx], args[idx + 1], args[idx + 2]))
-                idx += 3
-            if n_slots == 0:
+        for (name, sim_one, positions, flat_count, tables, slot_cols), \
+                vidx in zip(frag_meta, args):
+            if not slot_cols:
                 row = sim_one([])
                 rows = jnp.broadcast_to(
                     row, (max(1, flat_count), row.shape[0])
                 )
             else:
+                slot_mats = [
+                    tuple(t[vidx[:, c]] for t in tabs)
+                    for c, tabs in zip(slot_cols, tables)
+                ]
                 rows = jax.vmap(sim_one)(slot_mats)
                 tp = mesh.shape["tp"]
                 col = "tp" if (tp > 1 and rows.shape[1] % tp == 0) else None
