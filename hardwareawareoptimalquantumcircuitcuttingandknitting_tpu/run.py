@@ -17,6 +17,14 @@ from .ops.variant_engine import run_all_fragments, run_fragment
 from .utils.logger import get_logger
 from .virt.virtual_circuit import VirtualCircuit
 
+# "auto" switches to the constant-memory streamed scan above this many
+# GLOBAL labels (product over all vgates): the batched path materialises
+# every fragment's [V, 2^k] block and aligns it to the global label order
+# in the knit — fine at ghz/sup-20 scale, but sup-25 (20736) and aqft-16
+# (24576) class fan-outs belong on the scan (BENCH_TABLE.md guidance,
+# promoted to a default).
+AUTO_STREAM_LABELS = 16384
+
 
 def _run_fragments(
     virt: VirtualCircuit, chunk_size: int, engine: str,
@@ -71,8 +79,9 @@ def run_virtual_circuit(
     mesh=None,
     max_local_qubits: int | None = None,
 ) -> tuple[Distribution, RunTimeInfo]:
-    """``engine``: "auto"/"xla" (batched unrolled programs — the default
-    and recommended path), "streamed" (constant-memory lax.scan over
+    """``engine``: "auto" (batched unrolled programs, switching to the
+    streamed scan above ``AUTO_STREAM_LABELS`` global labels), "xla"
+    (batched unrolled, always), "streamed" (constant-memory lax.scan over
     global label chunks; use for large fan-outs), "sharded" (variant x
     amplitude co-sharding over a ``(dp, amp)`` device mesh — fragments
     larger than one device's budget; see ops/sharded_fragment.py), or
@@ -104,6 +113,16 @@ def run_virtual_circuit(
         raise ValueError(f"unknown engine {engine!r}")
     log = get_logger(__name__)
     tracer = tracer or Tracer()
+    if engine == "auto":
+        labels = 1
+        for vg in virt.vgates:
+            labels *= vg.spec.num_instantiations
+        if labels > AUTO_STREAM_LABELS:
+            log.info(
+                f"auto engine: {labels} global labels > "
+                f"{AUTO_STREAM_LABELS} -> streamed scan"
+            )
+            engine = "streamed"
     if engine == "streamed":
         from .ops.streamed import run_virtual_circuit_streamed
 

@@ -109,3 +109,29 @@ def test_streamed_xs_payload_scales_with_indices_only():
     assert nbytes <= padded * (4 * num_g + 4) + 64, (
         f"xs payload {nbytes} B — gathered matrices leaked back into xs?"
     )
+
+
+def test_auto_engine_switches_to_streamed_above_label_cap(monkeypatch):
+    """engine="auto" must route sup-25/aqft-16-class global fan-outs to
+    the constant-memory scan instead of the batched path."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu import run as run_mod
+
+    virt = _cut(_mixed(6), 4)
+    labels = 1
+    for vg in virt.vgates:
+        labels *= vg.spec.num_instantiations
+    assert labels > 1
+
+    monkeypatch.setattr(run_mod, "AUTO_STREAM_LABELS", labels - 1)
+    dist, info = run_mod.run_virtual_circuit(virt, engine="auto")
+    # streamed signature: sim+knit fused, knit phase collapsed to 0
+    assert info.knit_time == 0.0
+    fid = hellinger_fidelity(simulate_circuit(_mixed(6)), dist)
+    assert fid > 1 - 1e-5
+
+    monkeypatch.setattr(run_mod, "AUTO_STREAM_LABELS", labels + 1)
+    dist2, info2 = run_mod.run_virtual_circuit(virt, engine="auto")
+    assert info2.knit_time > 0.0
+    np.testing.assert_allclose(
+        np.asarray(dist2.values), np.asarray(dist.values), atol=2e-6
+    )
