@@ -77,3 +77,41 @@ def sample_fragment_results(
             FragmentResult(res.name, vals, res.bit_positions, res.touching)
         )
     return out
+
+
+def smolin_project_traced(vals: jnp.ndarray) -> jnp.ndarray:
+    """Traceable (jittable) exact Smolin projection of a flat
+    quasi-distribution — the device twin of ``ops.knit.smolin_project``
+    (same ascending-scan rule as the reference, quasi_distr.py:28-43).
+
+    Sort-based: the discarded entries are a prefix of the ascending value
+    order (see the host twin's derivation); computed with one argsort +
+    prefix-sum + scatter, so the full vector never leaves the device.
+    Serving shape: project + sample on device, fetch only the sampled
+    outcome indices (a dense 2^25 fetch through the tunneled TPU costs
+    ~minutes; [shots] int32 costs nothing)."""
+    n = vals.shape[0]
+    order = jnp.argsort(vals)
+    sv = vals[order]
+    csum = jnp.concatenate(
+        [jnp.zeros((1,), vals.dtype), jnp.cumsum(sv[:-1])]
+    )
+    denom = (n - jnp.arange(n)).astype(vals.dtype)
+    ok = sv + csum / denom >= 0
+    any_ok = jnp.any(ok)
+    k = jnp.argmax(ok)  # first True (argmax of bool)
+    shift = jnp.where(any_ok, csum[k] / denom[k], jnp.zeros((), vals.dtype))
+    keep = (jnp.arange(n) >= k) & any_ok
+    out_sorted = jnp.where(keep, sv + shift, 0.0)
+    return jnp.zeros_like(vals).at[order].set(out_sorted)
+
+
+def sample_indices_device(
+    probs: jnp.ndarray, shots: int, key
+) -> jnp.ndarray:
+    """[shots] outcome indices multinomial-sampled from a non-negative
+    flat distribution by inverse-CDF (cumsum + searchsorted) — no
+    [shots, K] intermediate, so it scales to 2^25-wide supports."""
+    cs = jnp.cumsum(probs)
+    u = jax.random.uniform(key, (shots,), dtype=probs.dtype) * cs[-1]
+    return jnp.searchsorted(cs, u, side="right")

@@ -441,6 +441,12 @@ def run_virtual_circuit_streamed(
     variant rows like the reference's per-instantiation Aer counts — the
     streamed path samples the *final* marginal: per-fragment rows never
     materialise here.  Statistically both emulate finite-shot estimation.
+    Without ``checkpoint_dir``, the Smolin projection and the sampling
+    run ON DEVICE fused into the scan program and only the [shots] int32
+    outcome indices are fetched — on the tunneled TPU a dense 2^25-float
+    fetch costs ~minutes while the sampled fetch is free, so this is the
+    shot-serving shape (the reference likewise returns counts, not the
+    dense vector: qvm/run.py:42-58).
     """
     models = _resolve_noise(virt, noise)
     traj_eff = max(
@@ -452,6 +458,22 @@ def run_virtual_circuit_streamed(
         virt, chunk, noise=noise, trajectories=trajectories, seed=seed
     )
     n_chunks = meta["n_chunks"]
+
+    if checkpoint_dir is None and shots is not None:
+        from .sampling import sample_indices_device, smolin_project_traced
+
+        def serve(xs):
+            flat = step_fn(xs)
+            proj = smolin_project_traced(flat)
+            key = jax.random.PRNGKey(seed)
+            return sample_indices_device(proj, shots, key)
+
+        idx = np.asarray(jax.jit(serve)(xs))
+        width = 1 << len(meta["positions"])
+        counts = np.bincount(idx, minlength=width) / float(shots)
+        return Distribution(
+            counts.astype(np.float32), meta["positions"], virt.num_clbits
+        )
 
     if checkpoint_dir is None:
         values = np.asarray(jax.jit(step_fn)(xs))
