@@ -20,7 +20,9 @@ def test_device_smolin_matches_host_twin():
         host = smolin_project(v.astype(np.float64))
         dev = np.asarray(jax.jit(smolin_project_traced)(jnp.asarray(v)))
         np.testing.assert_allclose(dev, host, atol=5e-6)
-        assert abs(dev.sum() - 1.0) < 1e-4 or host.sum() == 0.0
+        # the projection preserves the input's total mass (shift only
+        # redistributes the discarded negative tail)
+        assert abs(dev.sum() - host.sum()) < 1e-5
 
 
 def test_device_smolin_nonnegative_input_identity():
