@@ -47,10 +47,12 @@ CONFIGS = {
     "aqft16": ("aqft", 16, 1, 10, 128),
     "hwe16": ("hwe", 16, 5, 10, 512),
     "qft16": ("qft", 16, 1, 14, 128),
+    "sup20": ("sup", 20, 1, 10, 512),
+    "sup25": ("sup", 25, 1, 13, 512),
 }
 
 
-def run_config(key: str, reps: int) -> dict:
+def run_config(key: str, reps: int, shots: int | None = None) -> dict:
     import jax
 
     from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
@@ -97,6 +99,40 @@ def run_config(key: str, reps: int) -> dict:
     knitted = Distribution(values, meta["positions"], virt.num_clbits)
     ideal = simulate_circuit(circ)  # host oracle (16q fits easily)
     out["fidelity_vs_uncut"] = float(hellinger_fidelity(ideal, knitted))
+
+    if shots:
+        # shot-serving leg: project + sample ON DEVICE, fetch [shots]
+        # int32 (the dense fetch above costs ~minutes for sup-25's 2^25
+        # vector through the tunnel; this is the serving shape)
+        from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.sampling import (
+            sample_indices_device,
+            smolin_project_traced,
+        )
+
+        def serve(xs):
+            proj = smolin_project_traced(step_fn(xs))
+            return sample_indices_device(
+                proj, shots, jax.random.PRNGKey(0)
+            )
+
+        sjit = jax.jit(serve)
+        t0 = time.perf_counter()
+        idx = np.asarray(sjit(xs))
+        out["shots_first_s"] = round(time.perf_counter() - t0, 2)
+        stimes = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            idx = np.asarray(sjit(xs))
+            stimes.append(time.perf_counter() - t0)
+        out["shots_steady_s"] = round(float(np.median(stimes)), 3)
+        out["shots"] = shots
+        width = 1 << len(meta["positions"])
+        counts = np.bincount(idx, minlength=width) / float(shots)
+        sampled = Distribution(
+            counts.astype(np.float32), meta["positions"], virt.num_clbits
+        )
+        out["shots_fidelity"] = float(hellinger_fidelity(ideal, sampled))
+
     out["e2e_wall_s"] = round(time.perf_counter() - t_all, 2)
     out["status"] = "ok"
     return out
@@ -106,12 +142,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="aqft16,hwe16")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--shots", type=int, default=None,
+                    help="additionally time the on-device project+sample "
+                         "serving leg at this shot count")
     args = ap.parse_args()
 
     rows = []
     for key in args.configs.split(","):
         print(f"[northstar] {key} ...", flush=True)
-        row = run_config(key.strip(), args.reps)
+        row = run_config(key.strip(), args.reps, args.shots)
         print(f"[northstar] {row}", flush=True)
         rows.append(row)
 
