@@ -69,6 +69,7 @@ def _sample_pauli_indices(rng, site_probs, count: int, traj: int) -> np.ndarray:
 def make_streamed_knit(
     virt: VirtualCircuit, chunk: int = 512, keep_clbits=None,
     noise=None, trajectories: int | None = None, seed: int = 0,
+    z_clbits=None,
 ):
     """Build (step_fn, xs, meta): ``step_fn(xs)`` scans all global label
     chunks and returns the flat knitted quasi-distribution values.
@@ -194,7 +195,18 @@ def make_streamed_knit(
                 k -= 1
             else:
                 plan.append(("w", None, k))
-        if keep_clbits is not None:
+        if z_clbits is not None:
+            # observable mode: contract EVERY data bit — signed (+1,-1)
+            # on the Z support, summed (+1,+1) elsewhere.  Each fragment
+            # reduces to one scalar per label and the carry is a single
+            # float: expectation serving at ANY circuit width (the
+            # streamed analog of ops/knit.expectation_z).
+            for p in list(pos):
+                j = pos.index(p)
+                plan.append(("z" if p in z_clbits else "drop", j, k))
+                pos.pop(j)
+                k -= 1
+        elif keep_clbits is not None:
             for p in [p for p in pos if p not in keep_clbits]:
                 j = pos.index(p)
                 plan.append(("drop", j, k))
@@ -270,6 +282,13 @@ def make_streamed_knit(
                     high, low = 1 << (k - 1 - j), 1 << j
                     rows = rows.reshape(chunk, high, 2, low).sum(axis=2)
                     rows = rows.reshape(chunk, -1)
+                    continue
+                if kind == "z":
+                    high, low = 1 << (k - 1 - j), 1 << j
+                    r4 = rows.reshape(chunk, high, 2, low)
+                    rows = (r4[:, :, 0, :] - r4[:, :, 1, :]).reshape(
+                        chunk, -1
+                    )
                     continue
                 g, w_tab = next(w_iter)
                 w_sel = w_tab[vidx_chunk[:, g]]
@@ -515,3 +534,19 @@ def run_virtual_circuit_streamed(
 
         dist = sample_distribution(dist, shots, seed)
     return dist
+
+
+def streamed_expectation_z(
+    virt: VirtualCircuit, z_clbits, chunk: int = 512,
+) -> float:
+    """<prod_{c in z_clbits} Z_c> of the reconstructed distribution,
+    computed with a SCALAR carry: every data bit is contracted inside the
+    scan body (signed on the Z support), so no distribution of any size
+    materialises for any circuit width — the streamed twin of
+    ``ops.knit.expectation_z`` (constant memory in both the label count
+    and the qubit count; one scalar fetch)."""
+    chunk = auto_chunk(virt, chunk)
+    step_fn, xs, meta = make_streamed_knit(
+        virt, chunk, z_clbits=frozenset(z_clbits)
+    )
+    return float(np.asarray(jax.jit(step_fn)(xs)).reshape(()))

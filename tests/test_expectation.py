@@ -65,3 +65,20 @@ def test_expectation_identity_is_total():
     full = knit(virt, results)
     got = expectation_z(virt, results, [])
     assert got == pytest.approx(float(np.sum(full.values)), abs=2e-6)
+
+
+def test_streamed_expectation_matches_batched():
+    """streamed_expectation_z (scalar carry in the scan) vs the batched
+    expectation_z and the knitted-distribution oracle, on a mixed cut."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
+        streamed_expectation_z,
+    )
+
+    virt, results = _setup()
+    full = knit(virt, results)
+    for z in ([0], [0, 3], [1, 4, 5], [0, 1, 2, 3, 4, 5]):
+        want = _expect_from_dist(full, z)
+        batched = expectation_z(virt, results, z)
+        streamed = streamed_expectation_z(virt, z, chunk=8)
+        assert abs(batched - want) < 2e-6, (z, batched, want)
+        assert abs(streamed - want) < 1e-5, (z, streamed, want)
