@@ -43,7 +43,7 @@ def run_config(tag, circ_name, n, depth, P, Q, ref_s, max_instances,
         genCirc,
     )
     from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
-        simulate_circuit,
+        simulate_circuit_host,
     )
     from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.run import (
         run_virtual_circuit,
@@ -98,7 +98,7 @@ def run_config(tag, circ_name, n, depth, P, Q, ref_s, max_instances,
         )
     else:
         row["fidelity_vs_uncut"] = float(
-            hellinger_fidelity(simulate_circuit(circ), knitted)
+            hellinger_fidelity(simulate_circuit_host(circ), knitted)
         )
     row["e2e_wall_s"] = round(time.perf_counter() - t0, 4)
     row["status"] = "ok"

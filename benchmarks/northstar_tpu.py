@@ -35,7 +35,7 @@ from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import 
 )
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (  # noqa: E402
     Distribution,
-    simulate_circuit,
+    simulate_circuit_host,
 )
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (  # noqa: E402
     VirtualCircuit,
@@ -97,7 +97,9 @@ def run_config(key: str, reps: int, shots: int | None = None) -> dict:
     out["steady_step_s"] = round(float(np.median(times)), 3)
 
     knitted = Distribution(values, meta["positions"], virt.num_clbits)
-    ideal = simulate_circuit(circ)  # host oracle (16q fits easily)
+    # host-side numpy oracle: a 2^25-buffer program must never be
+    # compiled through the tunneled backend (sup-25 killed a run here)
+    ideal = simulate_circuit_host(circ)
     out["fidelity_vs_uncut"] = float(hellinger_fidelity(ideal, knitted))
 
     if shots:

@@ -35,49 +35,13 @@ REF_WALL_SECONDS = 878.4  # BASELINE.md ghz 24q d1 P2 Q12 (cut-search only)
 
 def _oracle_fidelity(circ, knitted_host) -> float:
     """Untimed host-side check: exact numpy statevector of the uncut
-    circuit, Hellinger fidelity against the knitted distribution."""
+    circuit (ops.statevector.simulate_circuit_host — no device program of
+    any size), Hellinger fidelity against the knitted distribution."""
     import numpy as np
 
-    from .ops.statevector import compile_circuit, to_real_block
+    from .ops.statevector import simulate_circuit_host
 
-    uncut = compile_circuit(circ)
-    n = uncut.num_sim_qubits
-    state = np.zeros((2, 1 << n), np.float32)
-    state[0, 0] = 1.0
-    for u, axes in uncut.ops:
-        b = to_real_block(u)
-        if len(axes) == 1:
-            q = axes[0]
-            st = state.reshape(2, 1 << q, 2, 1 << (n - 1 - q))
-            state = np.einsum("xiyj,yajb->xaib", b, st).reshape(2, 1 << n)
-        else:
-            qa, qb = axes
-            u6 = b.reshape(2, 2, 2, 2, 2, 2)
-            if qa > qb:
-                u6 = u6.transpose(0, 2, 1, 3, 5, 4)
-                qa, qb = qb, qa
-            st = state.reshape(
-                2, 1 << qa, 2, 1 << (qb - qa - 1), 2, 1 << (n - 1 - qb)
-            )
-            state = np.einsum(
-                "xijykl,yakblc->xaibjc", u6, st
-            ).reshape(2, 1 << n)
-    probs = (state * state).sum(0)
-
-    positions = sorted(uncut.clbit_sources)
-    keep = [uncut.clbit_sources[c] for c in positions]
-    kept = list(range(n))
-    for q in sorted((a for a in range(n) if a not in keep), reverse=True):
-        pos = kept.index(q)
-        cur = len(kept)
-        probs = probs.reshape(1 << pos, 2, 1 << (cur - 1 - pos)).sum(1)
-        probs = probs.reshape(-1)
-        kept.pop(pos)
-    m = len(kept)
-    if m:
-        perm = [kept.index(a) for a in reversed(keep)]
-        probs = np.transpose(probs.reshape((2,) * m), perm).reshape(-1)
-
+    probs = np.asarray(simulate_circuit_host(circ).values)
     assert probs.size == knitted_host.size, (probs.size, knitted_host.size)
     k = np.maximum(knitted_host.astype(np.float64), 0.0)
     p = probs.astype(np.float64)

@@ -274,3 +274,64 @@ def simulate_circuit(circ: Circuit) -> Distribution:
     """Exact end-to-end: compile + run + marginalise. The uncut-circuit
     oracle used by the fidelity harness (reference: Utilities.py:39-69)."""
     return probabilities(compile_circuit(circ, fuse=True))
+
+
+def run_statevector_host(compiled: CompiledCircuit) -> np.ndarray:
+    """Host (numpy) twin of :func:`run_statevector`: the uncut-circuit
+    oracle for 20+ qubit circuits, where a 2^n-buffer program must never
+    be compiled through the tunneled TPU backend (compile time scales
+    with buffer size — see bench_impl.py).  Untimed correctness path."""
+    n = compiled.num_sim_qubits
+    state = np.zeros((2, 1 << n), np.float32)
+    state[0, 0] = 1.0
+    for u, axes in compiled.ops:
+        b = to_real_block(u)
+        if len(axes) == 1:
+            q = axes[0]
+            st = state.reshape(2, 1 << q, 2, 1 << (n - 1 - q))
+            state = np.einsum("xiyj,yajb->xaib", b, st).reshape(2, 1 << n)
+        else:
+            qa, qb = axes
+            u6 = b.reshape(2, 2, 2, 2, 2, 2)
+            if qa > qb:
+                u6 = u6.transpose(0, 2, 1, 3, 5, 4)
+                qa, qb = qb, qa
+            st = state.reshape(
+                2, 1 << qa, 2, 1 << (qb - qa - 1), 2, 1 << (n - 1 - qb)
+            )
+            state = np.einsum(
+                "xijykl,yakblc->xaibjc", u6, st
+            ).reshape(2, 1 << n)
+    return state
+
+
+def simulate_circuit_host(circ: Circuit) -> Distribution:
+    """Host (numpy) twin of :func:`simulate_circuit` — same Distribution,
+    no device program of any size."""
+    from .bits import permute_bits_flat_np
+
+    compiled = compile_circuit(circ, fuse=True)
+    n = compiled.num_sim_qubits
+    state = run_statevector_host(compiled)
+    probs = (state * state).sum(0)
+
+    positions = sorted(compiled.clbit_sources)
+    keep = [compiled.clbit_sources[c] for c in positions]
+    kept = list(range(n))
+    for q in sorted((a for a in range(n) if a not in keep), reverse=True):
+        pos = kept.index(q)
+        cur = len(kept)
+        probs = probs.reshape(1 << pos, 2, 1 << (cur - 1 - pos)).sum(1)
+        probs = probs.reshape(-1)
+        kept.pop(pos)
+    # little-endian bit j of the kept flat index carries sim qubit
+    # kept[m-1-j]; the Distribution convention wants bit j to carry
+    # positions[j]'s source qubit keep[j]
+    m = len(kept)
+    if m:
+        probs = permute_bits_flat_np(
+            probs, list(reversed(kept)), keep
+        )
+    return Distribution(
+        probs.astype(np.float32), positions, compiled.num_clbits
+    )

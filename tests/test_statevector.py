@@ -92,3 +92,26 @@ def test_depth_and_counts():
     assert c.depth() == 2
     assert c.count_ops() == {"h": 1, "cx": 1}
     assert c.num_tensor_factors() == 1
+
+
+def test_host_oracle_matches_device_engine():
+    """simulate_circuit_host (numpy, no device program — the 20+ qubit
+    oracle path for the tunneled TPU) must agree with simulate_circuit
+    bit-for-bit across zoo families, including measure_all layouts."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
+        genCirc,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+        simulate_circuit_host,
+    )
+
+    for name, n, d in [("ghz", 6, 1), ("hwe", 5, 2), ("sup", 9, 1),
+                       ("bv", 6, 1), ("aqft", 6, 1), ("add", 6, 1),
+                       ("qft", 5, 1)]:
+        circ = genCirc(name, n, d)
+        dev = simulate_circuit(circ)
+        host = simulate_circuit_host(circ)
+        assert dev.bit_positions == host.bit_positions, name
+        np.testing.assert_allclose(
+            np.asarray(dev.values), host.values, atol=1e-6, err_msg=name
+        )
