@@ -149,23 +149,22 @@ def main() -> None:
                          "serving leg at this shot count")
     args = ap.parse_args()
 
-    rows = []
+    path = pathlib.Path(__file__).resolve().parent.parent / (
+        "northstar_tpu.json"
+    )
     for key in args.configs.split(","):
         print(f"[northstar] {key} ...", flush=True)
         row = run_config(key.strip(), args.reps, args.shots)
         print(f"[northstar] {row}", flush=True)
-        rows.append(row)
-
-    path = pathlib.Path(__file__).resolve().parent.parent / (
-        "northstar_tpu.json"
-    )
-    existing = []
-    if path.exists():
-        existing = [
-            r for r in json.loads(path.read_text())
-            if r["config"] not in {x["config"] for x in rows}
-        ]
-    path.write_text(json.dumps(existing + rows, indent=2))
+        # persist after EVERY config — a crash in config N must not lose
+        # the measurements of configs 1..N-1
+        existing = []
+        if path.exists():
+            existing = [
+                r for r in json.loads(path.read_text())
+                if r["config"] != row["config"]
+            ]
+        path.write_text(json.dumps(existing + [row], indent=2))
     print(f"[northstar] wrote {path}")
 
 
