@@ -276,6 +276,25 @@ def simulate_circuit(circ: Circuit) -> Distribution:
     return probabilities(compile_circuit(circ, fuse=True))
 
 
+def apply_matrix_host(state: np.ndarray, u, axes, n: int) -> np.ndarray:
+    """Host (numpy) twin of :func:`apply_matrix` for [2, 2^n] real-rep
+    states (same einsum contractions, same bit conventions)."""
+    b = to_real_block(u) if np.iscomplexobj(u) or u.ndim == 2 else u
+    if len(axes) == 1:
+        q = axes[0]
+        st = state.reshape(2, 1 << q, 2, 1 << (n - 1 - q))
+        return np.einsum("xiyj,yajb->xaib", b, st).reshape(2, 1 << n)
+    qa, qb = axes
+    u6 = b.reshape(2, 2, 2, 2, 2, 2)
+    if qa > qb:
+        u6 = u6.transpose(0, 2, 1, 3, 5, 4)
+        qa, qb = qb, qa
+    st = state.reshape(
+        2, 1 << qa, 2, 1 << (qb - qa - 1), 2, 1 << (n - 1 - qb)
+    )
+    return np.einsum("xijykl,yakblc->xaibjc", u6, st).reshape(2, 1 << n)
+
+
 def run_statevector_host(compiled: CompiledCircuit) -> np.ndarray:
     """Host (numpy) twin of :func:`run_statevector`: the uncut-circuit
     oracle for 20+ qubit circuits, where a 2^n-buffer program must never
@@ -285,23 +304,7 @@ def run_statevector_host(compiled: CompiledCircuit) -> np.ndarray:
     state = np.zeros((2, 1 << n), np.float32)
     state[0, 0] = 1.0
     for u, axes in compiled.ops:
-        b = to_real_block(u)
-        if len(axes) == 1:
-            q = axes[0]
-            st = state.reshape(2, 1 << q, 2, 1 << (n - 1 - q))
-            state = np.einsum("xiyj,yajb->xaib", b, st).reshape(2, 1 << n)
-        else:
-            qa, qb = axes
-            u6 = b.reshape(2, 2, 2, 2, 2, 2)
-            if qa > qb:
-                u6 = u6.transpose(0, 2, 1, 3, 5, 4)
-                qa, qb = qb, qa
-            st = state.reshape(
-                2, 1 << qa, 2, 1 << (qb - qa - 1), 2, 1 << (n - 1 - qb)
-            )
-            state = np.einsum(
-                "xijykl,yakblc->xaibjc", u6, st
-            ).reshape(2, 1 << n)
+        state = apply_matrix_host(state, u, axes, n)
     return state
 
 

@@ -180,6 +180,7 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
     # and, when the NoiseModel carries a coupling map, routes it onto the
     # device topology first — matching the reference where backend.run
     # implies transpilation (SWAP-inflated CNOT counts, BASELINE.md).
+    prefix_state = None
     if noise is None:
         from .fusion import fused_stream
 
@@ -192,6 +193,25 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
                 bi += 1
             else:
                 prog_ops.append(op)
+        # prefix sharing: every op before the FIRST slot is identical
+        # across all variants — run that prefix ONCE on the host and
+        # start every variant from the resulting constant state (for a
+        # mid-circuit cut this halves the per-variant gate work; a
+        # slot-free fragment collapses to a constant program)
+        first_slot = next(
+            (i for i, op in enumerate(prog_ops)
+             if op[0] not in ("u", "u_aux")),
+            len(prog_ops),
+        )
+        if first_slot:
+            from .statevector import apply_matrix_host
+
+            st = np.zeros((2, 1 << prog.num_sim_qubits), np.float32)
+            st[0, 0] = 1.0
+            for op in prog_ops[:first_slot]:
+                st = apply_matrix_host(st, op[1], op[2], prog.num_sim_qubits)
+            prefix_state = st
+            prog_ops = prog_ops[first_slot:]
     elif getattr(noise, "coupling", None) is not None:
         from ..circuit.routing import route_stream
 
@@ -253,8 +273,11 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
         sites_after.setdefault(op_i, []).append(s_i)
 
     def _sim_one(slot_mats, pauli_mats=None):
-        state = jnp.zeros((2, 1 << n), dtype=jnp.float32)
-        state = state.at[0, 0].set(1.0)
+        if prefix_state is not None:
+            state = jnp.asarray(prefix_state)
+        else:
+            state = jnp.zeros((2, 1 << n), dtype=jnp.float32)
+            state = state.at[0, 0].set(1.0)
         for op_i, op in enumerate(prog_ops):
             kind = op[0]
             if kind in ("u", "u_aux"):
