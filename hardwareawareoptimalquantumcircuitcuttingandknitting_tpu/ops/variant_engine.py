@@ -180,9 +180,12 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
     # and, when the NoiseModel carries a coupling map, routes it onto the
     # device topology first — matching the reference where backend.run
     # implies transpilation (SWAP-inflated CNOT counts, BASELINE.md).
-    prefix_state = None
+    exact_plan = None
     if noise is None:
+        import bisect
+
         from .fusion import fused_stream
+        from .statevector import apply_matrix_host
 
         skeleton, mats = fused_stream(prog.ops)
         prog_ops = []
@@ -193,25 +196,53 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
                 bi += 1
             else:
                 prog_ops.append(op)
-        # prefix sharing: every op before the FIRST slot is identical
-        # across all variants — run that prefix ONCE on the host and
-        # start every variant from the resulting constant state (for a
-        # mid-circuit cut this halves the per-variant gate work; a
-        # slot-free fragment collapses to a constant program)
-        first_slot = next(
-            (i for i, op in enumerate(prog_ops)
-             if op[0] not in ("u", "u_aux")),
-            len(prog_ops),
-        )
-        if first_slot:
-            from .statevector import apply_matrix_host
+        # Lazy qubit introduction: a sim qubit's state bit exists only
+        # from its FIRST op onward ("ins" grows the state by a |0> bit
+        # at the qubit's sorted position).  Deferral ancillas — allocated
+        # up-front by FragmentProgram but untouched until their slot's
+        # measure op — then cost nothing until mid-circuit: a sup-25
+        # fragment (13 data + 5 ancilla qubits) runs most of its gates at
+        # 2^13..2^15 instead of all of them at 2^18.  Plan steps carry
+        # axes TRANSLATED to positions within the active set at that
+        # point, so the executor is shape-static and jit/vmap-friendly.
+        active: list[int] = []
+        plan: list[tuple] = []
+        for op in prog_ops:
+            kind, axes = op[0], op[2]
+            for q in axes:
+                if q not in active:
+                    pos = bisect.bisect_left(active, q)
+                    plan.append(("ins", pos, None))
+                    active.insert(pos, q)
+            tr = tuple(active.index(q) for q in axes)
+            if kind in ("u", "u_aux"):
+                plan.append(("u", to_real_block(op[1]), tr))
+            else:
+                plan.append((kind, op[1], tr))  # payload = slot id
+        active_final = list(active)
 
-            st = np.zeros((2, 1 << prog.num_sim_qubits), np.float32)
-            st[0, 0] = 1.0
-            for op in prog_ops[:first_slot]:
-                st = apply_matrix_host(st, op[1], op[2], prog.num_sim_qubits)
-            prefix_state = st
-            prog_ops = prog_ops[first_slot:]
+        # Prefix sharing: every plan step before the FIRST slot is
+        # identical across the whole variant fan-out — run it ONCE on the
+        # host; each variant starts from the resulting constant state.
+        first_slot = next(
+            (i for i, stp in enumerate(plan)
+             if stp[0] not in ("ins", "u")),
+            len(plan),
+        )
+        st = np.zeros((2, 1), np.float32)
+        st[0, 0] = 1.0
+        m0 = 0
+        for stp in plan[:first_slot]:
+            if stp[0] == "ins":
+                pos = stp[1]
+                r = st.reshape(2, 1 << pos, 1 << (m0 - pos))
+                st = np.stack(
+                    [r, np.zeros_like(r)], axis=2
+                ).reshape(2, 1 << (m0 + 1))
+                m0 += 1
+            else:
+                st = apply_matrix_host(st, stp[1], stp[2], m0)
+        exact_plan = (st, m0, plan[first_slot:], active_final)
     elif getattr(noise, "coupling", None) is not None:
         from ..circuit.routing import route_stream
 
@@ -272,12 +303,44 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
     for s_i, (op_i, _, _) in enumerate(noise_sites):
         sites_after.setdefault(op_i, []).append(s_i)
 
+    def _sim_exact(slot_mats):
+        prefix, m, run_plan, act = exact_plan
+        state = jnp.asarray(prefix)
+        for stp in run_plan:
+            kind = stp[0]
+            if kind == "ins":
+                pos = stp[1]
+                r = state.reshape(2, 1 << pos, 1 << (m - pos))
+                state = jnp.stack(
+                    [r, jnp.zeros_like(r)], axis=2
+                ).reshape(2, 1 << (m + 1))
+                m += 1
+            elif kind == "u":
+                state = apply_matrix(state, stp[1], stp[2], m)
+            else:
+                pre, m4, post = slot_mats[stp[1]]
+                blk = (
+                    pre if kind == "slot_pre"
+                    else m4 if kind == "slot_meas" else post
+                )
+                state = apply_matrix(state, blk, stp[2], m)
+        p = jnp.sum(state * state, axis=0)
+        # marginalise over the ACTIVE qubits; a source qubit that never
+        # saw an op is deterministically |0> — its bit is spliced in as
+        # a zero-bit after the reduction
+        act_sources = [q for q in sources if q in act]
+        row = marginalize_flat(p, m, [act.index(q) for q in act_sources])
+        for j, q in enumerate(sources):
+            if q not in act:
+                r = row.reshape(-1, 1 << j)
+                row = jnp.stack([r, jnp.zeros_like(r)], axis=1).reshape(-1)
+        return row
+
     def _sim_one(slot_mats, pauli_mats=None):
-        if prefix_state is not None:
-            state = jnp.asarray(prefix_state)
-        else:
-            state = jnp.zeros((2, 1 << n), dtype=jnp.float32)
-            state = state.at[0, 0].set(1.0)
+        if exact_plan is not None:
+            return _sim_exact(slot_mats)
+        state = jnp.zeros((2, 1 << n), dtype=jnp.float32)
+        state = state.at[0, 0].set(1.0)
         for op_i, op in enumerate(prog_ops):
             kind = op[0]
             if kind in ("u", "u_aux"):
