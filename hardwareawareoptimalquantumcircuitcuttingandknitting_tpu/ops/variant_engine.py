@@ -180,12 +180,8 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
     # and, when the NoiseModel carries a coupling map, routes it onto the
     # device topology first — matching the reference where backend.run
     # implies transpilation (SWAP-inflated CNOT counts, BASELINE.md).
-    exact_plan = None
     if noise is None:
-        import bisect
-
         from .fusion import fused_stream
-        from .statevector import apply_matrix_host
 
         skeleton, mats = fused_stream(prog.ops)
         prog_ops = []
@@ -196,53 +192,6 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
                 bi += 1
             else:
                 prog_ops.append(op)
-        # Lazy qubit introduction: a sim qubit's state bit exists only
-        # from its FIRST op onward ("ins" grows the state by a |0> bit
-        # at the qubit's sorted position).  Deferral ancillas — allocated
-        # up-front by FragmentProgram but untouched until their slot's
-        # measure op — then cost nothing until mid-circuit: a sup-25
-        # fragment (13 data + 5 ancilla qubits) runs most of its gates at
-        # 2^13..2^15 instead of all of them at 2^18.  Plan steps carry
-        # axes TRANSLATED to positions within the active set at that
-        # point, so the executor is shape-static and jit/vmap-friendly.
-        active: list[int] = []
-        plan: list[tuple] = []
-        for op in prog_ops:
-            kind, axes = op[0], op[2]
-            for q in axes:
-                if q not in active:
-                    pos = bisect.bisect_left(active, q)
-                    plan.append(("ins", pos, None))
-                    active.insert(pos, q)
-            tr = tuple(active.index(q) for q in axes)
-            if kind in ("u", "u_aux"):
-                plan.append(("u", to_real_block(op[1]), tr))
-            else:
-                plan.append((kind, op[1], tr))  # payload = slot id
-        active_final = list(active)
-
-        # Prefix sharing: every plan step before the FIRST slot is
-        # identical across the whole variant fan-out — run it ONCE on the
-        # host; each variant starts from the resulting constant state.
-        first_slot = next(
-            (i for i, stp in enumerate(plan)
-             if stp[0] not in ("ins", "u")),
-            len(plan),
-        )
-        st = np.zeros((2, 1), np.float32)
-        st[0, 0] = 1.0
-        m0 = 0
-        for stp in plan[:first_slot]:
-            if stp[0] == "ins":
-                pos = stp[1]
-                r = st.reshape(2, 1 << pos, 1 << (m0 - pos))
-                st = np.stack(
-                    [r, np.zeros_like(r)], axis=2
-                ).reshape(2, 1 << (m0 + 1))
-                m0 += 1
-            else:
-                st = apply_matrix_host(st, stp[1], stp[2], m0)
-        exact_plan = (st, m0, plan[first_slot:], active_final)
     elif getattr(noise, "coupling", None) is not None:
         from ..circuit.routing import route_stream
 
@@ -265,12 +214,6 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
 
     positions = sorted(clbit_sources)
     sources = [clbit_sources[c] for c in positions]
-
-    fixed_blocks = {
-        id(op): to_real_block(op[1])
-        for op in prog_ops
-        if op[0] in ("u", "u_aux")
-    }
 
     # physical-gate noise sites: (after which op, on which qubit, prob)
     noise_sites: list[tuple[int, int, float]] = []
@@ -303,9 +246,65 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
     for s_i, (op_i, _, _) in enumerate(noise_sites):
         sites_after.setdefault(op_i, []).append(s_i)
 
-    def _sim_exact(slot_mats):
-        prefix, m, run_plan, act = exact_plan
-        state = jnp.asarray(prefix)
+    # Lazy qubit introduction (both paths): a sim qubit's state bit exists
+    # only from its FIRST op onward ("ins" grows the state by a |0> bit at
+    # the qubit's sorted position).  Deferral ancillas — allocated up-front
+    # by FragmentProgram but untouched until their slot's measure op — then
+    # cost nothing until mid-circuit: a sup-25 fragment (13 data + 5
+    # ancilla qubits) runs most of its gates at 2^13..2^15 instead of all
+    # of them at 2^18.  Plan steps carry axes TRANSLATED to positions
+    # within the active set at that point, so the executor stays
+    # shape-static and jit/vmap-friendly.  Noise sites become explicit
+    # ("pauli", site, pos) steps at the width of their op.
+    import bisect
+
+    active: list[int] = []
+    plan: list[tuple] = []
+    for op_i, op in enumerate(prog_ops):
+        kind, axes = op[0], op[2]
+        for q in axes:
+            if q not in active:
+                pos = bisect.bisect_left(active, q)
+                plan.append(("ins", pos, None))
+                active.insert(pos, q)
+        tr = tuple(active.index(q) for q in axes)
+        if kind in ("u", "u_aux"):
+            plan.append(("u", to_real_block(op[1]), tr))
+        else:
+            plan.append((kind, op[1], tr))  # payload = slot id
+        for s_i in sites_after.get(op_i, ()):
+            q = noise_sites[s_i][1]
+            plan.append(("pauli", s_i, (active.index(q),)))
+    active_final = list(active)
+
+    # Prefix sharing: every plan step before the first variant-dependent
+    # step (slot matrices; sampled Pauli sites) is identical across the
+    # whole fan-out — run it ONCE on the host; each variant starts from
+    # the resulting constant state.
+    from .statevector import apply_matrix_host
+
+    first_var = next(
+        (i for i, stp in enumerate(plan) if stp[0] not in ("ins", "u")),
+        len(plan),
+    )
+    st = np.zeros((2, 1), np.float32)
+    st[0, 0] = 1.0
+    m0 = 0
+    for stp in plan[:first_var]:
+        if stp[0] == "ins":
+            pos = stp[1]
+            r = st.reshape(2, 1 << pos, 1 << (m0 - pos))
+            st = np.stack(
+                [r, np.zeros_like(r)], axis=2
+            ).reshape(2, 1 << (m0 + 1))
+            m0 += 1
+        else:
+            st = apply_matrix_host(st, stp[1], stp[2], m0)
+    prefix_state, run_plan = st, plan[first_var:]
+
+    def _sim_one(slot_mats, pauli_mats=None):
+        state = jnp.asarray(prefix_state)
+        m = m0
         for stp in run_plan:
             kind = stp[0]
             if kind == "ins":
@@ -317,6 +316,11 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
                 m += 1
             elif kind == "u":
                 state = apply_matrix(state, stp[1], stp[2], m)
+            elif kind == "pauli":
+                if pauli_mats is not None:
+                    state = apply_matrix(
+                        state, pauli_mats[stp[1]], stp[2], m
+                    )
             else:
                 pre, m4, post = slot_mats[stp[1]]
                 blk = (
@@ -328,38 +332,15 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
         # marginalise over the ACTIVE qubits; a source qubit that never
         # saw an op is deterministically |0> — its bit is spliced in as
         # a zero-bit after the reduction
-        act_sources = [q for q in sources if q in act]
-        row = marginalize_flat(p, m, [act.index(q) for q in act_sources])
+        act_sources = [q for q in sources if q in active_final]
+        row = marginalize_flat(
+            p, m, [active_final.index(q) for q in act_sources]
+        )
         for j, q in enumerate(sources):
-            if q not in act:
+            if q not in active_final:
                 r = row.reshape(-1, 1 << j)
                 row = jnp.stack([r, jnp.zeros_like(r)], axis=1).reshape(-1)
         return row
-
-    def _sim_one(slot_mats, pauli_mats=None):
-        if exact_plan is not None:
-            return _sim_exact(slot_mats)
-        state = jnp.zeros((2, 1 << n), dtype=jnp.float32)
-        state = state.at[0, 0].set(1.0)
-        for op_i, op in enumerate(prog_ops):
-            kind = op[0]
-            if kind in ("u", "u_aux"):
-                state = apply_matrix(state, fixed_blocks[id(op)], op[2], n)
-            else:
-                sid, axes = op[1], op[2]
-                pre, m4, post = slot_mats[sid]
-                if kind == "slot_pre":
-                    state = apply_matrix(state, pre, axes, n)
-                elif kind == "slot_meas":
-                    state = apply_matrix(state, m4, axes, n)
-                else:
-                    state = apply_matrix(state, post, axes, n)
-            if pauli_mats is not None:
-                for s_i in sites_after.get(op_i, ()):
-                    q = noise_sites[s_i][1]
-                    state = apply_matrix(state, pauli_mats[s_i], (q,), n)
-        p = jnp.sum(state * state, axis=0)
-        return marginalize_flat(p, n, sources)
 
     _sim_one.noise_sites = noise_sites
     _sim_one.readout_device = readout_device
