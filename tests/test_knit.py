@@ -263,3 +263,46 @@ def test_blocked_knit_matches_knit_values():
         flat = permute_bits_flat_np(merged, src_bits, sorted(src_bits))
         assert sorted(src_bits) == positions
         np.testing.assert_allclose(flat, ref, atol=1e-6)
+
+
+def test_lazy_introduction_idle_and_late_qubits():
+    """Lazy qubit introduction edge cases: a measured qubit with NO gates
+    (deterministic |0> — spliced in as a zero bit after the marginal) and
+    a qubit whose first gate comes after the cut slot."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+        Circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
+        Cutter,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (
+        hellinger_fidelity,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+        simulate_circuit_host,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.run import (
+        run_virtual_circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+        VirtualCircuit,
+    )
+
+    circ = Circuit(6, 6)
+    circ.h(0)
+    for i in range(3):
+        circ.cx(i, i + 1)
+    # qubit 4: first gate AFTER the entangling chain (late introduction)
+    circ.x(4)
+    circ.cx(3, 4)
+    # qubit 5: never touched — measured deterministic |0>
+    for q in range(6):
+        circ.measure(q, q)
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=4,
+                    maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
+    assert cutter.solve()
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    for engine in ("xla", "streamed"):
+        dist, _ = run_virtual_circuit(virt, engine=engine)
+        fid = hellinger_fidelity(simulate_circuit_host(circ), dist)
+        assert fid > 1 - 1e-5, (engine, fid)
