@@ -80,11 +80,25 @@ def main() -> None:
     ap.add_argument("--trajectories", type=int, default=8)
     ap.add_argument("--shots", type=int, default=1000)
     args = ap.parse_args()
+    path = pathlib.Path(__file__).resolve().parent.parent / (
+        "noisy_streamed_tpu.json"
+    )
     for key in args.configs.split(","):
         print(f"[noisy] {key} x {args.trajectories} trajectories ...",
               flush=True)
         row = run_one(key.strip(), args.trajectories, args.shots)
         print(f"[noisy] {row}", flush=True)
+        # persist after EVERY config (crash in config N must not lose 1..N-1)
+        doc = json.loads(path.read_text()) if path.exists() else {
+            "what": "streamed noisy serving at scale (this script)",
+            "runs": [],
+        }
+        doc["runs"] = [
+            r for r in doc.get("runs", [])
+            if not (r["config"] == row["config"]
+                    and r["trajectories"] == row["trajectories"])
+        ] + [row]
+        path.write_text(json.dumps(doc, indent=2))
 
 
 if __name__ == "__main__":

@@ -137,27 +137,9 @@ def knit_values(
     ``weights``: optional per-fragment list of per-touching-vgate weight
     matrices (tracers allowed) replacing the trace-time constants from
     :func:`fold_weights` — parameter sweeps pass these as arguments."""
-    letters = list(string.ascii_letters)
-    vgate_letter = {g: letters.pop() for g in range(len(virt.vgates))}
-
-    operands = []
-    subs = []
-    out_sub = ""
-    frag_positions: list[list[int]] = []
-    for fi, res in enumerate(results):
-        e, data_pos = _fold_fragment(
-            virt, res, keep_clbits,
-            None if weights is None else weights[fi],
-        )
-        sub = "".join(vgate_letter[g] for g in res.touching)
-        dl = letters.pop()
-        sub += dl
-        out_sub += dl
-        operands.append(jnp.asarray(e))
-        subs.append(sub)
-        frag_positions.append(data_pos)
-
-    expr = ",".join(subs) + "->" + out_sub
+    expr, operands, frag_positions = _knit_operands(
+        virt, results, weights, keep_clbits
+    )
     merged = jnp.einsum(expr, *operands).reshape(-1)
 
     # merged axes: one per fragment, each holding that fragment's data
@@ -294,7 +276,7 @@ def prune_distribution(dist: Distribution, accuracy: float = 1e-5) -> Distributi
     )
 
 
-def _knit_operands(virt, results, weights=None):
+def _knit_operands(virt, results, weights=None, keep_clbits=None):
     """Shared setup of :func:`knit_values`'s einsum: returns
     (expr, es, frag_positions)."""
     letters = list(string.ascii_letters)
@@ -303,7 +285,8 @@ def _knit_operands(virt, results, weights=None):
     frag_positions: list[list[int]] = []
     for fi, res in enumerate(results):
         e, data_pos = _fold_fragment(
-            virt, res, None, None if weights is None else weights[fi]
+            virt, res, keep_clbits,
+            None if weights is None else weights[fi],
         )
         sub = "".join(vgate_letter[g] for g in res.touching)
         dl = letters.pop()

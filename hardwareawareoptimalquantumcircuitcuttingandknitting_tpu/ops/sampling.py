@@ -111,7 +111,14 @@ def sample_indices_device(
 ) -> jnp.ndarray:
     """[shots] outcome indices multinomial-sampled from a non-negative
     flat distribution by inverse-CDF (cumsum + searchsorted) — no
-    [shots, K] intermediate, so it scales to 2^25-wide supports."""
+    [shots, K] intermediate, so it scales to 2^25-wide supports.
+
+    Indices are clipped to the valid range: ``searchsorted`` returns K
+    when a draw lands exactly on (or float-rounds up to) the total mass,
+    and for a degenerate all-zero input every draw would.  Callers that
+    must reject all-nonpositive inputs check the mass separately (the
+    streamed shots path fetches it alongside the indices)."""
     cs = jnp.cumsum(probs)
     u = jax.random.uniform(key, (shots,), dtype=probs.dtype) * cs[-1]
-    return jnp.searchsorted(cs, u, side="right")
+    idx = jnp.searchsorted(cs, u, side="right")
+    return jnp.minimum(idx, probs.shape[0] - 1)

@@ -36,7 +36,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..virt.virtual_circuit import VirtualCircuit
 from .sharded_sv import ShardCtx
 from .statevector import to_real_block
-from .variant_engine import FragmentResult, _slot_tables
+from .variant_engine import (
+    FragmentResult,
+    _slot_tables,
+    variant_index_table,
+)
 
 
 def make_sharded_fragment_fn(
@@ -112,12 +116,10 @@ def make_sharded_fragment_fn(
     # payload: 4 B x #touching per label; the [nI, ...] matrix tables are
     # jit constants gathered on device — see ops/streamed.py)
     padded = -(-flat_count // dp) * dp
-    flat = np.arange(padded)
     touch_col = {g: i for i, g in enumerate(prog.touching)}
-    vidx = np.zeros((padded, max(1, len(prog.touching))), np.int32)
-    for g in prog.touching:
-        vidx[:, touch_col[g]] = np.minimum(flat, flat_count - 1) \
-            // strides[g] % n_inst[g]
+    vidx = variant_index_table(
+        prog.touching, strides, n_inst, padded, clamp_to=flat_count
+    )
     tables = [
         tuple(jnp.asarray(m) for m in t) for t in _slot_tables(prog, specs)
     ]

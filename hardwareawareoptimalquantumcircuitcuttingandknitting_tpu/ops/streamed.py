@@ -42,7 +42,7 @@ from ..virt.virtual_circuit import VirtualCircuit
 from .bits import permute_bits_flat
 from .knit import fold_weights, nearest_probability_distribution
 from .statevector import Distribution
-from .variant_engine import _slot_tables, make_sim_fn
+from .variant_engine import _slot_tables, make_sim_fn, variant_index_table
 
 
 def _resolve_noise(virt: VirtualCircuit, noise):
@@ -114,12 +114,7 @@ def make_streamed_knit(
 
     labels = np.arange(padded)
     valid = (labels < total).astype(np.float32)
-    # per-label variant index of every vgate (host int64 avoids overflow
-    # for huge label spaces; the streamed column is a small int32)
-    vidx = np.empty((padded, max(1, num_g)), np.int32)
-    vidx[:] = 0
-    for g in range(num_g):
-        vidx[:, g] = (labels // gstride[g]) % n_inst[g]
+    vidx = variant_index_table(range(num_g), gstride, n_inst, padded)
 
     models = _resolve_noise(virt, noise)
     rng = np.random.default_rng(seed)
@@ -143,8 +138,8 @@ def make_streamed_knit(
     for fi, name in enumerate(frag_names):
         prog = virt.programs[name]
         nm = models[fi]
-        sim_one, _local_mats, positions, _local_count = make_sim_fn(
-            virt, name, noise=nm
+        sim_one, _, positions, _local_count = make_sim_fn(
+            virt, name, noise=nm, build_matrices=False
         )
         sim_ones[name] = sim_one
         slot_tables.append([
@@ -485,9 +480,14 @@ def run_virtual_circuit_streamed(
             flat = step_fn(xs)
             proj = smolin_project_traced(flat)
             key = jax.random.PRNGKey(seed)
-            return sample_indices_device(proj, shots, key)
+            return sample_indices_device(proj, shots, key), jnp.sum(proj)
 
-        idx = np.asarray(jax.jit(serve)(xs))
+        idx, mass = jax.jit(serve)(xs)
+        if float(mass) <= 0.0:
+            raise ValueError(
+                "cannot sample from an all-nonpositive distribution"
+            )
+        idx = np.asarray(idx)
         width = 1 << len(meta["positions"])
         counts = np.bincount(idx, minlength=width) / float(shots)
         return Distribution(

@@ -147,7 +147,32 @@ def _slot_matrices(
     return out
 
 
-def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
+def variant_index_table(
+    order, strides: dict[int, int], n_inst: dict[int, int],
+    padded: int, clamp_to: int | None = None,
+) -> np.ndarray:
+    """[padded, max(1, len(order))] int32 per-label variant indices:
+    column i holds ``(label // strides[order[i]]) % n_inst[order[i]]``.
+
+    The ONE place that pins the label->variant-index convention
+    (last-vgate-fastest strides, reference order qvm/virtual_circuit.py:
+    133-137) for every engine that gathers slot tables on device
+    (streamed scan, sharded-fragment, dp x tp knit step).  ``clamp_to``
+    clamps padding labels to the last real one (equivalent to repeating
+    the final variant row).  Host arithmetic runs in int64, the stored
+    column is a small int32."""
+    labels = np.arange(padded)
+    if clamp_to is not None:
+        labels = np.minimum(labels, clamp_to - 1)
+    order = list(order)
+    out = np.zeros((padded, max(1, len(order))), np.int32)
+    for i, g in enumerate(order):
+        out[:, i] = labels // strides[g] % n_inst[g]
+    return out
+
+
+def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
+                build_matrices: bool = True):
     """Build the per-variant simulation closure for a fragment.
 
     Returns (sim_one, slot_mats, positions, flat_count) where ``sim_one``
@@ -344,7 +369,12 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None):
 
     _sim_one.noise_sites = noise_sites
     _sim_one.readout_device = readout_device
-    all_mats = _slot_matrices(prog, specs, flat_count, strides, n_inst)
+    # callers that gather slot matrices ON DEVICE (streamed / sharded
+    # paths) skip the O(flat_count x slots x ~384 B) host gather
+    all_mats = (
+        _slot_matrices(prog, specs, flat_count, strides, n_inst)
+        if build_matrices else None
+    )
     return _sim_one, all_mats, positions, flat_count
 
 

@@ -25,7 +25,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.knit import knit_values
 from ..ops.statevector import Distribution
-from ..ops.variant_engine import FragmentResult, _slot_tables, make_sim_fn
+from ..ops.variant_engine import (
+    FragmentResult,
+    _slot_tables,
+    make_sim_fn,
+    variant_index_table,
+)
 from ..virt.virtual_circuit import VirtualCircuit
 
 
@@ -44,8 +49,8 @@ def make_sharded_step(virt: VirtualCircuit, mesh: Mesh):
     shardings: list[NamedSharding] = []
     for reg in virt.fragments:
         prog = virt.programs[reg.name]
-        sim_one, _mats, positions, flat_count = make_sim_fn(
-            virt, reg.name
+        sim_one, _, positions, flat_count = make_sim_fn(
+            virt, reg.name, build_matrices=False
         )
         n_inst = {g: specs[g].num_instantiations for g in prog.touching}
         strides: dict[int, int] = {}
@@ -54,11 +59,10 @@ def make_sharded_step(virt: VirtualCircuit, mesh: Mesh):
             strides[g] = fc
             fc *= n_inst[g]
         padded = -(-flat_count // dp) * dp
-        flat = np.minimum(np.arange(padded), flat_count - 1)
         touch_col = {g: i for i, g in enumerate(prog.touching)}
-        vidx = np.zeros((padded, max(1, len(prog.touching))), np.int32)
-        for g in prog.touching:
-            vidx[:, touch_col[g]] = flat // strides[g] % n_inst[g]
+        vidx = variant_index_table(
+            prog.touching, strides, n_inst, padded, clamp_to=flat_count
+        )
         tables = [
             tuple(jnp.asarray(m) for m in t)
             for t in _slot_tables(prog, specs)

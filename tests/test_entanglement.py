@@ -46,15 +46,28 @@ def test_matches_scalar_formula_on_random_state():
     n = 6
     a = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
     a /= np.linalg.norm(a)
-    # independent scalar evaluation of the published formula
+    # independent scalar evaluation of the published formula — signs
+    # written out inline (NOT via sgn_star) so the vectorized sign table
+    # is checked against a second implementation of the convention
     total = 0.0
     for i in range(1 << (n - 2)):
-        s = int(sgn_star(n, np.array([i]))[0])
+        ni = bin(i).count("1")
+        s = (-1) ** ni if i < (1 << (n - 3)) else (-1) ** (n + ni)
         total += s * (
             a[2 * i] * a[(1 << n) - 1 - 2 * i]
             - a[2 * i + 1] * a[(1 << n) - 2 - 2 * i]
         )
     assert abs(n_tangle(a, n) - 2 * abs(total)) < 1e-12
+
+
+def test_sgn_star_matches_inline_convention():
+    for n in (4, 6, 8):
+        i = np.arange(1 << (n - 2))
+        vec = sgn_star(n, i)
+        for j in (0, 1, (1 << (n - 3)) - 1, 1 << (n - 3), (1 << (n - 2)) - 1):
+            ni = bin(int(j)).count("1")
+            want = (-1) ** ni if j < (1 << (n - 3)) else (-1) ** (n + ni)
+            assert int(vec[j]) == want, (n, j)
 
 
 def test_odd_n_rejected():
