@@ -49,6 +49,8 @@ CONFIGS = {
     "qft16": ("qft", 16, 1, 14, 128),
     "sup20": ("sup", 20, 1, 10, 512),
     "sup25": ("sup", 25, 1, 13, 512),
+    "aqft10": ("aqft", 10, 1, 10, 512),
+    "ghz24": ("ghz", 24, 1, 12, 512),
 }
 
 

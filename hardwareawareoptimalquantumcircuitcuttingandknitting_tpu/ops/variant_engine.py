@@ -272,26 +272,46 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
         sites_after.setdefault(op_i, []).append(s_i)
 
     # Lazy qubit introduction (both paths): a sim qubit's state bit exists
-    # only from its FIRST op onward ("ins" grows the state by a |0> bit at
-    # the qubit's sorted position).  Deferral ancillas — allocated up-front
-    # by FragmentProgram but untouched until their slot's measure op — then
-    # cost nothing until mid-circuit: a sup-25 fragment (13 data + 5
-    # ancilla qubits) runs most of its gates at 2^13..2^15 instead of all
-    # of them at 2^18.  Plan steps carry axes TRANSLATED to positions
-    # within the active set at that point, so the executor stays
-    # shape-static and jit/vmap-friendly.  Noise sites become explicit
-    # ("pauli", site, pos) steps at the width of their op.
+    # only from the start of the slot-delimited SEGMENT of its first op
+    # ("ins" grows the state by a |0> bit at the qubit's sorted position).
+    # Deferral ancillas — allocated up-front by FragmentProgram but
+    # untouched until their slot's measure op — then cost nothing until
+    # mid-circuit: a sup-25 fragment (13 data + 5 ancilla qubits) runs
+    # most of its gates at 2^13..2^15 instead of all of them at 2^18.
+    # Introductions are COALESCED at segment boundaries so the number of
+    # distinct state widths is bounded by #slots+1 rather than #qubits —
+    # per-op widths ballooned the tunneled backend's compile time (a
+    # ghz-24 chain introduces a qubit per gate).  Plan steps carry axes
+    # TRANSLATED to positions within the active set at that point, so the
+    # executor stays shape-static and jit/vmap-friendly.  Noise sites
+    # become explicit ("pauli", site, pos) steps at the width of their op.
     import bisect
+
+    op_seg = []
+    seg = 0
+    for op in prog_ops:
+        if op[0] not in ("u", "u_aux"):
+            seg += 1
+        op_seg.append(seg)
+    first_seg: dict[int, int] = {}
+    for op, sgi in zip(prog_ops, op_seg):
+        for q in op[2]:
+            first_seg.setdefault(q, sgi)
 
     active: list[int] = []
     plan: list[tuple] = []
+    cur_seg = -1
     for op_i, op in enumerate(prog_ops):
+        if op_seg[op_i] > cur_seg:
+            for s in range(cur_seg + 1, op_seg[op_i] + 1):
+                for q in sorted(
+                    q for q, fs in first_seg.items() if fs == s
+                ):
+                    pos = bisect.bisect_left(active, q)
+                    plan.append(("ins", pos, None))
+                    active.insert(pos, q)
+            cur_seg = op_seg[op_i]
         kind, axes = op[0], op[2]
-        for q in axes:
-            if q not in active:
-                pos = bisect.bisect_left(active, q)
-                plan.append(("ins", pos, None))
-                active.insert(pos, q)
         tr = tuple(active.index(q) for q in axes)
         if kind in ("u", "u_aux"):
             plan.append(("u", to_real_block(op[1]), tr))
