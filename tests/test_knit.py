@@ -306,3 +306,50 @@ def test_lazy_introduction_idle_and_late_qubits():
         dist, _ = run_virtual_circuit(virt, engine=engine)
         fid = hellinger_fidelity(simulate_circuit_host(circ), dist)
         assert fid > 1 - 1e-5, (engine, fid)
+
+
+def test_gate_width_count_bounded_by_slots():
+    """Lazy-introduction coalescing: the number of DISTINCT state widths
+    at which gate ops run must be bounded by #slot-ops + 1 (per-op growth
+    ballooned tunneled-TPU compile time; ancillas must still arrive at
+    their slot, not at program start)."""
+    import inspect
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
+        genCirc,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
+        Cutter,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.variant_engine import (
+        make_sim_fn,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+        VirtualCircuit,
+    )
+
+    circ = genCirc("ghz", 12, 1)
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=7,
+                    maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
+    assert cutter.solve()
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    for reg in virt.fragments:
+        sim_one, _, _, _ = make_sim_fn(virt, reg.name, build_matrices=False)
+        cl = inspect.getclosurevars(sim_one).nonlocals
+        m, run_plan = cl["m0"], cl["run_plan"]
+        gate_widths = set()
+        n_slot_ops = 0
+        for stp in run_plan:
+            if stp[0] == "ins":
+                m += 1
+            else:
+                gate_widths.add(m)
+                if stp[0].startswith("slot"):
+                    n_slot_ops += 1
+        assert len(gate_widths) <= n_slot_ops + 1, (
+            reg.name, sorted(gate_widths), n_slot_ops,
+        )
+        # and laziness is real: the prefix runs below the full width
+        prog = virt.programs[reg.name]
+        if prog.slots:
+            assert cl["m0"] < prog.num_sim_qubits or not run_plan
