@@ -178,7 +178,10 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
     Returns (sim_one, slot_mats, positions, flat_count) where ``sim_one``
     maps one variant's slot matrices to its probability row (traceable, so
     it can be vmapped/sharded/jitted by callers), ``slot_mats`` is the list
-    of per-slot stacked matrices over all ``flat_count`` variants.
+    of per-slot stacked matrices over all ``flat_count`` variants — or
+    ``None`` with ``build_matrices=False`` (callers that gather slot
+    tables on device per :func:`variant_index_table` skip the
+    O(flat_count x slots) host gather).
 
     With ``noise`` (a NoiseModel), ``sim_one(slot_mats, pauli_mats)``
     additionally applies one sampled-Pauli matrix per physical gate site

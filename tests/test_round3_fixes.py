@@ -115,3 +115,28 @@ def test_checkpoint_fingerprint_hashes_full_coef():
     fp1 = checkpoint_fingerprint(make(0.3))
     fp2 = checkpoint_fingerprint(make(0.9))
     assert fp1 != fp2  # coef tables differ only in the RZZ angle terms
+
+
+def test_variant_index_table_convention():
+    """variant_index_table pins the reference label order: last vgate in
+    ``order`` varies fastest; padding labels clamp to the final real one."""
+    import numpy as np
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.variant_engine import (
+        variant_index_table,
+    )
+
+    order = [0, 1]
+    strides = {0: 3, 1: 1}      # vgate 1 fastest
+    n_inst = {0: 2, 1: 3}
+    t = variant_index_table(order, strides, n_inst, padded=8, clamp_to=6)
+    np.testing.assert_array_equal(
+        t[:, 0], [0, 0, 0, 1, 1, 1, 1, 1]   # label//3 % 2, clamped at 5
+    )
+    np.testing.assert_array_equal(
+        t[:, 1], [0, 1, 2, 0, 1, 2, 2, 2]   # label % 3, clamped at 5
+    )
+    assert t.dtype == np.int32
+    # empty order still yields one (unused) zero column
+    t0 = variant_index_table([], {}, {}, padded=4)
+    assert t0.shape == (4, 1) and not t0.any()
