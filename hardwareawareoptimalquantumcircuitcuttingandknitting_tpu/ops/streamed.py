@@ -538,15 +538,26 @@ def run_virtual_circuit_streamed(
 
 def streamed_expectation_z(
     virt: VirtualCircuit, z_clbits, chunk: int = 512,
+    noise=None, trajectories: int | None = None, seed: int = 0,
 ) -> float:
     """<prod_{c in z_clbits} Z_c> of the reconstructed distribution,
     computed with a SCALAR carry: every data bit is contracted inside the
     scan body (signed on the Z support), so no distribution of any size
     materialises for any circuit width — the streamed twin of
     ``ops.knit.expectation_z`` (constant memory in both the label count
-    and the qubit count; one scalar fetch)."""
-    chunk = auto_chunk(virt, chunk)
+    and the qubit count; one scalar fetch).
+
+    ``noise``: optional NoiseModel / per-fragment list — the observable
+    of the trajectory-noise + readout-channel estimate (same engine as
+    the noisy streamed distribution path)."""
+    models = _resolve_noise(virt, noise)
+    traj_eff = max(
+        [trajectories or nm.trajectories for nm in models if nm is not None],
+        default=1,
+    )
+    chunk = auto_chunk(virt, chunk, traj_eff, noisy=noise is not None)
     step_fn, xs, meta = make_streamed_knit(
-        virt, chunk, z_clbits=frozenset(z_clbits)
+        virt, chunk, z_clbits=frozenset(z_clbits),
+        noise=noise, trajectories=trajectories, seed=seed,
     )
     return float(np.asarray(jax.jit(step_fn)(xs)).reshape(()))

@@ -82,3 +82,27 @@ def test_streamed_expectation_matches_batched():
         streamed = streamed_expectation_z(virt, z, chunk=8)
         assert abs(batched - want) < 2e-6, (z, batched, want)
         assert abs(streamed - want) < 1e-5, (z, streamed, want)
+
+
+def test_streamed_noisy_expectation():
+    """Noisy observable serving: the scalar-carry expectation under the
+    trajectory-noise engine agrees with the parity computed from the
+    noisy streamed distribution (same seed/engine)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        NoiseModel,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
+        run_virtual_circuit_streamed,
+        streamed_expectation_z,
+    )
+
+    virt, _ = _setup()
+    nm = NoiseModel("test", p1=0.003, p2=0.02,
+                    readout01=0.01, readout10=0.02, trajectories=3)
+    dist = run_virtual_circuit_streamed(
+        virt, chunk=8, noise=nm, seed=5, project=False
+    )
+    for z in ([0], [1, 4]):
+        want = _expect_from_dist(dist, z)
+        got = streamed_expectation_z(virt, z, chunk=8, noise=nm, seed=5)
+        assert abs(got - want) < 1e-5, (z, got, want)
