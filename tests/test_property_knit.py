@@ -83,3 +83,28 @@ def test_random_circuit_knits_exactly(circ, cap):
     assert fid > 1 - 1e-5, fid
     total = float(np.sum(np.asarray(knitted.values)))
     assert total == pytest.approx(1.0, abs=1e-4)
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(circ=circuits(), cap=st.integers(3, 4))
+def test_random_circuit_streamed_matches_batched(circ, cap):
+    """The streamed scan (index gather + lazy introduction + prefix
+    sharing) must agree with the batched engine on arbitrary random cut
+    sets — the engines share no code path after make_sim_fn."""
+    cutter = Cutter(
+        circ, maxNPartitions=2, maxNQubitsPerPartition=cap,
+        maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5,
+    )
+    if not cutter.solve():
+        return
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    batched, _ = run_virtual_circuit(virt, project=False)
+    streamed, _ = run_virtual_circuit(virt, project=False, engine="streamed",
+                                      chunk_size=16)
+    assert batched.bit_positions == streamed.bit_positions
+    np.testing.assert_allclose(
+        np.asarray(streamed.values), np.asarray(batched.values), atol=5e-6
+    )
