@@ -5,6 +5,13 @@ fragment's static program is traced once and ``vmap``-ed over the variant
 axis; per-variant endpoint behaviour enters purely through data (slot
 matrices), so shapes are static and XLA compiles a single kernel for the
 whole 6^g * 8^w fan-out.  Large fan-outs are chunked to bound memory.
+
+The per-variant program is a *lazy plan* (built in :func:`make_sim_fn`):
+qubits are introduced at the start of the slot-delimited segment of
+their first op (deferral ancillas cost nothing until mid-circuit), the
+variant-independent prefix is executed once on the host and shared as a
+constant, fixed-gate runs are fused (ops/fusion.py), and trajectory
+noise sites are explicit plan steps at the width of their op.
 """
 from __future__ import annotations
 
