@@ -113,10 +113,16 @@ class _Fuser:
         return self.out
 
 
-def fused_stream(prog_ops: list) -> tuple[list, list[np.ndarray]]:
+def fused_stream(
+    prog_ops: list, max_qubits: int = 2,
+) -> tuple[list, list[np.ndarray]]:
     """Fuse a FragmentProgram-style op stream (fixed "u"/"u_aux" entries
     interleaved with slot ops).  Fixed-gate runs between slots fuse;
     slot ops pass through as structural entries.
+
+    ``max_qubits`` > 2 additionally merges ops into k-qubit blocks
+    (:func:`fuse_blocks`) — used by engines whose ``apply_matrix``
+    supports 3q blocks; the sharded/Pallas paths stay at 2.
 
     Returns (skeleton, mats): skeleton entries are ("u", axes) for fused
     fixed gates (matrix in ``mats``, aligned by order of appearance) or
@@ -128,7 +134,11 @@ def fused_stream(prog_ops: list) -> tuple[list, list[np.ndarray]]:
     run: list = []
 
     def flush():
-        for m, ax in fuse_ops(run):
+        fused = (
+            fuse_blocks(run, max_qubits) if max_qubits > 2
+            else fuse_ops(run)
+        )
+        for m, ax in fused:
             skeleton.append(("u", tuple(ax)))
             mats.append(m)
         run.clear()
@@ -154,6 +164,106 @@ def fuse_ops(
             for idx in range(len(fuser.pending)):
                 fuser._flush(idx)
             fuser.out.append((np.asarray(mat, dtype=complex), tuple(axes)))
+            continue
+        fuser.add(mat, axes)
+    return fuser.finish()
+
+
+# ---------------------------------------------------------------------------
+# Second pass: k-qubit block fusion (k <= 3)
+# ---------------------------------------------------------------------------
+
+def _expand(mat: np.ndarray, axes: tuple[int, ...],
+            target: tuple[int, ...]) -> np.ndarray:
+    """Lift ``mat`` on ``axes`` to a 2^len(target) matrix on ``target``
+    (qubit order = target; axes must be a subset)."""
+    k = len(target)
+    rest = [q for q in target if q not in axes]
+    m = np.kron(np.asarray(mat, complex), np.eye(1 << len(rest)))
+    cur = list(axes) + rest
+    perm = [cur.index(q) for q in target]
+    t = m.reshape((2,) * k + (2,) * k)
+    t = np.transpose(t, perm + [k + p for p in perm])
+    return t.reshape(1 << k, 1 << k)
+
+
+class _BlockFuser:
+    """Greedy owner-map fuser over already-2q-fused ops: merges an op into
+    a pending disjoint block when their qubit union stays <= max_qubits.
+    Pending blocks are mutually disjoint (hence commuting), so flushing
+    conflicting blocks before a merge preserves operator order."""
+
+    def __init__(self, max_qubits: int):
+        self.max_q = max_qubits
+        self.out: list[tuple[np.ndarray, tuple[int, ...]]] = []
+        self.owner: dict[int, int] = {}
+        self.pending: list = []  # [matrix, axes, alive]
+
+    def _flush(self, idx: int) -> None:
+        mat, axes, alive = self.pending[idx]
+        if not alive:
+            return
+        self.pending[idx][2] = False
+        for q in axes:
+            if self.owner.get(q) == idx:
+                del self.owner[q]
+        self.out.append((np.asarray(mat, complex), tuple(axes)))
+
+    def add(self, mat: np.ndarray, axes: tuple[int, ...]) -> None:
+        overlapping = sorted(
+            {self.owner[q] for q in axes if q in self.owner}
+        )
+        best = None
+        for idx in overlapping:
+            union = list(self.pending[idx][1]) + [
+                q for q in axes if q not in self.pending[idx][1]
+            ]
+            if len(union) <= self.max_q and (
+                best is None or len(union) < len(best[1])
+            ):
+                best = (idx, union)
+        for idx in overlapping:
+            if best is None or idx != best[0]:
+                self._flush(idx)
+        if best is None:
+            idx = len(self.pending)
+            self.pending.append([np.asarray(mat, complex), tuple(axes), True])
+            for q in axes:
+                self.owner[q] = idx
+            return
+        idx, union = best
+        union = tuple(union)
+        pmat, paxes, _ = self.pending[idx]
+        self.pending[idx][0] = (
+            _expand(mat, axes, union) @ _expand(pmat, paxes, union)
+        )
+        self.pending[idx][1] = union
+        for q in union:
+            self.owner[q] = idx
+
+    def finish(self) -> list[tuple[np.ndarray, tuple[int, ...]]]:
+        for idx in range(len(self.pending)):
+            self._flush(idx)
+        return self.out
+
+
+def fuse_blocks(
+    ops: list[tuple[np.ndarray, tuple[int, ...]]], max_qubits: int = 3,
+) -> list[tuple[np.ndarray, tuple[int, ...]]]:
+    """Fuse a (matrix, axes) op list into blocks of <= max_qubits qubits.
+    Runs the pairwise fuser first (its absorb rules are tighter for 1q),
+    then the greedy block pass.  Every merged block replaces >= 2 HBM
+    passes with one — the direct lever on the bandwidth-limited engines
+    (BENCH_TABLE_TPU.md per-op probe: ~193 GB/s regardless of position)."""
+    base = fuse_ops(ops)
+    if max_qubits <= 2:
+        return base
+    fuser = _BlockFuser(max_qubits)
+    for mat, axes in base:
+        if len(axes) > max_qubits:
+            for idx in range(len(fuser.pending)):
+                fuser._flush(idx)
+            fuser.out.append((np.asarray(mat, complex), tuple(axes)))
             continue
         fuser.add(mat, axes)
     return fuser.finish()

@@ -73,15 +73,31 @@ def apply_matrix(state: jnp.ndarray, block, axes, n: int | None = None) -> jnp.n
         st = state.reshape(2, 1 << q, 2, 1 << (n - 1 - q))
         out = jnp.einsum("xiyj,yajb->xaib", b, st)
         return out.reshape(2, 1 << n)
-    qa, qb = axes
-    u4 = b.reshape(2, 2, 2, 2, 2, 2)  # (c_out, b1o, b2o, c_in, b1i, b2i)
-    if qa > qb:
-        u4 = jnp.transpose(u4, (0, 2, 1, 3, 5, 4))
-        qa, qb = qb, qa
+    if len(axes) == 2:
+        qa, qb = axes
+        u4 = b.reshape(2, 2, 2, 2, 2, 2)  # (c_out, b1o, b2o, c_in, b1i, b2i)
+        if qa > qb:
+            u4 = jnp.transpose(u4, (0, 2, 1, 3, 5, 4))
+            qa, qb = qb, qa
+        st = state.reshape(
+            2, 1 << qa, 2, 1 << (qb - qa - 1), 2, 1 << (n - 1 - qb)
+        )
+        out = jnp.einsum("xijykl,yakblc->xaibjc", u4, st)
+        return out.reshape(2, 1 << n)
+    # 3-qubit fused block (ops/fusion.fuse_blocks): one HBM pass for what
+    # was >= 2 gate applications on the bandwidth-limited engines
+    qa, qb, qc = axes
+    u8 = b.reshape(2, 2, 2, 2, 2, 2, 2, 2)
+    order = sorted(range(3), key=lambda i: axes[i])
+    if order != [0, 1, 2]:
+        perm = [0] + [1 + p for p in order] + [4] + [5 + p for p in order]
+        u8 = jnp.transpose(u8, perm)
+    qa, qb, qc = sorted(axes)
     st = state.reshape(
-        2, 1 << qa, 2, 1 << (qb - qa - 1), 2, 1 << (n - 1 - qb)
+        2, 1 << qa, 2, 1 << (qb - qa - 1), 2, 1 << (qc - qb - 1), 2,
+        1 << (n - 1 - qc),
     )
-    out = jnp.einsum("xijykl,yakblc->xaibjc", u4, st)
+    out = jnp.einsum("xijkymno,yambncod->xaibjckd", u8, st)
     return out.reshape(2, 1 << n)
 
 
@@ -284,15 +300,30 @@ def apply_matrix_host(state: np.ndarray, u, axes, n: int) -> np.ndarray:
         q = axes[0]
         st = state.reshape(2, 1 << q, 2, 1 << (n - 1 - q))
         return np.einsum("xiyj,yajb->xaib", b, st).reshape(2, 1 << n)
-    qa, qb = axes
-    u6 = b.reshape(2, 2, 2, 2, 2, 2)
-    if qa > qb:
-        u6 = u6.transpose(0, 2, 1, 3, 5, 4)
-        qa, qb = qb, qa
+    if len(axes) == 2:
+        qa, qb = axes
+        u6 = b.reshape(2, 2, 2, 2, 2, 2)
+        if qa > qb:
+            u6 = u6.transpose(0, 2, 1, 3, 5, 4)
+            qa, qb = qb, qa
+        st = state.reshape(
+            2, 1 << qa, 2, 1 << (qb - qa - 1), 2, 1 << (n - 1 - qb)
+        )
+        return np.einsum("xijykl,yakblc->xaibjc", u6, st).reshape(2, 1 << n)
+    qa, qb, qc = axes
+    u8 = b.reshape(2, 2, 2, 2, 2, 2, 2, 2)
+    order = sorted(range(3), key=lambda i: axes[i])
+    if order != [0, 1, 2]:
+        perm = [0] + [1 + p for p in order] + [4] + [5 + p for p in order]
+        u8 = u8.transpose(perm)
+    qa, qb, qc = sorted(axes)
     st = state.reshape(
-        2, 1 << qa, 2, 1 << (qb - qa - 1), 2, 1 << (n - 1 - qb)
+        2, 1 << qa, 2, 1 << (qb - qa - 1), 2, 1 << (qc - qb - 1), 2,
+        1 << (n - 1 - qc),
     )
-    return np.einsum("xijykl,yakblc->xaibjc", u6, st).reshape(2, 1 << n)
+    return np.einsum(
+        "xijkymno,yambncod->xaibjckd", u8, st
+    ).reshape(2, 1 << n)
 
 
 def run_statevector_host(compiled: CompiledCircuit) -> np.ndarray:

@@ -218,7 +218,10 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
     if noise is None:
         from .fusion import fused_stream
 
-        skeleton, mats = fused_stream(prog.ops)
+        # 3-qubit block fusion: every merged block replaces >= 2 HBM
+        # passes with one on the bandwidth-limited engines (the sharded
+        # and Pallas paths, whose apply only handles 2q, stay at 2)
+        skeleton, mats = fused_stream(prog.ops, max_qubits=3)
         prog_ops = []
         bi = 0
         for op in skeleton:

@@ -84,3 +84,60 @@ def test_fusion_shrinks_supremacy():
     assert len(fused.ops) < 0.7 * len(plain.ops), (
         len(fused.ops), len(plain.ops)
     )
+
+
+def test_block_fusion_three_qubit_differential():
+    """fuse_blocks (3q blocks) + the 3q apply_matrix case must reproduce
+    the unfused op stream exactly, for random streams and axis orders."""
+    import jax.numpy as jnp
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.fusion import (
+        _expand,
+        fuse_blocks,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+        apply_matrix,
+        apply_matrix_host,
+        to_real_block,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def rand_u(k):
+        m = rng.normal(size=(1 << k, 1 << k)) + 1j * rng.normal(
+            size=(1 << k, 1 << k)
+        )
+        q, _ = np.linalg.qr(m)
+        return q
+
+    n = 6
+    state0 = rng.normal(size=(2, 1 << n)).astype(np.float32)
+    psi0 = state0[0] + 1j * state0[1]
+
+    # 3q apply vs full-unitary lift, several axis orders (device + host)
+    for axes in [(0, 1, 2), (2, 0, 4), (5, 1, 3), (4, 2, 0)]:
+        u = rand_u(3)
+        want = _expand(u, axes, tuple(range(n))) @ psi0
+        got = np.asarray(
+            apply_matrix(jnp.asarray(state0), to_real_block(u), axes, n)
+        )
+        np.testing.assert_allclose(got[0] + 1j * got[1], want, atol=1e-5)
+        goth = apply_matrix_host(state0.copy(), u, axes, n)
+        np.testing.assert_allclose(goth[0] + 1j * goth[1], want, atol=1e-5)
+
+    # random stream: fused == unfused, and blocks stay <= 3 qubits
+    ops = []
+    for _ in range(25):
+        k = int(rng.integers(1, 3))
+        axes = tuple(rng.choice(n, size=k, replace=False).tolist())
+        ops.append((rand_u(k), axes))
+    fused = fuse_blocks(ops, 3)
+    assert all(len(ax) <= 3 for _, ax in fused)
+    assert len(fused) < len(ops)
+    want = psi0.copy()
+    for u, axes in ops:
+        want = _expand(u, axes, tuple(range(n))) @ want
+    got = psi0.copy()
+    for u, axes in fused:
+        got = _expand(u, axes, tuple(range(n))) @ got
+    np.testing.assert_allclose(got, want, atol=1e-6)
