@@ -50,6 +50,37 @@ def to_real_block(u: np.ndarray) -> np.ndarray:
     return block
 
 
+def _kq_operands(b, axes, n: int, transpose, state_reshape):
+    """Shared setup for the general k-qubit gate einsum (k >= 3): returns
+    (block, reshaped state, einsum subscript).  The block's qubit slots
+    are permuted to ascending axis order; the state splits into k bit
+    axes with gap dims between them.  Ranks stay 2k+2 — fixed small k
+    (fused blocks), never circuit-sized."""
+    k = len(axes)
+    u = b.reshape((2,) + (2,) * k + (2,) + (2,) * k)
+    order = sorted(range(k), key=lambda i: axes[i])
+    if order != list(range(k)):
+        perm = [0] + [1 + p for p in order] + [k + 1] + [
+            k + 2 + p for p in order
+        ]
+        u = transpose(u, perm)
+    qs = sorted(axes)
+    shape = [2]
+    prev = -1
+    for q in qs:
+        shape += [1 << (q - prev - 1), 2]
+        prev = q
+    shape.append(1 << (n - 1 - qs[-1]))
+    st = state_reshape(tuple(shape))
+    outs = [chr(ord("A") + i) for i in range(k)]
+    ins = [chr(ord("a") + i) for i in range(k)]
+    gaps = [chr(ord("p") + i) for i in range(k + 1)]
+    u_sub = "x" + "".join(outs) + "y" + "".join(ins)
+    st_sub = "y" + "".join(gaps[i] + ins[i] for i in range(k)) + gaps[k]
+    out_sub = "x" + "".join(gaps[i] + outs[i] for i in range(k)) + gaps[k]
+    return u, st, f"{u_sub},{st_sub}->{out_sub}"
+
+
 def apply_matrix(state: jnp.ndarray, block, axes, n: int | None = None) -> jnp.ndarray:
     """Apply a 1- or 2-qubit gate (real block from ``to_real_block``, or a
     complex matrix converted on the fly) to a flat real-rep state
@@ -84,20 +115,10 @@ def apply_matrix(state: jnp.ndarray, block, axes, n: int | None = None) -> jnp.n
         )
         out = jnp.einsum("xijykl,yakblc->xaibjc", u4, st)
         return out.reshape(2, 1 << n)
-    # 3-qubit fused block (ops/fusion.fuse_blocks): one HBM pass for what
+    # k-qubit fused block (ops/fusion.fuse_blocks): one HBM pass for what
     # was >= 2 gate applications on the bandwidth-limited engines
-    qa, qb, qc = axes
-    u8 = b.reshape(2, 2, 2, 2, 2, 2, 2, 2)
-    order = sorted(range(3), key=lambda i: axes[i])
-    if order != [0, 1, 2]:
-        perm = [0] + [1 + p for p in order] + [4] + [5 + p for p in order]
-        u8 = jnp.transpose(u8, perm)
-    qa, qb, qc = sorted(axes)
-    st = state.reshape(
-        2, 1 << qa, 2, 1 << (qb - qa - 1), 2, 1 << (qc - qb - 1), 2,
-        1 << (n - 1 - qc),
-    )
-    out = jnp.einsum("xijkymno,yambncod->xaibjckd", u8, st)
+    u, st, sub = _kq_operands(b, axes, n, jnp.transpose, state.reshape)
+    out = jnp.einsum(sub, u, st)
     return out.reshape(2, 1 << n)
 
 
@@ -310,20 +331,8 @@ def apply_matrix_host(state: np.ndarray, u, axes, n: int) -> np.ndarray:
             2, 1 << qa, 2, 1 << (qb - qa - 1), 2, 1 << (n - 1 - qb)
         )
         return np.einsum("xijykl,yakblc->xaibjc", u6, st).reshape(2, 1 << n)
-    qa, qb, qc = axes
-    u8 = b.reshape(2, 2, 2, 2, 2, 2, 2, 2)
-    order = sorted(range(3), key=lambda i: axes[i])
-    if order != [0, 1, 2]:
-        perm = [0] + [1 + p for p in order] + [4] + [5 + p for p in order]
-        u8 = u8.transpose(perm)
-    qa, qb, qc = sorted(axes)
-    st = state.reshape(
-        2, 1 << qa, 2, 1 << (qb - qa - 1), 2, 1 << (qc - qb - 1), 2,
-        1 << (n - 1 - qc),
-    )
-    return np.einsum(
-        "xijkymno,yambncod->xaibjckd", u8, st
-    ).reshape(2, 1 << n)
+    u, st, sub = _kq_operands(b, axes, n, np.transpose, state.reshape)
+    return np.einsum(sub, u, st).reshape(2, 1 << n)
 
 
 def run_statevector_host(compiled: CompiledCircuit) -> np.ndarray:
