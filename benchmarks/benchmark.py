@@ -64,6 +64,8 @@ def parse_args(argv: list[str]) -> BenchConfig:
     ap.add_argument("--simulate", action="store_true",
                     help="run the fidelity comparison (disables CUT_ONLY)")
     ap.add_argument("--shots", type=int, default=1000)
+    ap.add_argument("--results-dir", default="./benchmark_results",
+                    help="root directory for per-run artifact folders")
     ns = ap.parse_args(argv)
     return BenchConfig(
         max_partitions=ns.partitions,
@@ -73,6 +75,7 @@ def parse_args(argv: list[str]) -> BenchConfig:
         depth=ns.depth,
         cut_only=not ns.simulate,
         shots=ns.shots,
+        results_root=ns.results_dir,
     )
 
 

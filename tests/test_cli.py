@@ -1,0 +1,32 @@
+"""CLI smoke: the benchmark driver's reference grammar end-to-end."""
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def test_benchmark_cli_simulate(tmp_path):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "benchmarks/benchmark.py",
+         "-p", "2", "-q", "4", "bv", "5", "1",
+         "--simulate", "--results-dir", str(tmp_path)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout + proc.stderr
+    assert "cutVsUncutFidelity" in out
+    # the run directory carries the cut-plan + metrics artifacts
+    runs = list(tmp_path.iterdir())
+    assert runs, "no artifact directory created"
+    names = {p.name for p in runs[0].iterdir()}
+    assert any(n.endswith(".json") for n in names), names
+    metrics = [p for p in runs[0].iterdir() if p.name == "metrics.json"]
+    if metrics:
+        m = json.loads(metrics[0].read_text())
+        assert m.get("cutVsUncutFidelity", 1.0) > 0.99
