@@ -96,9 +96,25 @@ def make_sharded_fragment_fn(
         if op[0] in ("u", "u_aux")
     }
 
-    def sim_one(slot_mats, local_state0, my_bits):
+    # prefix sharing: ops before the FIRST slot are identical across the
+    # whole variant fan-out — applied once per device per call (not per
+    # variant), sharded like everything else
+    first_slot = next(
+        (i for i, op in enumerate(prog_ops)
+         if op[0] not in ("u", "u_aux")),
+        len(prog_ops),
+    )
+    prefix_ops, suffix_ops = prog_ops[:first_slot], prog_ops[first_slot:]
+
+    def apply_prefix(local_state0, my_bits):
         state = local_state0
-        for op in prog_ops:
+        for op in prefix_ops:
+            state = ctx.apply(state, fixed_blocks[id(op)], op[2], my_bits)
+        return state
+
+    def sim_one(slot_mats, prefix_state, my_bits):
+        state = prefix_state
+        for op in suffix_ops:
             kind = op[0]
             if kind in ("u", "u_aux"):
                 state = ctx.apply(state, fixed_blocks[id(op)], op[2], my_bits)
@@ -132,15 +148,16 @@ def make_sharded_fragment_fn(
 
     def per_device(state0_local, vidx_local):
         my_bits = ctx.my_bits()
+        prefix = apply_prefix(state0_local, my_bits)
         if not n_slots:
-            row = sim_one([], state0_local, my_bits)
+            row = sim_one([], prefix, my_bits)
             return jnp.broadcast_to(row, (max(1, padded // dp), row.shape[0]))
         slot_list = [
             tuple(t[vidx_local[:, c]] for t in tabs)
             for c, tabs in zip(slot_cols, tables)
         ]
         return jax.vmap(
-            lambda sm: sim_one(sm, state0_local, my_bits)
+            lambda sm: sim_one(sm, prefix, my_bits)
         )(slot_list)
 
     in_specs = (P(None, amp_axis), P(dp_axis))
