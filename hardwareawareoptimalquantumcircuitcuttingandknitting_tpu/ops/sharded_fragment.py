@@ -22,6 +22,14 @@ so the full per-variant 2^n vector never leaves device blocks.
 This is BASELINE.json config #4's ask ("sharded subcircuit statevectors
 across chips") wired into the runtime: SURVEY §7.4 hard part 6, the role
 of the reference's per-fragment Aer backend at beyond-one-chip scale.
+
+Width trade-off vs the single-chip engines: the local block stays at its
+full 2^(n-k) width for the whole program (the single-chip engines grow
+the state lazily, ops/variant_engine.py).  Lazy LOCAL growth is
+compatible with this layout (ancilla bits are local minor bits; the amp
+axis shards the global MSBs) but is unmeasurable without multi-chip
+hardware, so it is deliberately not implemented here; the
+variant-independent prefix IS shared per device per call.
 """
 from __future__ import annotations
 
