@@ -299,7 +299,12 @@ def _knit_operands(virt, results, weights=None, keep_clbits=None):
 
 def _knit_block_cols(frag_positions, max_elems: int) -> int:
     """Column-block width over the LAST fragment's data axis such that one
-    output block holds <= max_elems floats."""
+    output block holds <= max_elems floats.
+
+    Only the last fragment's axis is blocked: if the OTHER fragments'
+    joint width alone exceeds ``max_elems`` the bound cannot be met
+    (bc floors at 1) — that is logged loudly rather than silently
+    compiling an over-budget buffer on the tunneled TPU."""
     other = 1
     for pos in frag_positions[:-1]:
         other <<= len(pos)
@@ -307,7 +312,17 @@ def _knit_block_cols(frag_positions, max_elems: int) -> int:
     bc = max(1, max_elems // other)
     while last % bc:
         bc >>= 1
-    return max(1, bc)
+    bc = max(1, bc)
+    if other * bc > max_elems:
+        from ..utils.logger import get_logger
+
+        get_logger(__name__).warning(
+            f"blocked knit cannot meet the {max_elems}-float buffer "
+            f"budget: non-last fragments span 2^{other.bit_length() - 1} "
+            "alone — expect a slow compile on the tunneled backend "
+            "(consider keep_clbits/marginal knit)"
+        )
+    return bc
 
 
 def knit_scalars_blocked(virt, results, max_elems: int = 1 << 20):

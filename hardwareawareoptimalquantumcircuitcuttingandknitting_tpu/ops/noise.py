@@ -299,7 +299,14 @@ def simulate_noisy_circuit(
         state = state.at[0, 0].set(1.0)
         for i, (b, axes) in enumerate(blocks):
             state = apply_matrix(state, b, axes, n)
-            state = apply_matrix(state, pauli_mats[i], (site_qubit[i],), n)
+            # sites with statically-zero probability always carry the
+            # identity block — skipping them at trace time saves one
+            # full [2, 2^n] pass per such op (most of the circuit in
+            # untranspiled mode)
+            if probs[i] > 0.0:
+                state = apply_matrix(
+                    state, pauli_mats[i], (site_qubit[i],), n
+                )
         return jnp.sum(state * state, axis=0)
 
     if not blocks:
@@ -438,9 +445,15 @@ def run_fragment_noisy(
         })
 
     if not prog.slots:
-        pauli = _sample_paulis(rng, site_probs, (k_traj,))
-        rows = jax.vmap(lambda pm: sim_one([], pm))(pauli)
-        row = jnp.mean(rows, axis=0)
+        if site_probs:
+            pauli = _sample_paulis(rng, site_probs, (k_traj,))
+            rows = jax.vmap(lambda pm: sim_one([], pm))(pauli)
+            row = jnp.mean(rows, axis=0)
+        else:
+            # no physical-gate noise sites (e.g. a deferral-only
+            # fragment): the exact row IS the trajectory mean, and
+            # vmapping over an empty pytree would raise
+            row = sim_one([])
         values = np.broadcast_to(np.asarray(row), (flat_count, width)).copy()
         values = _apply_rows_readout(values, positions, nm, cq)
         return FragmentResult(

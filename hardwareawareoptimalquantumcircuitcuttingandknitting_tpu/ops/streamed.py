@@ -467,7 +467,12 @@ def run_virtual_circuit_streamed(
         [trajectories or nm.trajectories for nm in models if nm is not None],
         default=1,
     )
-    chunk = auto_chunk(virt, chunk, traj_eff, noisy=noise is not None)
+    # the /8 noisy buffer budget applies only if some fragment actually
+    # runs the unfused trajectory body — a list of all-None models (the
+    # untranspiled reference-parity path) is the exact fused path
+    chunk = auto_chunk(
+        virt, chunk, traj_eff, noisy=any(m is not None for m in models)
+    )
     step_fn, xs, meta = make_streamed_knit(
         virt, chunk, noise=noise, trajectories=trajectories, seed=seed
     )
@@ -555,7 +560,9 @@ def streamed_expectation_z(
         [trajectories or nm.trajectories for nm in models if nm is not None],
         default=1,
     )
-    chunk = auto_chunk(virt, chunk, traj_eff, noisy=noise is not None)
+    chunk = auto_chunk(
+        virt, chunk, traj_eff, noisy=any(m is not None for m in models)
+    )
     step_fn, xs, meta = make_streamed_knit(
         virt, chunk, z_clbits=frozenset(z_clbits),
         noise=noise, trajectories=trajectories, seed=seed,

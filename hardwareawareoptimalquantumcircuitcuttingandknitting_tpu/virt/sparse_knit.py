@@ -50,17 +50,38 @@ def sampled_sparse_fragment_rows(
     ``QuasiDistr.from_counts`` (qvm/run.py:42-57)."""
     import jax
 
-    from ..ops.variant_engine import make_sim_fn
+    from ..ops.variant_engine import (
+        _slot_tables,
+        chunk_cap,
+        make_sim_fn,
+        variant_index_table,
+    )
 
-    sim_one, all_mats, positions, flat_count = make_sim_fn(virt, frag_name)
+    # build_matrices=False: the O(flat_count x slots x ~384 B) host
+    # gather would be hundreds of MB for the sup-25-class fan-outs this
+    # function exists for — gather per chunk instead (chunk x slots)
+    sim_one, _, positions, flat_count = make_sim_fn(
+        virt, frag_name, build_matrices=False
+    )
     prog = virt.programs[frag_name]
     rng = np.random.default_rng(seed)
-    from ..ops.variant_engine import chunk_cap, pad_variants
+    specs = [vg.spec for vg in virt.vgates]
+    n_inst = {g: specs[g].num_instantiations for g in prog.touching}
+    strides: dict[int, int] = {}
+    fc = 1
+    for g in reversed(prog.touching):
+        strides[g] = fc
+        fc *= n_inst[g]
+    tables = _slot_tables(prog, specs)
+    slot_g = [slot.vgate_idx for slot in prog.slots]
 
     chunk = min(chunk_size, flat_count, chunk_cap(prog.num_sim_qubits))
     n_chunks = -(-flat_count // chunk)
     padded = n_chunks * chunk
-    all_mats = pad_variants(all_mats, flat_count, padded)
+    vidx = variant_index_table(
+        prog.touching, strides, n_inst, padded, clamp_to=flat_count
+    )
+    touch_col = {g: i for i, g in enumerate(prog.touching)}
     sim_batch = jax.jit(jax.vmap(sim_one))
     bit_masks = np.array(
         [sum(1 << p for j, p in enumerate(positions) if (i >> j) & 1)
@@ -83,7 +104,10 @@ def sampled_sparse_fragment_rows(
 
     for i in range(n_chunks):
         sl = slice(i * chunk, (i + 1) * chunk)
-        batch = [tuple(np.asarray(m[sl]) for m in mats) for mats in all_mats]
+        batch = [
+            tuple(t[vidx[sl, touch_col[g]]] for t in tabs)
+            for g, tabs in zip(slot_g, tables)
+        ]
         vals = np.asarray(sim_batch(batch))
         for r in vals:
             if len(rows) >= flat_count:
@@ -140,14 +164,16 @@ def sparse_knit(
     merged: list[QuasiDistr] = []
     for label in range(total):
         distr: QuasiDistr | None = None
-        for rows, (touching, strides) in zip(frag_rows, frag_meta):
+        for frow, (touching, strides) in zip(frag_rows, frag_meta):
             local = 0
             for g in touching:
                 digit = (
                     label // gstride[g]
                 ) % specs[g].num_instantiations
                 local += digit * strides[g]
-            distr = rows[local] if distr is None else distr.merge(rows[local])
+            distr = (
+                frow[local] if distr is None else distr.merge(frow[local])
+            )
         merged.append(distr if distr is not None else QuasiDistr.from_pairs({}))
 
     # reverse per-vgate signed reduction (virtual_circuit.py:50-68)
