@@ -241,6 +241,9 @@ class Circuit:
             if ins.name == "barrier":
                 continue
             bits = list(ins.qubits) + [self.num_qubits + c for c in ins.clbits]
+            cond = getattr(ins, "condition", None)
+            if cond is not None:
+                bits.append(self.num_qubits + cond[0])
             lv = max(level[b] for b in bits) + 1
             for b in bits:
                 level[b] = lv

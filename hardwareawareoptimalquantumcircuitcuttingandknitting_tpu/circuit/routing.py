@@ -283,7 +283,7 @@ def route_stream(
     for entry in ops:
         axes = [q for q in entry[2] if q < d]
         future.append(
-            tuple(entry[2]) if entry[0] == "u" and len(axes) == 2 else None
+            tuple(axes) if entry[0] == "u" and len(axes) == 2 else None
         )
     LOOKAHEAD, DECAY = 12, 0.7
 
@@ -304,8 +304,13 @@ def route_stream(
         kind = entry[0]
         axes = entry[2]
         data_axes = [q for q in axes if q < d]
+        if kind == "u" and len(data_axes) > 2:
+            raise NotImplementedError(
+                "route_stream handles <= 2 data-qubit ops (the noise path "
+                "never fuses into wider blocks)"
+            )
         if kind == "u" and len(data_axes) == 2:
-            a, b = (cur[q] for q in axes)
+            a, b = (cur[q] for q in data_axes)
             if b not in adj[a]:
                 # meet-in-the-middle with lookahead: try every split of the
                 # shortest path between the endpoints, score the resulting

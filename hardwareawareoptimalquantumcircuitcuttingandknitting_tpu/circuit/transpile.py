@@ -40,8 +40,12 @@ def _zyz_angles(u: np.ndarray) -> tuple[float, float, float, float]:
 
 
 def _emit_1q(u: np.ndarray, q: int) -> list[Instruction]:
-    """Emit a 1q unitary as rz/sx gates (ZSXZSX decomposition:
-    Ry(c) = Rz(-pi) . SX . Rz(pi - c) . SX up to global phase)."""
+    """Emit a 1q unitary as rz/sx gates via the ZSX identity (qiskit's
+    OneQubitEulerDecomposer basis): up to global phase,
+
+        Rz(b) Ry(c) Rz(d)  =  Rz(b + pi) . SX . Rz(c + pi) . SX . Rz(d)
+
+    (application order: Rz(d) first)."""
     _, b, c, d = _zyz_angles(u)
     out: list[Instruction] = []
 
@@ -53,16 +57,11 @@ def _emit_1q(u: np.ndarray, q: int) -> list[Instruction]:
     if abs(c) < 1e-9:
         rz(b + d)
         return out
-    if abs(c - math.pi) < 1e-9:
-        # Ry(pi) = X up to phase: U ~ Rz(b) X Rz(d) = X Rz(d - b)
-        rz(d - b)
-        out.append(Instruction("x", [q]))
-        return out
-    rz(d - math.pi / 2)
+    rz(d)
     out.append(Instruction("sx", [q]))
-    rz(math.pi - c)
+    rz(c + math.pi)
     out.append(Instruction("sx", [q]))
-    rz(b - math.pi / 2)
+    rz(b + math.pi)
     return out
 
 
@@ -105,23 +104,26 @@ def _decompose_2q(ins: Instruction) -> list[Instruction]:
             *_emit_1q(H, b),
         ]
     if ins.name == "fsim":
-        # decompose via matrix-free identity: fsim(theta, phi) =
-        # iswap-like core; use exact 2q synthesis fallback (3 cx)
-        return _synthesize_2q(ins.matrix(), a, b)
+        # exact identity (verified numerically, no global phase):
+        #   fsim(th, ph) = cp(-ph) . exp(-i th/2 (XX + YY))
+        # with the XX leg = (HxH) rzz(th) (HxH) and the YY leg =
+        # (Rx(pi/2)^x2) rzz(th) (Rx(-pi/2)^x2); all factors commute.
+        ph = ins.params[1] if len(ins.params) > 1 else 0.0
+        rxp = gate_matrix("rx", [math.pi / 2])
+        rxm = gate_matrix("rx", [-math.pi / 2])
+        out: list[Instruction] = []
+        # YY leg (applied first)
+        out += [*_emit_1q(rxm, a), *_emit_1q(rxm, b)]
+        out += [g("cx", [a, b]), g("rz", [b], [th]), g("cx", [a, b])]
+        out += [*_emit_1q(rxp, a), *_emit_1q(rxp, b)]
+        # XX leg
+        out += [*_emit_1q(H, a), *_emit_1q(H, b)]
+        out += [g("cx", [a, b]), g("rz", [b], [th]), g("cx", [a, b])]
+        out += [*_emit_1q(H, a), *_emit_1q(H, b)]
+        # |11> phase
+        out += _decompose_2q(g("cp", [a, b], [-ph]))
+        return out
     raise NotImplementedError(f"2q gate {ins.name}")
-
-
-def _synthesize_2q(u: np.ndarray, a: int, b: int) -> list[Instruction]:
-    """Generic 3-CX synthesis placeholder: keeps gate counts honest for
-    exotic gates by upper-bounding with the universal 3-CX construction.
-    (Only fsim reaches this; exact KAK synthesis is future work.)"""
-    out = [
-        Instruction("cx", [a, b]),
-        Instruction("cx", [b, a]),
-        Instruction("cx", [a, b]),
-    ]
-    del u
-    return out
 
 
 def transpile_to_basis(circ: Circuit, optimize: bool = True) -> Circuit:
@@ -149,13 +151,27 @@ def transpile_to_basis(circ: Circuit, optimize: bool = True) -> Circuit:
             flush(ins.qubits[0])
             out.append(ins.copy())
             continue
+        cond = getattr(ins, "condition", None)
         if len(ins.qubits) == 1:
             u = (
                 np.asarray(ins.op)
                 if ins.name == "unitary"
                 else ins.matrix()
             )
-            if optimize:
+            if cond is not None:
+                # classical control distributes over the decomposition
+                # product (all-or-nothing).  A conditioned gate already
+                # in the basis passes through UNCHANGED — the engine's
+                # c_if support covers exactly the reference's dynamic-
+                # reuse shape (x.c_if, qubit_reuser.py:29-52)
+                flush(ins.qubits[0])
+                if ins.name in BASIS:
+                    out.append(ins.copy())
+                    continue
+                for gate in _emit_1q(u, ins.qubits[0]):
+                    gate.condition = cond
+                    out.append(gate)
+            elif optimize:
                 prev = pending.get(ins.qubits[0])
                 pending[ins.qubits[0]] = u if prev is None else u @ prev
             else:
@@ -165,6 +181,8 @@ def transpile_to_basis(circ: Circuit, optimize: bool = True) -> Circuit:
         for q in ins.qubits:
             flush(q)
         for gate in _decompose_2q(ins):
+            if cond is not None:
+                gate.condition = cond
             out.append(gate)
     flush_all()
     return out

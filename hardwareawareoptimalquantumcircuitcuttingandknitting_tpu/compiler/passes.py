@@ -65,7 +65,6 @@ class BisectionPass(VirtualizationPass):
 
     def get_budget(self, circuit: Circuit) -> int:
         dag = DAG(circuit.copy())
-        self._partitions(dag)
         _decompose_qubit_sets(dag, self._partitions(dag))
         dag.fragment()
         return num_virtual_gates(dag.to_circuit())
@@ -134,22 +133,34 @@ class OptimalWireCutter(VirtualizationPass):
                 raise ValueError("Could not find a solution (internal error)")
             partitions = self._find_optimal_partitions(dag, min_frags)
             min_frags += 1
+        # cut along each qubit's chain of ops: the optimiser's wires are
+        # (consecutive 2q gates on a qubit, SKIPPING 1q nodes) — the cut
+        # must be inserted just before the later gate even when 1q gates
+        # sit in between (the pre-r3 version only cut direct DAG edges,
+        # silently no-opping on any realistic circuit)
         vgates = 0
-        for u, v in list(dag.edges()):
-            if partitions.get(u) is None or partitions.get(v) is None:
-                continue
-            if partitions[u] != partitions[v]:
-                dag.remove_edge(u, v)
-                shared = set(dag.get_node_instr(u).qubits) & set(
-                    dag.get_node_instr(v).qubits
-                )
-                for qubit in shared:
+        for qubit in dag.qubits:
+            prev_gate = None
+            prev_any = None
+            for node in list(dag.nodes_on_qubit(qubit)):
+                in_part = partitions.get(node) is not None
+                if (
+                    in_part and prev_gate is not None
+                    and partitions[prev_gate] != partitions[node]
+                ):
+                    if dag.has_edge(prev_any, node):
+                        dag.remove_edge(prev_any, node)
                     w = dag.add_instr_node(
                         Instruction("wirecut", [qubit], op=WireCutMark())
                     )
-                    dag.add_edge(u, w)
-                    dag.add_edge(w, v)
+                    dag.add_edge(prev_any, w)
+                    dag.add_edge(w, node)
+                    prev_any = w
                     vgates += 1
+                if in_part:
+                    prev_gate = node
+                if node in dag:
+                    prev_any = node
         return vgates
 
     def _wire_cuts_to_moves(self, dag: DAG, num_wire_cuts: int) -> None:

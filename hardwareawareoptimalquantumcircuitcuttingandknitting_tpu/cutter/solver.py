@@ -153,6 +153,8 @@ def _leaf_evaluate(graph, cfg, assignment, cut_edges, best_key):
                 for i, (u, v, kind) in enumerate(cut_edges)
             ]
             plan = CutPlan(p_count, list(assignment), cuts, metrics, soft_ok)
+            if cfg.exclude and plan_signature(plan) in cfg.exclude:
+                continue  # already enumerated: try the next mask/candidate
             best = (key, plan)
     return best
 
@@ -177,7 +179,7 @@ def solve_python(graph: CutGraph, cfg: SolverConfig) -> CutPlan | None:
                 C_p=[0] * cfg.num_partitions,
                 n_wire_cuts=0, n_gate_cuts=0,
             ),
-            False,
+            True,  # zero cuts: the soft ordering is trivially satisfied
         )
     assert cfg.num_partitions <= nv  # Cutter.py:364
 
@@ -232,8 +234,6 @@ def solve_python(graph: CutGraph, cfg: SolverConfig) -> CutPlan | None:
             res = _leaf_evaluate(graph, cfg, assignment, cut_edges, best[0])
             if res is not None and res[0] < best[0]:
                 key, plan = res
-                if plan_signature(plan) in cfg.exclude:
-                    return
                 best[0] = key
                 best[1] = plan
             return

@@ -125,3 +125,43 @@ def test_dag_roundtrip_and_depth():
     rt = dag.to_circuit()
     assert rt.count_ops() == circ.count_ops()
     assert dag.num_dependencies() >= 0
+
+
+def test_wire_cutter_cuts_through_1q_chains():
+    """r3 regression: OptimalWireCutter must insert the cut even when 1q
+    gates sit between the consecutive 2q gates the optimiser counted —
+    the old version only cut direct DAG edges and silently no-opped."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (
+        hellinger_fidelity,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+        simulate_circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.run import (
+        run_virtual_circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+        VirtualCircuit,
+    )
+
+    circ = Circuit(3, 3)
+    circ.h(0)
+    circ.cx(0, 1)
+    circ.h(1)
+    circ.cx(1, 2)
+    for q in range(3):
+        circ.measure(q, q)
+    cut = OptimalWireCutter(2).run(circ, budget=10)
+    assert num_virtual_gates(cut) >= 1
+    knit, _ = run_virtual_circuit(VirtualCircuit(cut))
+    fid = hellinger_fidelity(simulate_circuit(circ), knit)
+    assert fid > 1 - 1e-6, fid
+
+
+def test_depth_counts_condition_clbit():
+    """A conditioned gate depends on its condition clbit: qiskit counts
+    measure -> c_if chain as depth 2 even on disjoint qubits."""
+    circ = Circuit(2, 2)
+    circ.measure(0, 0)
+    circ.x(1).condition = (0, 1)
+    assert circ.depth() == 2

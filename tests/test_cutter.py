@@ -5,6 +5,9 @@ import pytest
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
     Circuit,
 )
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.solver import (  # noqa: E402
+    plan_signature,
+)
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
     Cutter,
 )
@@ -107,10 +110,13 @@ def test_repeat_solve_enumerates_other_solutions():
     seen = set()
     count = 0
     while cutter.solve() and count < 5:
-        seen.add(tuple(cutter.plan.assignment))
+        seen.add(plan_signature(cutter.plan))
         count += 1
     assert count >= 2
-    assert len(seen) == count  # all distinct
+    # every enumerated plan is distinct by FULL signature (assignment +
+    # cut set + teleport mask) — since r3 the within-leaf alternatives
+    # (same assignment, different cuts) enumerate too
+    assert len(seen) == count
 
 
 def test_mixed_circuit_with_cp_rzz():
