@@ -17,6 +17,7 @@ from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter impo
     Cutter,
 )
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (
+    compare_original_with_cut_multiple_backends,
     hellinger_fidelity,
 )
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
@@ -83,17 +84,9 @@ nShots = 1000
 ref_backend = default_noise_model()
 logger.info(f"Circuits will be run with {nShots} shots to calculate fidelity...")
 
-input_ideal = simulate_circuit(decomposed)
-input_noisy = simulate_noisy_circuit(decomposed, ref_backend, shots=nShots)
-virt = VirtualCircuit(cutCirc.copy())
-cut_ideal, _ = run_virtual_circuit(virt, shots=nShots)
-cut_noisy, _ = run_noisy_virtual_circuit(
-    VirtualCircuit(cutCirc.copy()), BACKENDS, shots=nShots
+# single source of truth for the four-leg comparison (incl. seed hygiene):
+# evaluate.compare_original_with_cut_multiple_backends logs the three
+# fidelities itself (Utilities.py:230-297 parity)
+res = compare_original_with_cut_multiple_backends(
+    decomposed, cutCirc, list(BACKENDS), ref_backend, shots=nShots,
 )
-
-inputCircFidelity = hellinger_fidelity(input_ideal, input_noisy)
-cutCircFidelity = hellinger_fidelity(cut_ideal, cut_noisy)
-cutVsUncutFidelity = hellinger_fidelity(input_ideal, cut_ideal)
-logger.info(f"inputCircFidelity: {inputCircFidelity}")
-logger.info(f"cutCircFidelity: {cutCircFidelity}")
-logger.info(f"cutVsUncutFidelity: {cutVsUncutFidelity}")

@@ -68,24 +68,21 @@ virt = VirtualCircuit(cutCirc.copy())
 insts = generate_instantiation_circuits(virt)
 sum_cnots, depths = 0, set()
 for idx, variants in enumerate(insts):
-    # fragment circuit = variant 0's structure without slot specialisation;
-    # report the max over transpiled instantiations like the reference
-    frag_cnots, frag_depths = 0, set()
-    for c in variants[:1]:
-        # instantiation circuits contain generic "unitary" slots; transpile
-        # handles them via matrix decomposition
-        try:
-            t = transpile_to_basis(c)
-            frag_cnots, d = params(t)
-            frag_depths.add(d)
-        except (KeyError, NotImplementedError):
-            continue
+    # the reference transpiles ONE circuit per fragment (the fragment
+    # circuit itself, benchmark_number_of_cnots_and_depth.py:84-90), not
+    # every instantiation — variant 0 is that representative here
+    frag_cnots, frag_depth = 0, 0
+    try:
+        t = transpile_to_basis(variants[0])
+        frag_cnots, frag_depth = params(t)
+    except (KeyError, NotImplementedError):
+        pass
     logger.info(
         f"PARAM == transpiledFrag[{idx}] => nCnots: {frag_cnots}; "
-        f"depth: {max(frag_depths) if frag_depths else 0}"
+        f"depth: {frag_depth}"
     )
     sum_cnots += frag_cnots
-    depths |= frag_depths
+    depths.add(frag_depth)
 
 logger.info(
     f"PARAM == cut summary => sumNCnots: {sum_cnots}; "

@@ -108,14 +108,23 @@ def main():
             for mats in all_mats
         ]
     batches = [
-        [tuple(np.asarray(m[i * chunk:(i + 1) * chunk]) for m in mats)
-         for mats in all_mats]
+        (
+            [tuple(np.asarray(m[i * chunk:(i + 1) * chunk]) for m in mats)
+             for mats in all_mats],
+            np.minimum(
+                np.maximum(flat_count - i * chunk, 0), chunk
+            ).astype(np.int32),
+        )
         for i in range(n_chunks)
     ]
-    xla_step = jax.jit(lambda b: jnp.sum(jax.vmap(sim_one)(b)))
+    # mask the padding rows so the cross-engine sum check matches the
+    # pallas kernel's exact flat_count rows
+    xla_step = jax.jit(lambda b, v: jnp.sum(jnp.where(
+        jnp.arange(chunk)[:, None] < v, jax.vmap(sim_one)(b), 0.0
+    )))
 
     def xla_all():
-        return sum(float(xla_step(b)) for b in batches)
+        return sum(float(xla_step(b, v)) for b, v in batches)
 
     t0 = time.perf_counter()
     first_val = xla_all()
@@ -141,13 +150,22 @@ def main():
         for mats in all_mats
     ]
 
-    def scan_body(acc, chunk_mats):
+    valid_per_chunk = np.stack([
+        np.minimum(np.maximum(flat_count - i * chunk, 0), chunk)
+        for i in range(n_chunks)
+    ]).astype(np.int32)
+
+    def scan_body(acc, x):
+        chunk_mats, v = x
         rows = jax.vmap(sim_one)(chunk_mats)
+        rows = jnp.where(jnp.arange(chunk)[:, None] < v, rows, 0.0)
         return acc + jnp.sum(rows), None
 
     @jax.jit
     def xla_scan(xs):
-        total, _ = lax.scan(scan_body, jnp.float32(0.0), xs)
+        total, _ = lax.scan(
+            scan_body, jnp.float32(0.0), (xs, valid_per_chunk)
+        )
         return total
 
     t0 = time.perf_counter()

@@ -35,6 +35,7 @@ class Cutter:
         maxNQpdCuts: int | None = None,
         maxNCuts: int | None = None,
         maxCutsPerPartitions: int | None = None,
+        costModel=None,
     ) -> None:
         self.logger = get_logger(__name__)
         self.inputCirc = inputCirc.copy()
@@ -65,6 +66,25 @@ class Cutter:
         self.maxNQubitsPerPartition = caps
         self.decomposedCirc = inputCirc.decompose()
         self.graph = read_circuit(self.decomposedCirc)
+        cost_kwargs = {}
+        if costModel is not None:
+            # utils.config.CostModel (or duck-typed equivalent): replaces
+            # the reference's inline cost tables (Cutter.py:452-471);
+            # non-default costs route to the Python solver twin
+            cost_kwargs = dict(
+                gate_qpd_cost=(
+                    costModel.gate_qpd_overhead,
+                    costModel.gate_qpd_ancilla, 0,
+                ),
+                wire_qpd_cost=(
+                    costModel.wire_qpd_overhead,
+                    costModel.wire_qpd_ancilla, 0,
+                ),
+                tele_cost=(
+                    costModel.tele_overhead, costModel.tele_ancilla,
+                    costModel.tele_latency,
+                ),
+            )
         self.cfg = SolverConfig(
             num_partitions=maxNPartitions,
             caps=caps,
@@ -73,6 +93,7 @@ class Cutter:
             max_n_cuts=maxNCuts,
             max_n_qpd_cuts=maxNQpdCuts,
             max_cuts_per_partition=maxCutsPerPartitions,
+            **cost_kwargs,
         )
         self.plan: CutPlan | None = None
         self.nWireCuts = 0

@@ -139,15 +139,25 @@ def compare_original_with_cut_multiple_backends(
     if reference_backend is None:
         reference_backend = default_noise_model()
 
+    # seed hygiene mirrors compare_original_with_cut: the reference's
+    # legs are independent backend jobs, so shot draws must not coincide
+    # (same-seed ideal/noisy legs of an untranspiled model would
+    # reproduce each other bit-for-bit and report exactly 1.0); the
+    # ideal input leg is shot-sampled like the reference's nShots run
     input_ideal = simulate_circuit(original)
+    if shots is not None:
+        from .ops.sampling import sample_distribution
+
+        input_ideal = sample_distribution(input_ideal, shots, seed + 101)
     input_noisy = simulate_noisy_circuit(
-        original, reference_backend, shots=shots, seed=seed
+        original, reference_backend, shots=shots, seed=seed + 211
     )
     cut_ideal, _ = run_virtual_circuit(
         VirtualCircuit(cut.copy()), shots=shots, seed=seed
     )
     cut_noisy, _ = run_noisy_virtual_circuit(
-        VirtualCircuit(cut.copy()), list(backends), shots=shots, seed=seed
+        VirtualCircuit(cut.copy()), list(backends), shots=shots,
+        seed=seed + 223,
     )
 
     res = ComparisonResult(

@@ -78,6 +78,13 @@ def make_sharded_fragment_fn(
     positions = sorted(prog.clbit_sources)
     sources = [prog.clbit_sources[c] for c in positions]
     n = prog.num_sim_qubits
+    if amp_axis not in mesh.shape or dp_axis not in mesh.shape:
+        raise ValueError(
+            f"engine='sharded' needs a mesh with ({dp_axis!r}, "
+            f"{amp_axis!r}) axes, got {tuple(mesh.shape)} — "
+            "parallel.mesh.make_mesh builds the (dp, tp) KNIT mesh; use "
+            "ops.sharded_fragment.fragment_mesh (or mesh=None) here"
+        )
     amp = mesh.shape[amp_axis]
     dp = mesh.shape[dp_axis]
     if amp > (1 << n):

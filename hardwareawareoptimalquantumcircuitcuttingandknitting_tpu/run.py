@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 from .ops.knit import knit, nearest_probability_distribution
 from .ops.statevector import Distribution
-from .ops.variant_engine import run_all_fragments, run_fragment
+from .ops.variant_engine import run_all_fragments
 from .utils.logger import get_logger
 from .virt.virtual_circuit import VirtualCircuit
 
@@ -44,17 +44,16 @@ def _run_fragments(
         )
     from .ops.pallas_sv import run_fragment_pallas
 
-    log = get_logger(__name__)
     results = []
     for reg in virt.fragments:
         res = run_fragment_pallas(virt, reg.name)
         if res is None:
-            if engine == "pallas":
-                raise ValueError(
-                    f"fragment {reg.name} not supported by the pallas engine"
-                )
-            log.info(f"fragment {reg.name}: pallas fallback -> xla engine")
-            res = run_fragment(virt, reg.name, chunk_size)
+            # only engine="pallas" reaches here (auto/xla/sharded/streamed
+            # returned above) and pallas is strictly opt-in: unsupported
+            # fragments are an explicit error, never a silent fallback
+            raise ValueError(
+                f"fragment {reg.name} not supported by the pallas engine"
+            )
         results.append(res)
     return results
 

@@ -40,7 +40,7 @@ class CutterConfig:
 @dataclass
 class ExecutionConfig:
     shots: int | None = None         # None = exact path
-    engine: str = "auto"             # auto | xla | pallas
+    engine: str = "auto"             # auto | xla | streamed | sharded | pallas
     chunk_size: int = 1024
     seed: int = 0
     project: bool = True             # Smolin projection on the output
@@ -82,4 +82,5 @@ def make_cutter(circ, cfg: CutterConfig):
         maxNQpdCuts=cfg.max_n_qpd_cuts,
         maxNCuts=cfg.max_n_cuts,
         maxCutsPerPartitions=cfg.max_cuts_per_partition,
+        costModel=cfg.cost_model,
     )

@@ -160,3 +160,30 @@ def test_plan_roundtrip(tmp_path):
     plan2 = CutPlan.load(p)
     assert plan2.assignment == cutter.plan.assignment
     assert plan2.metrics.S == cutter.plan.metrics.S
+
+
+def test_cost_model_knob_propagates():
+    """utils.config.CostModel reaches the solver: a custom gate-QPD
+    overhead shows up in the chosen plan's S (the lexicographic order
+    still puts Q first, so the CHOICE may not flip — reference
+    objective order, Cutter.py:567-571)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.utils.config import (
+        CostModel,
+        CutterConfig,
+        make_cutter,
+    )
+
+    circ = Circuit(4, 4)
+    circ.h(0)
+    for i in range(3):
+        circ.cx(i, i + 1)
+    for q in range(4):
+        circ.measure(q, q)
+    cm = CostModel(gate_qpd_overhead=100)
+    cutter = make_cutter(circ, CutterConfig(
+        max_n_partitions=2, max_n_qubits_per_partition=2, cost_model=cm,
+    ))
+    assert cutter.cfg.gate_qpd_cost == (100, 0, 0)
+    assert cutter.solve()
+    assert cutter.plan.metrics.n_gate_cuts == 1
+    assert cutter.plan.metrics.S == 100  # custom table, not the default 6
