@@ -55,7 +55,13 @@ def _attempt(platform: str, deadline: int) -> dict | None:
     for line in reversed(proc.stdout.decode().splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                print(f"[bench] {platform} attempt emitted non-JSON "
+                      f"brace line: {line[:80]!r}", file=sys.stderr,
+                      flush=True)
+                continue
     return None
 
 

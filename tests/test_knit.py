@@ -199,8 +199,8 @@ def test_scan_variant_rows_padding_edge():
 
         return jnp.stack([m[0], m[0] * 10.0])
 
-    for chunk in (2, 3, 7, 16):
-        rows = scan_variant_rows(sim, (mats,), 7, min(chunk, 7))
+    for chunk in (2, 3, 7, 16):  # 16 > total exercises the n_chunks==1 pad
+        rows = scan_variant_rows(sim, (mats,), 7, chunk)
         np.testing.assert_allclose(rows[:, 0], np.arange(7))
         np.testing.assert_allclose(rows[:, 1], np.arange(7) * 10.0)
         assert rows.shape == (7, 2)

@@ -31,7 +31,7 @@ from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector im
 )
 def test_genCirc_shapes(name, n, depth):
     circ = genCirc(name, n, depth)
-    assert circ.num_qubits in (n, n)  # bv includes its ancilla in n
+    assert circ.num_qubits in (n, n + 1)  # bv may carry its ancilla as +1
     ops = circ.count_ops()
     assert ops.get("measure", 0) == circ.num_qubits  # measure_all
     # every 2q gate must be a simulable gate name

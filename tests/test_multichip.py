@@ -3,33 +3,9 @@
 These run in subprocesses because the host platform device count must be set
 before JAX backend initialisation (and this 1-core machine slows to a crawl
 if the whole pytest process forces many XLA host devices)."""
-import os
-import subprocess
-import sys
-
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _run_in_subprocess(code: str, n_devices: int) -> str:
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    # keep the axon TPU plugin out of the child: its sitecustomize (on the
-    # parent PYTHONPATH) registers the axon backend whenever
-    # PALLAS_AXON_POOL_IPS is set
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={n_devices}"
-    ).strip()
-    env["PYTHONPATH"] = REPO
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
-    )
-    assert out.returncode == 0, out.stdout + out.stderr
-    return out.stdout
+from conftest import run_cpu_subprocess as _run_in_subprocess
 
 
 @pytest.mark.slow

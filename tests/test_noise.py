@@ -133,9 +133,14 @@ def test_untranspiled_zero_sites_is_exact_plus_readout():
 def test_untranspiled_one_site_first_order_mixture():
     """One bound cx: noisy == (1-p) ideal + p/3 (X+Y+Z inserted), computed
     independently with dense complex numpy statevectors."""
+    # ry (not a basis gate -> noise-free) instead of h, and a second ry on
+    # the target: an UNBALANCED Bell pair, so P(01) != P(10) and the
+    # little-endian comparison below actually detects bit-order swaps
+    # (a balanced Bell + local unitaries always has |amp01| == |amp10|)
     c = Circuit(2, 2)
-    c.h(0)
+    c.ry(0.8, 0)
     c.cx(0, 1)  # (0,1) IS a heavy-hex edge -> binds
+    c.ry(0.3, 1)
     c.measure(0, 0)
     c.measure(1, 1)
     nm = fake_kolkata_v2()
@@ -145,7 +150,6 @@ def test_untranspiled_one_site_first_order_mixture():
     nm.readout01 = nm.readout10 = 0.0
     noisy = simulate_noisy_circuit(c, nm)
 
-    H = np.array([[1, 1], [1, -1]]) / np.sqrt(2)
     CX = np.array(
         [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], complex
     )
@@ -154,19 +158,32 @@ def test_untranspiled_one_site_first_order_mixture():
     Z = np.diag([1, -1]).astype(complex)
     I = np.eye(2, dtype=complex)
 
+    def ry(th):
+        return np.array(
+            [[np.cos(th / 2), -np.sin(th / 2)],
+             [np.sin(th / 2), np.cos(th / 2)]],
+            complex,
+        )
+
     def probs(extra):
         psi = np.zeros(4, complex)
         psi[0] = 1.0
-        psi = np.kron(H, I) @ psi  # qubit 0 is the MSB
+        psi = np.kron(ry(0.8), I) @ psi  # qubit 0 is the MSB
         psi = CX @ psi
         if extra is not None:
             psi = np.kron(extra, I) @ psi  # site qubit = first of the pair
+        psi = np.kron(I, ry(0.3)) @ psi
         return np.abs(psi) ** 2
 
     p = nm.rate_2q(0, 1)
     expect = (1 - p) * probs(None) + (p / 3) * (
         probs(X) + probs(Y) + probs(Z)
     )
+    # the oracle indexes big-endian (index 2*q0 + q1); Distribution.values
+    # is little-endian (index q0 + 2*q1) — bit-reverse before comparing,
+    # and the asymmetric RY ensures the reversal actually matters
+    expect = expect.reshape(2, 2).T.reshape(4)
+    assert abs(expect[1] - expect[2]) > 1e-3  # asymmetry guard
     np.testing.assert_allclose(
         np.asarray(noisy.values), expect, atol=5e-6
     )

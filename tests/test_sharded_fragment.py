@@ -6,32 +6,16 @@ in-process on a 1-device mesh (dp=1, amp=1) to cover the shard_map plumbing
 cheaply; the big differential builds a >=16-qubit fragment and checks the
 co-sharded rows against the single-device batched engine.
 """
-import os
-import subprocess
-import sys
 import textwrap
 
 import numpy as np
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from conftest import run_cpu_subprocess
 
 
 def _run_in_subprocess(code: str, n_devices: int) -> str:
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={n_devices}"
-    ).strip()
-    env["PYTHONPATH"] = REPO
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=900,
-    )
-    assert out.returncode == 0, out.stdout + out.stderr
-    return out.stdout
+    return run_cpu_subprocess(code, n_devices, timeout=900)
 
 
 def _cut_chain_code(n_qubits: int, q_cap: int) -> str:

@@ -2,30 +2,9 @@
 
 Runs in subprocesses (virtual multi-device CPU platform must be configured
 before backend init; see tests/test_multichip.py)."""
-import os
-import subprocess
-import sys
-
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _run(code: str, n_devices: int) -> str:
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={n_devices}"
-    ).strip()
-    env["PYTHONPATH"] = REPO
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
-    )
-    assert out.returncode == 0, out.stdout + out.stderr
-    return out.stdout
+from conftest import run_cpu_subprocess as _run
 
 
 _CHECK = """

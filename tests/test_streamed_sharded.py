@@ -1,11 +1,7 @@
 """Streamed knit with the chunk axis sharded over a dp mesh (GSPMD)."""
-import os
-import subprocess
-import sys
-
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from conftest import run_cpu_subprocess
 
 _CODE = """
 import numpy as np
@@ -56,17 +52,5 @@ print("SHARDED-STREAM OK", err)
 
 @pytest.mark.slow
 def test_streamed_dp_sharded_4dev():
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=4"
-    ).strip()
-    env["PYTHONPATH"] = REPO
-    out = subprocess.run(
-        [sys.executable, "-c", _CODE],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
-    )
-    assert out.returncode == 0, out.stdout + out.stderr
-    assert "SHARDED-STREAM OK" in out.stdout
+    out = run_cpu_subprocess(_CODE, 4)
+    assert "SHARDED-STREAM OK" in out
