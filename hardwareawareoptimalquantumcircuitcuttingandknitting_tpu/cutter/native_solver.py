@@ -45,6 +45,8 @@ def solve_native(graph: CutGraph, cfg) -> CutPlan | None:
     nv = graph.num_vertices
     if nv == 0:
         return None
+    # same invalid-config behavior as the Python twin (solver.py, Cutter.py:364)
+    assert cfg.num_partitions <= nv
     ne = len(graph.edges)
     i32 = lambda xs: np.asarray(xs, dtype=np.int32)
     i64 = lambda xs: np.asarray(xs, dtype=np.int64)

@@ -72,9 +72,16 @@ def _kq_operands(b, axes, n: int, transpose, state_reshape):
         prev = q
     shape.append(1 << (n - 1 - qs[-1]))
     st = state_reshape(tuple(shape))
-    outs = [chr(ord("A") + i) for i in range(k)]
-    ins = [chr(ord("a") + i) for i in range(k)]
-    gaps = [chr(ord("p") + i) for i in range(k + 1)]
+    # one collision-free label pool: 'x'/'y' are reserved for the real-rep
+    # component axes, and fixed per-group offsets ('a'+i vs 'p'+i) collide
+    # for k >= 8
+    import string
+
+    pool = [c for c in string.ascii_letters if c not in ("x", "y")]
+    assert 3 * k + 1 <= len(pool), f"fused block too wide for einsum: k={k}"
+    outs = pool[:k]
+    ins = pool[k:2 * k]
+    gaps = pool[2 * k:3 * k + 1]
     u_sub = "x" + "".join(outs) + "y" + "".join(ins)
     st_sub = "y" + "".join(gaps[i] + ins[i] for i in range(k)) + gaps[k]
     out_sub = "x" + "".join(gaps[i] + outs[i] for i in range(k)) + gaps[k]

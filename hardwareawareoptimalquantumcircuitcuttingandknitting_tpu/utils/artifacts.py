@@ -16,7 +16,12 @@ from ..circuit.circuit import Circuit
 
 
 def make_run_dir(base: str, tag: str) -> pathlib.Path:
-    path = pathlib.Path(base) / f"{tag}_{datetime.datetime.now()}"
+    stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    path = pathlib.Path(base) / f"{tag}_{stamp}"
+    n = 1
+    while path.exists():  # same-second runs get a numeric suffix
+        path = pathlib.Path(base) / f"{tag}_{stamp}-{n}"
+        n += 1
     (path / "instantiations").mkdir(parents=True, exist_ok=True)
     return path
 

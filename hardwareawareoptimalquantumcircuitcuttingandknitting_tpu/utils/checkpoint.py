@@ -47,9 +47,21 @@ def checkpoint_fingerprint(virt) -> str:
             else:
                 h.update(f"{op[0]}|{op[1]}|{op[2]}".encode())
     for vg in virt.vgates:
-        coef = np.ascontiguousarray(np.asarray(vg.spec.coef, dtype=np.float64))
+        spec = vg.spec
+        coef = np.ascontiguousarray(np.asarray(spec.coef, dtype=np.float64))
+        # gate name + endpoint variant circuits, not just coef: cx/cy/cz
+        # share an identical coef table (conjugated-cz construction) but
+        # produce different results, so coef alone collides
+        h.update(f"{spec.gate_name}|{list(spec.owner_side)}".encode())
         h.update(str(coef.shape).encode())
         h.update(coef.tobytes())
+        for pair in spec.endpoints:
+            for ev in pair:
+                h.update(b"m" if ev.measure else b".")
+                for mat in (ev.pre, ev.post):
+                    h.update(np.ascontiguousarray(
+                        np.asarray(mat, dtype=complex)
+                    ).tobytes())
     return h.hexdigest()
 
 

@@ -146,7 +146,15 @@ def sparse_knit(
         assert not missing, f"rows missing fragments: {missing}"
         names = [reg.name for reg in virt.fragments]
     else:
+        if results is None:
+            raise ValueError("sparse_knit needs either results or rows")
         names = [res.name for res in results]
+        missing = [
+            reg.name for reg in virt.fragments if reg.name not in names
+        ]
+        # a fragment absent from results would silently drop its clbits
+        # from every merged key (cf. the rows-path assert above)
+        assert not missing, f"results missing fragments: {missing}"
     for idx, name in enumerate(names):
         if rows is not None:
             frag_rows.append(rows[name])

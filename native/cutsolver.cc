@@ -12,6 +12,8 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -39,7 +41,6 @@ struct LexKey {
 struct Solution {
   LexKey key;
   std::vector<int> assignment;
-  std::vector<int> cut_edges;  // indices into the cut list at the leaf
   std::vector<Edge> cuts;
   unsigned tele_mask;
   long long s, a, l, q, c;
@@ -110,6 +111,16 @@ class Solver {
     for (int vi : p_.initial) base_q[assignment_[vi]]++;
 
     bool only_zero_mask = (p_.max_qpd >= 0 && n_cuts <= p_.max_qpd);
+    // tele_mask enumeration is bounded to 31 cut edges (1u << 32 is UB and
+    // silently yields 1 on x86, skipping every teleport assignment); the
+    // Python twin would enumerate 2^n_cuts, so fail loudly instead of
+    // quietly diverging.  Real configs cap n_cuts far below this.
+    if (!only_zero_mask && n_cuts > 31) {
+      std::fprintf(stderr,
+                   "cutsolver: %d cut edges exceeds the 31-edge teleport "
+                   "enumeration limit\n", n_cuts);
+      std::abort();
+    }
     unsigned mask_end = only_zero_mask ? 1u : (1u << n_cuts);
 
     for (unsigned mask = 0; mask < mask_end; mask++) {

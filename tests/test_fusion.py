@@ -141,3 +141,28 @@ def test_block_fusion_three_qubit_differential():
     for u, axes in fused:
         got = _expand(u, axes, tuple(range(n))) @ got
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_wide_block_einsum_labels():
+    """k up to 9 must produce collision-free einsum labels (fixed per-group
+    offsets collided 'x' with the gap labels at k=8)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.fusion import (
+        _expand,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+        apply_matrix_host,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 10
+    state0 = rng.normal(size=(2, 1 << n)).astype(np.float32)
+    psi0 = state0[0] + 1j * state0[1]
+    for k in (8, 9):
+        m = rng.normal(size=(1 << k, 1 << k)) + 1j * rng.normal(
+            size=(1 << k, 1 << k)
+        )
+        u, _ = np.linalg.qr(m)
+        axes = tuple(rng.choice(n, size=k, replace=False).tolist())
+        want = _expand(u, axes, tuple(range(n))) @ psi0
+        got = apply_matrix_host(state0.copy(), u, axes, n)
+        np.testing.assert_allclose(got[0] + 1j * got[1], want, atol=1e-4)

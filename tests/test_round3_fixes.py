@@ -117,6 +117,37 @@ def test_checkpoint_fingerprint_hashes_full_coef():
     assert fp1 != fp2  # coef tables differ only in the RZZ angle terms
 
 
+def test_checkpoint_fingerprint_distinguishes_gate_types():
+    """cx/cy/cz share an identical coef table (conjugated-cz construction)
+    but different endpoint unitaries — their fingerprints must differ, or a
+    resumed run silently knits the wrong gate's fragment results."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+        Circuit,
+        Instruction,
+        Register,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.utils.checkpoint import (
+        checkpoint_fingerprint,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+        VirtualCircuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_gates import (
+        VirtualGateOp,
+    )
+
+    def make(gate):
+        cut = Circuit([Register("frag0", 1), Register("frag1", 1)], 2)
+        cut.h(0)
+        cut.append(Instruction("vgate", [0, 1], op=VirtualGateOp(gate)))
+        cut.measure(0, 0)
+        cut.measure(1, 1)
+        return VirtualCircuit(cut)
+
+    fps = {g: checkpoint_fingerprint(make(g)) for g in ("cx", "cy", "cz")}
+    assert len(set(fps.values())) == 3, fps
+
+
 def test_variant_index_table_convention():
     """variant_index_table pins the reference label order: last vgate in
     ``order`` varies fastest; padding labels clamp to the final real one."""
