@@ -119,7 +119,10 @@ class DAG(nx.DiGraph):
         for node in nx.topological_sort(self):
             ins = self.get_node_instr(node)
             qs = ins.qubits
-            if len(qs) == 1 or ins.name == "barrier":
+            # virtualized gates create no dependencies (the reference's
+            # virtual gates are Barrier subclasses and fall to the
+            # isinstance(Barrier) skip at dag.py:103)
+            if len(qs) == 1 or ins.name in ("barrier", "vgate"):
                 continue
             if len(qs) == 2:
                 q1, q2 = qs

@@ -38,7 +38,10 @@ def _decompose_qubit_sets(dag: DAG, qubit_sets: list[set]) -> int:
         n_frags = sum(1 for s in qubit_sets if set(qubits) & s)
         if n_frags == 0:
             raise ValueError(f"No fragment found for qubits {qubits}.")
-        if n_frags > 1 and ins.name != "barrier":
+        # skip already-virtualized gates too: the reference's virtual gates
+        # are Barrier subclasses, so its name check passes them over
+        # (gate_decomp.py:128) — re-cutting a cut circuit must not crash
+        if n_frags > 1 and ins.name not in ("barrier", "vgate"):
             dag.virtualize_node(node)
             vgates += 1
     return vgates
@@ -235,7 +238,15 @@ class QubitDependencyReducer(VirtualizationPass):
 
 
 class CircularDependencyBreaker(QubitDependencyReducer):
-    """reduce_deps.py:24-58."""
+    """reduce_deps.py:24-58.
+
+    NOTE (preserved reference quirk): the guard below requires the two
+    qubits NOT to share a QCG edge, but the QCG is built from the same DAG
+    that contains the very 2q gate under test, so the edge always exists
+    and the pass never virtualizes anything.  The reference's
+    reduce_deps.py:42-44 has the identical latent bug; ported as-is for
+    behavioral parity (use GreedyDependencyBreaker or
+    QubitDependencyMinimizer for effective dependency breaking)."""
 
     def _pass(self, dag: DAG, budget: int) -> None:
         depends: dict[int, set[int]] = {q: set() for q in dag.qubits}
@@ -245,7 +256,7 @@ class CircularDependencyBreaker(QubitDependencyReducer):
                 return
             ins = dag.get_node_instr(node)
             qs = ins.qubits
-            if len(qs) == 1 or ins.name == "barrier":
+            if len(qs) == 1 or ins.name in ("barrier", "vgate"):
                 continue
             if len(qs) == 2:
                 q1, q2 = qs
@@ -282,7 +293,11 @@ class GreedyDependencyBreaker(VirtualizationPass):
         for node in nx.topological_sort(dag):
             ins = dag.get_node_instr(node)
             qs = ins.qubits
-            if len(qs) == 1 or ins.name == "barrier":
+            # already-virtualized gates create no qubit dependencies (the
+            # reference skips Barrier subclasses, reduce_deps.py:85) —
+            # counting them would re-score structure prior virtualizations
+            # already removed
+            if len(qs) == 1 or ins.name in ("barrier", "vgate"):
                 continue
             if len(qs) == 2:
                 if ins.name in VIRTUAL_GATE_NAMES:
@@ -328,11 +343,27 @@ class QubitDependencyMinimizer(QubitDependencyReducer):
         import math
 
         def deps_after(virt_set):
-            test = dag.copy()
-            for n in virt_set:
-                test.virtualize_node(n)
-            test.remove_nodes_of_name("vgate")
-            return test.num_dependencies()
+            # count dependencies with the chosen nodes (and all existing
+            # vgates) excluded, walking THIS dag directly — DAG.copy()
+            # renumbers nodes topologically, so virtualizing the original
+            # node ids on a copy would hit the wrong instructions
+            skip = set(virt_set)
+            depends_on: dict[int, set[int]] = {q: set() for q in dag.qubits}
+            for node in nx.topological_sort(dag):
+                if node in skip:
+                    continue
+                ins = dag.get_node_instr(node)
+                qs = ins.qubits
+                if len(qs) == 1 or ins.name in ("barrier", "vgate"):
+                    continue
+                if len(qs) != 2:
+                    raise ValueError("More than 2 qubits in instruction")
+                q1, q2 = qs
+                add1 = depends_on[q2] | {q2}
+                add2 = depends_on[q1] | {q1}
+                depends_on[q1] |= add1
+                depends_on[q2] |= add2
+            return sum(len(v - {q}) for q, v in depends_on.items())
 
         if math.comb(len(candidates), budget) <= 2000:
             best = min(

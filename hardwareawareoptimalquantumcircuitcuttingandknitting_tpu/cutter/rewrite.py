@@ -167,7 +167,9 @@ def compute_fragments(
     return results
 
 
-def fragment_circuit(circ: Circuit, fragments: list[list[int]]) -> Circuit:
+def fragment_circuit(
+    circ: Circuit, fragments: list[list[int]]
+) -> tuple[Circuit, dict[int, int]]:
     """Reference: qvm DAG.fragment (third_party/qvm/qvm/compiler/dag.py:185-203):
     regroup qubits into ``frag{i}`` registers and remap instructions."""
     qubit_map: dict[int, int] = {}

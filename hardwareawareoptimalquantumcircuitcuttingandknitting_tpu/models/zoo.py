@@ -52,6 +52,10 @@ def generate_circ(
 ) -> Circuit | None:
     """helper_functions.generate_circ parity (66-127)."""
     random.seed(seed)
+    if seed is not None:
+        # the QAOA branches draw from numpy's global RNG and networkx's
+        # graph generators, neither of which random.seed pins
+        np.random.seed(seed)
     full_circ = None
     num_trials = 100
     density = 0.001
@@ -87,7 +91,7 @@ def generate_circ(
             )
         elif circuit_type == "regular":
             if 3 * num_qubits % 2 == 0:
-                graph = nx.random_regular_graph(3, num_qubits)
+                graph = nx.random_regular_graph(3, num_qubits, seed=seed)
                 full_circ = construct_qaoa_plus(
                     P=depth, G=graph,
                     params=[
@@ -98,7 +102,7 @@ def generate_circ(
                 )
         elif circuit_type == "erdos":
             graph = nx.generators.random_graphs.erdos_renyi_graph(
-                num_qubits, density
+                num_qubits, density, seed=seed
             )
             full_circ = construct_qaoa_plus(
                 P=depth, G=graph,
@@ -143,7 +147,7 @@ def genCirc(circ_name: str, n_qubits: int, depth: int,
     if seed is not None:
         random.seed(seed)
     if circ_name == "ran":
-        circ = random_circuit(n_qubits, depth)
+        circ = random_circuit(n_qubits, depth, seed=seed)
         circ.measure_all()
     elif circ_name == "sup":
         circ = generate_circ(n_qubits, depth, "supremacy", seed=seed)
@@ -157,25 +161,25 @@ def genCirc(circ_name: str, n_qubits: int, depth: int,
         circ = generate_circ(n_qubits, depth, "sycamore", seed=seed)
         circ.measure_all()
     elif circ_name == "hwe":
-        circ = generate_circ(n_qubits, depth, "hwea")
+        circ = generate_circ(n_qubits, depth, "hwea", seed=seed)
         circ.measure_all()
     elif circ_name == "bv":
-        circ = generate_circ(n_qubits, depth, "bv")
+        circ = generate_circ(n_qubits, depth, "bv", seed=seed)
         circ.measure_all()
     elif circ_name == "qft":
-        circ = generate_circ(n_qubits, depth, "qft")
+        circ = generate_circ(n_qubits, depth, "qft", seed=seed)
         circ.measure_all()
     elif circ_name == "aqft":
-        circ = generate_circ(n_qubits, depth, "aqft")
+        circ = generate_circ(n_qubits, depth, "aqft", seed=seed)
         circ.measure_all()
     elif circ_name == "add":
-        circ = generate_circ(n_qubits, depth, "adder")
+        circ = generate_circ(n_qubits, depth, "adder", seed=seed)
         circ.measure_all()
     elif circ_name == "erd":
-        circ = generate_circ(n_qubits, depth, "erdos")
+        circ = generate_circ(n_qubits, depth, "erdos", seed=seed)
         circ.measure_all()
     elif circ_name == "reg":
-        circ = generate_circ(n_qubits, depth, "regular")
+        circ = generate_circ(n_qubits, depth, "regular", seed=seed)
         circ.measure_all()
     else:
         raise RuntimeError(f"circName {circ_name} is not supported")

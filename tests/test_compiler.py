@@ -165,3 +165,63 @@ def test_depth_counts_condition_clbit():
     circ.measure(0, 0)
     circ.x(1).condition = (0, 1)
     assert circ.depth() == 2
+
+
+def test_minimizer_uses_correct_node_ids():
+    """DAG.copy() renumbers nodes topologically; deps_after must not index
+    the copy with original ids (it crashed picking h(0) as a 'vgate')."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.compiler.passes import (
+        QubitDependencyMinimizer,
+    )
+
+    c = Circuit(4, 0)
+    c.cx(0, 1)
+    c.h(0)
+    c.cx(2, 3)
+    c.cx(1, 2)
+    out = QubitDependencyMinimizer().run(c, budget=1)
+    assert num_virtual_gates(out) == 1
+    # with one virtualization the only optimal pick is cx(1,2): it joins
+    # the two otherwise-independent halves
+    dag = DAG(out)
+    deps = dag.qubit_dependencies()
+    assert all(len(v) <= 1 for v in deps.values()), deps
+
+
+def test_gate_decomposition_skips_existing_vgates():
+    """Re-cutting a circuit that already contains vgates must leave them
+    alone (reference's Barrier-subclass skip, gate_decomp.py:128)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.compiler.compiler import (
+        Pipeline,
+    )
+
+    n = 6
+    c = Circuit(n, n)
+    c.h(0)
+    for i in range(n - 1):
+        c.cx(i, i + 1)
+    for q in range(n):
+        c.measure(q, q)
+    cut_once = OptimalDecompositionPass(3).run(c, budget=10)
+    before = num_virtual_gates(cut_once)
+    assert before >= 1
+    # second pass over the already-cut circuit: no crash, vgates preserved
+    cut_twice = BisectionPass(2).run(cut_once, budget=10)
+    assert num_virtual_gates(cut_twice) >= before
+
+
+def test_genCirc_seed_reproducible():
+    """seed= must pin every random branch, including 'ran' and the
+    generate_circ families that reseed the module RNG."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
+        genCirc,
+    )
+
+    def stream(circ):
+        return [(i.name, tuple(i.qubits), tuple(i.params or ()))
+                for i in circ.instructions]
+
+    for name, n, d in [("ran", 6, 3), ("erd", 5, 1), ("hwe", 5, 1)]:
+        a = genCirc(name, n, d, seed=42)
+        b = genCirc(name, n, d, seed=42)
+        assert stream(a) == stream(b), name
