@@ -18,7 +18,6 @@ from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter impo
 )
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (
     compare_original_with_cut_multiple_backends,
-    hellinger_fidelity,
 )
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
     genCirc,
@@ -27,14 +26,6 @@ from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
     default_noise_model,
     fake_athens,
     fake_open_pulse,
-    run_noisy_virtual_circuit,
-    simulate_noisy_circuit,
-)
-from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
-    simulate_circuit,
-)
-from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.run import (
-    run_virtual_circuit,
 )
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.utils import (
     artifacts,
@@ -43,10 +34,6 @@ from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.utils.logger impor
     configure_loggers,
     get_logger,
 )
-from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
-    VirtualCircuit,
-)
-
 BACKENDS = [fake_open_pulse(2), fake_open_pulse(3), fake_athens()]
 P = len(BACKENDS)
 CAPS = [b.num_qubits for b in BACKENDS]

@@ -42,9 +42,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import pathlib
 import sys
 import time
+
+# This is a host-scale statistical experiment whose uncut legs build up to
+# 2^25-amplitude states: big-state work runs on the CPU host (CLAUDE.md —
+# tunneled-TPU compile time scales with the largest buffer; >15 min at
+# 2^24).  The TPU noisy legs live in benchmarks/noisy_streamed_tpu.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 

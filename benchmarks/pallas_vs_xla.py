@@ -87,11 +87,6 @@ def main():
         "device": str(dev.device_kind),
     }
 
-    def timed_scalar(fn, *a):
-        t0 = time.perf_counter()
-        v = float(fn(*a))
-        return time.perf_counter() - t0, v
-
     # ---- XLA engine: chunked vmapped scalar-sum --------------------------
     sim_one, all_mats, _pos, flat_count = make_sim_fn(virt, frag)
     # keep the per-program buffer <= 2^20 floats: tunneled server-side

@@ -91,8 +91,9 @@ def main() -> None:
     steady_s = time.perf_counter() - t
 
     marg = Distribution(host, meta["positions"], virt.num_clbits)
-    sub, _ = lightcone_circuit(circ, keep)
-    oracle = lightcone_marginal(circ, keep)
+    pre = lightcone_circuit(circ, keep)
+    sub = pre[0]
+    oracle = lightcone_marginal(circ, keep, precomputed=pre)
     fid = hellinger_fidelity(oracle, marg)
     err = float(np.max(np.abs(
         np.asarray(marg.values, np.float64)

@@ -70,14 +70,20 @@ def lightcone_circuit(
     return sub, clbit_map
 
 
-def lightcone_marginal(circ: Circuit, keep_clbits: set[int]):
+def lightcone_marginal(circ: Circuit, keep_clbits: set[int], precomputed=None):
     """Exact marginal distribution over ``keep_clbits`` via the lightcone
-    subcircuit (Distribution with bit_positions = sorted kept clbits)."""
+    subcircuit (Distribution with bit_positions = sorted kept clbits).
+
+    ``precomputed``: optional ``(sub, clbit_map)`` from a prior
+    :func:`lightcone_circuit` call, to avoid re-walking the circuit."""
     import numpy as np
 
     from ..ops.statevector import Distribution, simulate_circuit
 
-    sub, clbit_map = lightcone_circuit(circ, keep_clbits)
+    sub, clbit_map = (
+        precomputed if precomputed is not None
+        else lightcone_circuit(circ, keep_clbits)
+    )
     dist = simulate_circuit(sub)
     # sum out retained-for-dephasing clbits (non-kept mid-circuit measures)
     keep_local = sorted(clbit_map[c] for c in keep_clbits)

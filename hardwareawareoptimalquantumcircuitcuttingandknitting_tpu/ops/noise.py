@@ -279,9 +279,15 @@ def simulate_noisy_circuit(
         for i, (_, _, axes) in enumerate(gate_ops):
             probs.append(untranspiled_site_rate(nm, names[i], axes))
     else:
+        # without routing, phys is None and deferral ops keep their original
+        # axes — detect them by op name so bookkeeping CX/SWAP/c_if blocks
+        # (measure deferral, statevector.py:168-201) stay noise-free
+        names = compiled.op_names or [None] * len(gate_ops)
         for i, (_, _, axes) in enumerate(gate_ops):
             ph = phys[i] if phys is not None else axes
             if any(p is None for p in ph):  # touches a deferral ancilla
+                probs.append(0.0)
+            elif phys is None and names[i] == "_defer":
                 probs.append(0.0)
             elif len(axes) == 1:
                 probs.append(nm.rate_1q(ph[0]))
@@ -426,8 +432,6 @@ def run_fragment_noisy(
     calibrated readout channel is applied to every variant row (device
     nodes from the routed placement when the model carries a coupling
     map)."""
-    import math
-
     sim_one, slot_mats, positions, flat_count = make_sim_fn(
         virt, frag_name, noise=nm
     )
@@ -555,7 +559,9 @@ def run_noisy_virtual_circuit(
         # readout is applied inside run_fragment_noisy (little-endian bit
         # order, routed-device calibrated rates)
         results.append(
-            run_fragment_noisy(virt, reg.name, nm, seed=seed + i)
+            run_fragment_noisy(
+                virt, reg.name, nm, seed=seed + i, chunk_size=chunk_size
+            )
         )
     if shots is not None:
         from .sampling import sample_fragment_results

@@ -312,3 +312,29 @@ def test_batched_vs_streamed_with_routed_calibrated_model():
     np.testing.assert_allclose(
         np.asarray(batched.values), np.asarray(streamed.values), atol=2e-5
     )
+
+
+def test_deferral_ops_noise_free_without_coupling():
+    """Measure-deferral bookkeeping CX ops (statevector.py:168-201) must
+    carry no gate noise in the coupling-less path too — only routed (phys
+    None markers) and untranspiled paths zeroed them before."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        NoiseModel,
+    )
+
+    c = Circuit(2, 2)
+    c.h(0)
+    c.measure(0, 0)  # mid-circuit -> deferral ancilla CX
+    c.x(0)
+    c.measure(0, 1)
+    nm = NoiseModel(p1=0.0, p2=0.5, readout01=0.0, readout10=0.0,
+                    trajectories=4, coupling=None)
+    noisy = simulate_noisy_circuit(c, nm)
+    # the x between the measures forces c1 = NOT c0, so (0,0) and (1,1)
+    # are impossible regardless of depolarising strength — any mass there
+    # means a bookkeeping op picked up gate noise.  Little-endian keys:
+    # index = c0 + 2*c1, impossible indices 0 and 3.
+    vals = np.asarray(noisy.values)
+    np.testing.assert_allclose(vals[0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(vals[3], 0.0, atol=1e-6)
+    np.testing.assert_allclose(vals[1] + vals[2], 1.0, atol=1e-5)
