@@ -45,6 +45,7 @@ class BenchConfig:
     cut_only: bool = True
     shots: int = 1000
     results_root: str = "./benchmark_results"
+    save_png: bool = False
 
     @property
     def tag(self) -> str:
@@ -64,6 +65,10 @@ def parse_args(argv: list[str]) -> BenchConfig:
     ap.add_argument("--simulate", action="store_true",
                     help="run the fidelity comparison (disables CUT_ONLY)")
     ap.add_argument("--shots", type=int, default=1000)
+    ap.add_argument("--png", action="store_true",
+                    help="also render circuit PNGs (the reference saves mpl "
+                         "drawings by default — its #5 hot loop — so ours "
+                         "are opt-in)")
     ap.add_argument("--results-dir", default="./benchmark_results",
                     help="root directory for per-run artifact folders")
     ns = ap.parse_args(argv)
@@ -76,6 +81,7 @@ def parse_args(argv: list[str]) -> BenchConfig:
         cut_only=not ns.simulate,
         shots=ns.shots,
         results_root=ns.results_dir,
+        save_png=ns.png,
     )
 
 
@@ -122,6 +128,8 @@ def run_benchmark(cfg: BenchConfig) -> int:
         ("4_cutCirc", cut_circuit),
     ):
         artifacts.save_circuit(circ, run_dir, name)
+        if cfg.save_png:
+            artifacts.save_circuit_png(circ, run_dir, name)
     cutter.save_plan(run_dir / "cut_plan.json")
     artifacts.save_metrics(run_dir, summary)
 
@@ -131,6 +139,11 @@ def run_benchmark(cfg: BenchConfig) -> int:
             artifacts.save_circuit(
                 variant, run_dir / "instantiations", f"{frag_idx}_{var_idx}"
             )
+            if cfg.save_png:
+                artifacts.save_circuit_png(
+                    variant, run_dir / "instantiations",
+                    f"{frag_idx}_{var_idx}",
+                )
             saved += 1
     log.info(f"{saved} instantiations are saved to disk")
 

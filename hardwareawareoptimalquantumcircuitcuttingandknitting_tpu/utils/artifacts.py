@@ -36,3 +36,105 @@ def save_circuit(circ: Circuit, directory, name: str) -> None:
 def save_metrics(directory, metrics: dict) -> None:
     with open(pathlib.Path(directory) / "metrics.json", "w") as f:
         json.dump(metrics, f, indent=2, default=str)
+
+
+def save_circuit_png(circ: Circuit, directory, name: str) -> bool:
+    """Matplotlib gate-grid render of a circuit, one PNG per call.
+
+    The reference saves mpl circuit drawings for every pipeline stage and
+    instantiation (Utilities.py:32-33, benchmark.py:75-88); the text draw
+    (:func:`save_circuit`) stays the canonical artifact here, and this
+    renderer is the optional visual twin (CLI ``--png``).  Returns False
+    when matplotlib is unavailable.
+    """
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # matplotlib genuinely optional
+        return False
+
+    n = circ.num_qubits
+    # greedy moment packing: an op lands in the first column where every
+    # wire in its vertical span is free (2q links draw a vertical line, so
+    # the whole span must be clear, like the text draw)
+    busy_until = [0] * n
+    placed = []  # (col, instr)
+    for ins in circ.instructions:
+        if not ins.qubits:
+            continue
+        lo, hi = min(ins.qubits), max(ins.qubits)
+        col = max(busy_until[q] for q in range(lo, hi + 1))
+        placed.append((col, ins))
+        for q in range(lo, hi + 1):
+            busy_until[q] = col + 1
+    n_cols = max((c for c, _ in placed), default=0) + 1
+
+    fig_w = max(3.0, 0.55 * n_cols + 1.6)
+    fig_h = max(1.6, 0.5 * n + 0.6)
+    fig, ax = plt.subplots(figsize=(fig_w, fig_h))
+    for q in range(n):
+        ax.plot([-0.7, n_cols - 0.3], [q, q], color="0.55", lw=1, zorder=0)
+        ax.text(-0.85, q, f"q{q}", ha="right", va="center", fontsize=8)
+
+    box = dict(boxstyle="round,pad=0.25", fc="white", ec="black", lw=0.9)
+    vbox = dict(boxstyle="round,pad=0.25", fc="#fff3d6", ec="#c06000",
+                lw=1.1, ls="--")
+    for col, ins in placed:
+        qs = ins.qubits
+        label = ins.name
+        if ins.params:
+            label += "(" + ",".join(f"{p:.3g}" for p in ins.params) + ")"
+        if ins.name == "barrier":
+            ax.plot([col, col], [min(qs) - 0.4, max(qs) + 0.4],
+                    color="0.4", lw=1, ls=":")
+            continue
+        if ins.name == "measure":
+            ax.text(col, qs[0], f"M→c{ins.clbits[0]}", ha="center",
+                    va="center", fontsize=7, bbox=box, zorder=3)
+            continue
+        if ins.name == "vgate" and len(qs) == 2:
+            ax.plot([col, col], [qs[0], qs[1]], color="#c06000", lw=1.2,
+                    ls="--", zorder=1)
+            base = getattr(ins.op, "base_name", "v?")
+            for q in qs:
+                ax.text(col, q, f"v[{base}]", ha="center", va="center",
+                        fontsize=7, bbox=vbox, zorder=3)
+            continue
+        if len(qs) == 2 and ins.name in ("cx", "cy", "cz", "cp", "rzz",
+                                          "swap"):
+            ax.plot([col, col], [qs[0], qs[1]], color="black", lw=1.2,
+                    zorder=1)
+            if ins.name == "cx":
+                ax.plot(col, qs[0], "ko", ms=5, zorder=3)
+                ax.plot(col, qs[1], "o", ms=9, mfc="white", mec="black",
+                        zorder=3)
+                ax.text(col, qs[1], "+", ha="center", va="center",
+                        fontsize=9, zorder=4)
+            elif ins.name == "cz":
+                for q in qs:
+                    ax.plot(col, q, "ko", ms=5, zorder=3)
+            elif ins.name == "swap":
+                for q in qs:
+                    ax.text(col, q, "x", ha="center", va="center",
+                            fontsize=10, zorder=3)
+            else:
+                ax.plot(col, qs[0], "ko", ms=5, zorder=3)
+                ax.text(col, qs[1], label, ha="center", va="center",
+                        fontsize=7, bbox=box, zorder=3)
+            continue
+        for q in qs:  # generic 1q (or unknown) boxes
+            txt = label
+            if ins.condition is not None:
+                txt += f" if c{ins.condition[0]}={ins.condition[1]}"
+            ax.text(col, q, txt, ha="center", va="center", fontsize=7,
+                    bbox=box, zorder=3)
+
+    ax.set_xlim(-1.4, n_cols)
+    ax.set_ylim(n - 0.5, -0.5)  # qubit 0 on top, like the text draw
+    ax.axis("off")
+    ax.set_title(name, fontsize=9)
+    fig.tight_layout()
+    fig.savefig(pathlib.Path(directory) / f"{name}.png", dpi=110)
+    plt.close(fig)
+    return True

@@ -93,3 +93,38 @@ def test_resume_skips_simulation(tmp_path):
     np.testing.assert_allclose(
         np.asarray(d1.values), np.asarray(d2.values), atol=1e-6
     )
+
+
+def test_save_circuit_png(tmp_path):
+    """PNG renderer handles every construct (1q/2q/vgate/c_if/barrier/
+    measure) without error and writes a real file."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+        Circuit,
+        Instruction,
+        Register,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.utils.artifacts import (
+        save_circuit_png,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_gates import (
+        VirtualGateOp,
+    )
+
+    c = Circuit([Register("frag0", 2), Register("frag1", 2)], 4)
+    c.h(0)
+    c.rz(0.5, 1)
+    c.cx(0, 1)
+    c.cz(2, 3)
+    c.append(Instruction("vgate", [1, 2], op=VirtualGateOp("rzz", (0.3,))))
+    c.barrier()
+    c.measure(0, 0)
+    c.append(Instruction("x", [3], condition=(0, 1)))
+    for q in range(1, 4):
+        c.measure(q, q)
+    ok = save_circuit_png(c, tmp_path, "render_check")
+    if not ok:
+        import pytest
+
+        pytest.skip("matplotlib unavailable")
+    out = tmp_path / "render_check.png"
+    assert out.exists() and out.stat().st_size > 2000
