@@ -1,5 +1,6 @@
 """CLI smoke: the benchmark driver's reference grammar end-to-end."""
 import json
+import pytest
 import os
 import pathlib
 import subprocess
@@ -30,3 +31,18 @@ def test_benchmark_cli_simulate(tmp_path):
     if metrics:
         m = json.loads(metrics[0].read_text())
         assert m.get("cutVsUncutFidelity", 1.0) > 0.99
+
+
+@pytest.mark.parametrize(
+    "script", ["simple.py", "wire_cut.py", "fid.py", "qasm_migration.py"]
+)
+def test_examples_run(script):
+    """Every (fast) example must run end-to-end — stale examples are a
+    reference failure mode we test against (SURVEY §7.5)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "examples" / script)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
