@@ -33,6 +33,17 @@ _FUNCS = {
 
 def _eval_expr(expr: str, env: dict) -> float:
     """Evaluate a QASM parameter expression on a restricted AST."""
+    import keyword
+
+    # QASM identifiers may be Python keywords (qelib1 uses `lambda`) —
+    # alias them before handing the expression to ast.parse
+    renames = {
+        k: f"_{k}_" for k in list(env) if keyword.iskeyword(k)
+    }
+    for old, new in renames.items():
+        expr = re.sub(rf"\b{old}\b", new, expr)
+    if renames:
+        env = {renames.get(k, k): v for k, v in env.items()}
     node = ast.parse(expr.strip(), mode="eval").body
 
     def ev(n):
@@ -111,11 +122,39 @@ class _GateDef:
         self.body = body
 
 
+# qelib1.inc gates with no native matrix here, expanded like file-local
+# definitions (the parser skips `include`, so these supply the bodies a
+# qiskit 0.44 dump relies on; decompositions are exact, verified by
+# round-trip tests against numpy-built controlled unitaries)
+_QELIB1_SUPPLEMENT = """
+gate ch a,b { ry(pi/4) b; cx a,b; ry(-pi/4) b; }
+gate crx(theta) a,b { h b; crz(theta) a,b; h b; }
+gate cry(theta) a,b { ry(theta/2) b; cx a,b; ry(-theta/2) b; cx a,b; }
+gate csx a,b { h b; cu1(pi/2) a,b; h b; }
+gate cswap a,b,c { cx c,b; ccx a,b,c; cx c,b; }
+gate rxx(theta) a,b { h a; h b; cx a,b; rz(theta) b; cx a,b; h a; h b; }
+gate ryy(theta) a,b { sdg a; sdg b; h a; h b; cx a,b; rz(theta) b; cx a,b; h a; h b; s a; s b; }
+gate cu3(theta,phi,lambda) c,t { u1((lambda+phi)/2) c; u1((lambda-phi)/2) t; cx c,t; u3(-theta/2,0,-(phi+lambda)/2) t; cx c,t; u3(theta/2,phi,0) t; }
+gate cu(theta,phi,lambda,gamma) c,t { u1(gamma) c; cu3(theta,phi,lambda) c,t; }
+"""
+
+
+def _supplement_defs() -> dict:
+    out: dict[str, _GateDef] = {}
+    for m in _GATE_DEF.finditer(_QELIB1_SUPPLEMENT):
+        out[m.group("name")] = _GateDef(
+            _split_top(m.group("params") or ""),
+            _split_top(m.group("args") or ""),
+            m.group("body"),
+        )
+    return out
+
+
 def from_qasm(text: str) -> Circuit:
     """Parse OpenQASM 2.0 source into a :class:`Circuit`."""
     text = re.sub(r"//[^\n]*", "", text)
 
-    gate_defs: dict[str, _GateDef] = {}
+    gate_defs: dict[str, _GateDef] = _supplement_defs()
 
     def grab(m: re.Match) -> str:
         params = _split_top(m.group("params") or "")
@@ -152,7 +191,10 @@ def from_qasm(text: str) -> Circuit:
         size = next(r.size for r in cregs if r.name == reg)
         if m.group("idx") is None:
             return [cbase[reg] + i for i in range(size)]
-        return [cbase[reg] + int(m.group("idx"))]
+        i = int(m.group("idx"))
+        if i >= size:
+            raise ValueError(f"clbit index out of range: {tok!r}")
+        return [cbase[reg] + i]
 
     def broadcast(groups: list[list[int]]) -> list[tuple[int, ...]]:
         n = max(len(g) for g in groups)

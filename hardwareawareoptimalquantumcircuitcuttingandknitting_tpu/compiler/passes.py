@@ -340,6 +340,9 @@ class QubitDependencyMinimizer(QubitDependencyReducer):
         ]
         if budget <= 0 or not candidates:
             return
+        # more budget than candidates: virtualize them all (min() over an
+        # empty combinations iterator would crash otherwise)
+        budget = min(budget, len(candidates))
         import math
 
         def deps_after(virt_set):

@@ -82,6 +82,12 @@ def solve_native(graph: CutGraph, cfg) -> CutPlan | None:
         ptr(out_assign), ptr(out_cu), ptr(out_cv), ptr(out_ck), ptr(out_ct),
         ptr(out_nc), ptr(out_metrics), ptr(out_qp), ptr(out_cp),
     )
+    if ok == -2:
+        raise ValueError(
+            "native solver: a search leaf accumulated more than 31 cut "
+            "edges with teleport enumeration enabled — tighten maxNCuts/"
+            "maxNQpdCuts or use the pure-Python solver"
+        )
     if not ok:
         return None
 

@@ -91,7 +91,10 @@ def generate_circ(
             )
         elif circuit_type == "regular":
             if 3 * num_qubits % 2 == 0:
-                graph = nx.random_regular_graph(3, num_qubits, seed=seed)
+                # vary the seed per retry, else connected_only would redraw
+                # the identical (possibly disconnected) graph 100 times
+                trial_seed = None if seed is None else seed + (100 - num_trials)
+                graph = nx.random_regular_graph(3, num_qubits, seed=trial_seed)
                 full_circ = construct_qaoa_plus(
                     P=depth, G=graph,
                     params=[
@@ -101,8 +104,9 @@ def generate_circ(
                     reg_name=reg_name,
                 )
         elif circuit_type == "erdos":
+            trial_seed = None if seed is None else seed + (100 - num_trials)
             graph = nx.generators.random_graphs.erdos_renyi_graph(
-                num_qubits, density, seed=seed
+                num_qubits, density, seed=trial_seed
             )
             full_circ = construct_qaoa_plus(
                 P=depth, G=graph,

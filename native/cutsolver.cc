@@ -12,8 +12,6 @@
 
 #include <algorithm>
 #include <cstdint>
-#include <cstdio>
-#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -100,6 +98,8 @@ class Solver {
     return best_;
   }
 
+  bool limit_exceeded() const { return limit_exceeded_; }
+
  private:
   void LeafEvaluate(int n_wire, int n_gate) {
     int n_cuts = (int)cut_edges_.size();
@@ -113,13 +113,12 @@ class Solver {
     bool only_zero_mask = (p_.max_qpd >= 0 && n_cuts <= p_.max_qpd);
     // tele_mask enumeration is bounded to 31 cut edges (1u << 32 is UB and
     // silently yields 1 on x86, skipping every teleport assignment); the
-    // Python twin would enumerate 2^n_cuts, so fail loudly instead of
-    // quietly diverging.  Real configs cap n_cuts far below this.
+    // Python twin would enumerate 2^n_cuts, so flag the leaf and let the
+    // binding raise a catchable error instead of quietly diverging.
+    // Real configs cap n_cuts far below this.
     if (!only_zero_mask && n_cuts > 31) {
-      std::fprintf(stderr,
-                   "cutsolver: %d cut edges exceeds the 31-edge teleport "
-                   "enumeration limit\n", n_cuts);
-      std::abort();
+      limit_exceeded_ = true;
+      return;
     }
     unsigned mask_end = only_zero_mask ? 1u : (1u << n_cuts);
 
@@ -257,6 +256,7 @@ class Solver {
   std::vector<long long> i_count_, wire_in_;
   int cut_bound_;
   bool symmetric_, teleports_possible_;
+  bool limit_exceeded_ = false;
   Solution best_;
 };
 
@@ -289,6 +289,10 @@ int solve_cut(int nv, int num_edges, const int* edges_u, const int* edges_v,
 
   Solver solver(p);
   Solution sol = solver.Run();
+  // -2: a leaf accumulated >31 cut edges with teleports enumerable — the
+  // 2^n_cuts mask sweep would overflow; the binding raises so callers can
+  // tighten the config or fall back to the Python solver
+  if (solver.limit_exceeded()) return -2;
   if (!sol.valid) return 0;
 
   std::memcpy(out_assignment, sol.assignment.data(), sizeof(int) * nv);

@@ -127,3 +127,88 @@ def test_export_rejects_cut_circuits():
     # but every per-fragment instantiation IS plain and exports fine
     text = to_qasm(circ)
     assert text.startswith("OPENQASM 2.0;")
+
+
+def test_qelib1_supplement_gates_exact():
+    """ch/crx/cry/csx/cswap/rxx/ryy/cu3/cu expand to exact unitaries —
+    checked against numpy-built references on the full statevector (via
+    measured distributions after symmetry-breaking rotations)."""
+    H = np.array([[1, 1], [1, -1]]) / np.sqrt(2)
+    SXm = 0.5 * np.array([[1 + 1j, 1 - 1j], [1 - 1j, 1 + 1j]])
+
+    def ctrl(u):
+        out = np.eye(4, dtype=complex)
+        out[2:, 2:] = u
+        return out
+
+    def u3(t, p, l):
+        c, s = math.cos(t / 2), math.sin(t / 2)
+        return np.array(
+            [[c, -np.exp(1j * l) * s],
+             [np.exp(1j * p) * s, np.exp(1j * (p + l)) * c]]
+        )
+
+    def rot(axis, t):
+        c, s = math.cos(t / 2), math.sin(t / 2)
+        if axis == "x":
+            return np.array([[c, -1j * s], [-1j * s, c]])
+        return np.array([[c, -s], [s, c]])
+
+    th, ph, lam, gam = 0.7, 0.4, 1.1, 0.9
+    two_q = {
+        "ch a,b": ctrl(H),
+        f"crx({th}) a,b": ctrl(rot("x", th)),
+        f"cry({th}) a,b": ctrl(rot("y", th)),
+        "csx a,b": ctrl(SXm),
+        f"cu3({th},{ph},{lam}) a,b": ctrl(u3(th, ph, lam)),
+        f"cu({th},{ph},{lam},{gam}) a,b": ctrl(np.exp(1j * gam) * u3(th, ph, lam)),
+    }
+    XX = np.kron([[0, 1], [1, 0]], [[0, 1], [1, 0]])
+    YY = np.kron([[0, -1j], [1j, 0]], [[0, -1j], [1j, 0]])
+    from scipy.linalg import expm  # noqa: F401  (guard below if missing)
+    two_q[f"rxx({th}) a,b"] = expm(-0.5j * th * np.asarray(XX))
+    two_q[f"ryy({th}) a,b"] = expm(-0.5j * th * np.asarray(YY))
+
+    for stmt, want_u in two_q.items():
+        name = stmt.split("(")[0].split()[0]
+        src = (
+            "OPENQASM 2.0;\nqreg q[2];\ncreg c[2];\n"
+            "ry(0.9) q[0]; ry(0.4) q[1]; rz(0.5) q[1];\n"
+            + stmt.replace("a,b", "q[0],q[1]") + ";\n"
+            "ry(1.3) q[0]; rx(0.2) q[1];\n"
+            "measure q -> c;\n"
+        )
+        circ = from_qasm(src)
+        got = simulate_circuit(circ)
+        # numpy oracle with the same surrounding rotations (q0 = MSB)
+        psi = np.zeros(4, complex)
+        psi[0] = 1.0
+        psi = np.kron(rot("y", 0.9), np.eye(2)) @ psi
+        psi = np.kron(np.eye(2), rot("y", 0.4)) @ psi
+        rz = np.diag([np.exp(-0.25j), np.exp(0.25j)])
+        psi = np.kron(np.eye(2), rz) @ psi
+        psi = want_u @ psi
+        psi = np.kron(rot("y", 1.3), np.eye(2)) @ psi
+        psi = np.kron(np.eye(2), rot("x", 0.2)) @ psi
+        probs = np.abs(psi) ** 2
+        # big-endian oracle -> little-endian Distribution
+        probs = probs.reshape(2, 2).T.reshape(4)
+        np.testing.assert_allclose(
+            np.asarray(got.values), probs, atol=1e-5, err_msg=name
+        )
+
+    # cswap (3q): |1>|10> -> |1>|01>
+    src = (
+        "OPENQASM 2.0;\nqreg q[3];\ncreg c[3];\n"
+        "x q[0]; x q[1];\ncswap q[0],q[1],q[2];\nmeasure q -> c;\n"
+    )
+    d = simulate_circuit(from_qasm(src)).to_dict()
+    # q0=1, q1->0, q2->1: little-endian key = 1 + 4 = 5
+    assert d.get(5, 0) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cref_bounds_checked():
+    with pytest.raises(ValueError, match="clbit index out of range"):
+        from_qasm(
+            "qreg q[1]; creg a[2]; creg b[2]; measure q[0] -> a[3];"
+        )
