@@ -201,6 +201,20 @@ class Circuit:
         for q in range(self.num_qubits):
             self.measure(q, base + q)
 
+    # ------------------------------------------------------------ interchange
+    @classmethod
+    def from_qasm(cls, text: str) -> "Circuit":
+        """Parse OpenQASM 2.0 (see :mod:`..circuit.qasm` for the subset)."""
+        from .qasm import from_qasm
+
+        return from_qasm(text)
+
+    def to_qasm(self) -> str:
+        """Serialize to OpenQASM 2.0 (uncut circuits only)."""
+        from .qasm import to_qasm
+
+        return to_qasm(self)
+
     # ------------------------------------------------------------ transforms
     def copy(self) -> "Circuit":
         new = Circuit(list(self.qregs), list(self.cregs), self.name)

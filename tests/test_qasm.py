@@ -212,3 +212,11 @@ def test_cref_bounds_checked():
         from_qasm(
             "qreg q[1]; creg a[2]; creg b[2]; measure q[0] -> a[3];"
         )
+
+
+def test_circuit_convenience_methods():
+    c = genCirc("ghz", 4, 1)
+    back = Circuit.from_qasm(c.to_qasm())
+    v0, _ = _dist(c)
+    v1, _ = _dist(back)
+    np.testing.assert_allclose(v1, v0, atol=1e-6)
