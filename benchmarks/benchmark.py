@@ -130,6 +130,8 @@ def run_benchmark(cfg: BenchConfig) -> int:
         artifacts.save_circuit(circ, run_dir, name)
         if cfg.save_png:
             artifacts.save_circuit_png(circ, run_dir, name)
+    if cfg.save_png:
+        artifacts.save_dag_png(cut_circuit, run_dir, "4_cutCirc_dag")
     cutter.save_plan(run_dir / "cut_plan.json")
     artifacts.save_metrics(run_dir, summary)
 

@@ -138,3 +138,71 @@ def save_circuit_png(circ: Circuit, directory, name: str) -> bool:
     fig.savefig(pathlib.Path(directory) / f"{name}.png", dpi=110)
     plt.close(fig)
     return True
+
+
+def save_dag_png(circ: Circuit, directory, name: str) -> bool:
+    """Matplotlib render of the instruction DAG (reference's
+    showCircuitsAndDags draws dag figures, Utilities.py:22-29).
+
+    Nodes are laid out by topological generation (x) and mean qubit (y);
+    edges are qubit-adjacency from the compiler DAG IR.  Returns False if
+    matplotlib is unavailable.
+    """
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return False
+    import networkx as nx
+
+    from ..compiler.dag import DAG
+
+    dag = DAG(circ)
+    pos = {}
+    for gen_x, generation in enumerate(nx.topological_generations(dag)):
+        # spread nodes of one generation by their mean qubit index
+        for node in sorted(
+            generation,
+            key=lambda n: sum(dag.get_node_instr(n).qubits or [0]),
+        ):
+            ins = dag.get_node_instr(node)
+            y = (
+                sum(ins.qubits) / len(ins.qubits) if ins.qubits else 0.0
+            )
+            pos[node] = (gen_x, -y)
+
+    labels = {}
+    colors = []
+    for node in dag.nodes:
+        ins = dag.get_node_instr(node)
+        lab = ins.name
+        if ins.name == "measure":
+            lab = f"M c{ins.clbits[0]}"
+        elif ins.name == "vgate":
+            lab = f"v[{getattr(ins.op, 'base_name', '?')}]"
+        labels[node] = f"{lab}\nq{','.join(map(str, ins.qubits))}"
+        colors.append(
+            "#fff3d6" if ins.name == "vgate"
+            else "#e8eef9" if ins.name == "measure"
+            else "white"
+        )
+
+    n_nodes = max(1, len(pos))
+    fig, ax = plt.subplots(
+        figsize=(max(3.5, 1.1 * (max(x for x, _ in pos.values()) + 1)),
+                 max(2.5, 0.55 * circ.num_qubits + 1))
+        if pos else (3.5, 2.5)
+    )
+    nx.draw_networkx_edges(dag, pos, ax=ax, edge_color="0.6",
+                           arrowsize=8, node_size=900)
+    nx.draw_networkx_nodes(dag, pos, ax=ax, node_color=colors,
+                           edgecolors="black", node_size=900,
+                           linewidths=0.8)
+    nx.draw_networkx_labels(dag, pos, labels, ax=ax, font_size=6)
+    ax.set_title(f"{name} (dag, {n_nodes} nodes)", fontsize=9)
+    ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(pathlib.Path(directory) / f"{name}.png", dpi=110)
+    plt.close(fig)
+    return True

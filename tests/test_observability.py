@@ -128,3 +128,20 @@ def test_save_circuit_png(tmp_path):
         pytest.skip("matplotlib unavailable")
     out = tmp_path / "render_check.png"
     assert out.exists() and out.stat().st_size > 2000
+
+
+def test_save_dag_png(tmp_path):
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
+        genCirc,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.utils.artifacts import (
+        save_dag_png,
+    )
+
+    ok = save_dag_png(genCirc("ghz", 5, 1), tmp_path, "dag_check")
+    if not ok:
+        import pytest
+
+        pytest.skip("matplotlib unavailable")
+    out = tmp_path / "dag_check.png"
+    assert out.exists() and out.stat().st_size > 2000
