@@ -37,6 +37,11 @@ def _attempt(platform: str, deadline: int) -> dict | None:
         # the axon sitecustomize dials the TPU relay whenever this is set;
         # a wedged tunnel then hangs even CPU-only python startup
         env.pop("PALLAS_AXON_POOL_IPS", None)
+    elif env.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # a caller-exported CPU override would silently turn the "tpu"
+        # attempt into a CPU run mislabeled as the TPU metric — drop it
+        # and let the default platform resolution find the real device
+        env.pop("JAX_PLATFORMS")
     print(f"[bench] {platform} attempt (deadline {deadline}s)",
           file=sys.stderr, flush=True)
     try:

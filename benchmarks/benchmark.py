@@ -172,6 +172,12 @@ def run_benchmark(cfg: BenchConfig) -> int:
     log.info(f"inputCircFidelity: {res.input_fidelity}")
     log.info(f"cutCircFidelity: {res.cut_fidelity}")
     log.info(f"cutVsUncutFidelity: {res.cut_vs_uncut_fidelity}")
+    summary.update(
+        inputCircFidelity=res.input_fidelity,
+        cutCircFidelity=res.cut_fidelity,
+        cutVsUncutFidelity=res.cut_vs_uncut_fidelity,
+    )
+    artifacts.save_metrics(run_dir, summary)
     return 0
 
 

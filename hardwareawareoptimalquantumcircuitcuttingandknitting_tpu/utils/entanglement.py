@@ -48,7 +48,11 @@ def n_tangle(amplitudes, n: int | None = None) -> float:
 
     ``amplitudes`` may be complex [2^n] or the engine's real-rep
     ``[2, 2^n]`` block (ops/statevector.run_statevector output).  Defined
-    for even ``n`` (and n=2, where it equals the squared concurrence).
+    for even ``n``.
+
+    Convention note (preserved reference quirk): like testhwea.py:42 this
+    returns the UN-squared ``2|sum| = |<psi*| sigma_y^(x)n |psi>|`` (the
+    n-concurrence); Wong & Christensen's tau_n is this value squared.
     """
     a = np.asarray(amplitudes)
     if a.ndim == 2 and a.shape[0] == 2:

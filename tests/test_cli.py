@@ -16,7 +16,10 @@ def test_benchmark_cli_simulate(tmp_path):
     proc = subprocess.run(
         [sys.executable, "benchmarks/benchmark.py",
          "-p", "2", "-q", "4", "bv", "5", "1",
-         "--simulate", "--results-dir", str(tmp_path)],
+         # 20000 shots (the reference runtime's default, qvm/run.py:24)
+         # keeps the shot-sampled knit's Hellinger above the 0.99 bar;
+         # at the CLI default 1000 the S=8 wire-cut variance lands ~0.97
+         "--simulate", "--shots", "20000", "--results-dir", str(tmp_path)],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -26,11 +29,9 @@ def test_benchmark_cli_simulate(tmp_path):
     runs = list(tmp_path.iterdir())
     assert runs, "no artifact directory created"
     names = {p.name for p in runs[0].iterdir()}
-    assert any(n.endswith(".json") for n in names), names
-    metrics = [p for p in runs[0].iterdir() if p.name == "metrics.json"]
-    if metrics:
-        m = json.loads(metrics[0].read_text())
-        assert m.get("cutVsUncutFidelity", 1.0) > 0.99
+    assert "cut_plan.json" in names, names
+    m = json.loads((runs[0] / "metrics.json").read_text())
+    assert m["cutVsUncutFidelity"] > 0.99, m
 
 
 @pytest.mark.parametrize(

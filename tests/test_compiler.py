@@ -124,7 +124,10 @@ def test_dag_roundtrip_and_depth():
     dag = DAG(circ)
     rt = dag.to_circuit()
     assert rt.count_ops() == circ.count_ops()
-    assert dag.num_dependencies() >= 0
+    # ghz(4): longest dependency chain h->cx->cx->cx->measure is 5 ops =
+    # 4 DAG edges (dag.depth counts edges); dependency count pinned
+    assert dag.depth == 4
+    assert dag.num_dependencies() == 9
 
 
 def test_wire_cutter_cuts_through_1q_chains():

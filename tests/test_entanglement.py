@@ -80,11 +80,53 @@ def test_odd_n_rejected():
     raise AssertionError("odd n must be rejected")
 
 
+def _textbook_concurrence(a: np.ndarray) -> float:
+    """Independent |<psi*| sigma_y^(x)n |psi>| (the n-concurrence;
+    the reference's tau convention at testhwea.py:34-42 returns this
+    un-squared quantity), evaluated directly from sigma_y matrix
+    elements — no shared code with utils.entanglement's sgn*-table."""
+    a = np.asarray(a, dtype=np.complex128)
+    n = int(np.log2(a.size))
+    idx = np.arange(a.size)
+    pc = np.zeros_like(idx)
+    v = idx.copy()
+    while v.any():
+        pc += v & 1
+        v >>= 1
+    # <~i| sigma_y^(x)n |i> = i^n (-1)^popcount(i), ~i the bit complement
+    val = np.sum(a[a.size - 1 - idx] * a * (1j ** n) * ((-1.0) ** pc))
+    return float(abs(val))
+
+
 def test_hwea_circuit_flow():
-    # the reference scratch's end-to-end flow: gen_hwea(6, 1) -> tau
+    # the reference scratch's end-to-end flow: gen_hwea(6, 1) -> tau,
+    # pinned against the textbook sigma_y^(x)n definition computed from
+    # the same statevector (f32 engine => 1e-5 tolerance)
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+        compile_circuit,
+        run_statevector,
+    )
+
     circ = gen_hwea(6, 1)
     tau = circuit_n_tangle(circ)
-    assert 0.0 <= tau <= 1.0 + 1e-9
+    comp = compile_circuit(circ)
+    raw = np.asarray(run_statevector(comp))
+    assert abs(tau - _textbook_concurrence(raw[0] + 1j * raw[1])) < 1e-5
+
+
+def test_partial_entanglement_pinned():
+    # unequal-weight GHZ cos(a)|0000> + sin(a)|1111>: the measure equals
+    # sin(2a), strictly inside (0, 1) — pins the scale AND the
+    # reference's un-squared convention, not just the [0,1] range
+    alpha = 0.35
+    n = 4
+    a = np.zeros(1 << n, complex)
+    a[0] = np.cos(alpha)
+    a[-1] = np.sin(alpha)
+    tau = n_tangle(a, n)
+    assert abs(tau - _textbook_concurrence(a)) < 1e-12
+    assert abs(tau - np.sin(2 * alpha)) < 1e-12
+    assert 0.05 < tau < 0.95
 
 
 def test_real_rep_input():

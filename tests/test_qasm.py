@@ -163,11 +163,12 @@ def test_qelib1_supplement_gates_exact():
         f"cu3({th},{ph},{lam}) a,b": ctrl(u3(th, ph, lam)),
         f"cu({th},{ph},{lam},{gam}) a,b": ctrl(np.exp(1j * gam) * u3(th, ph, lam)),
     }
-    XX = np.kron([[0, 1], [1, 0]], [[0, 1], [1, 0]])
-    YY = np.kron([[0, -1j], [1j, 0]], [[0, -1j], [1j, 0]])
-    from scipy.linalg import expm  # noqa: F401  (guard below if missing)
-    two_q[f"rxx({th}) a,b"] = expm(-0.5j * th * np.asarray(XX))
-    two_q[f"ryy({th}) a,b"] = expm(-0.5j * th * np.asarray(YY))
+    XX = np.kron([[0, 1], [1, 0]], [[0, 1], [1, 0]]).astype(complex)
+    YY = np.kron([[0, -1j], [1j, 0]], [[0, -1j], [1j, 0]]).astype(complex)
+    # XX^2 = YY^2 = I, so expm(-i t/2 P) = cos(t/2) I - i sin(t/2) P
+    I4 = np.eye(4, dtype=complex)
+    two_q[f"rxx({th}) a,b"] = np.cos(th / 2) * I4 - 1j * np.sin(th / 2) * XX
+    two_q[f"ryy({th}) a,b"] = np.cos(th / 2) * I4 - 1j * np.sin(th / 2) * YY
 
     for stmt, want_u in two_q.items():
         name = stmt.split("(")[0].split()[0]

@@ -24,7 +24,9 @@ def test_ghz_distribution():
 
 
 def test_bv_secret():
-    secret = "101"
+    # deliberately NOT a palindrome so a bit-order bug in the engine or
+    # to_dict flips the result instead of cancelling out
+    secret = "110"
     n = len(secret) + 1
     c = Circuit(n, n - 1)
     c.x(n - 1)
