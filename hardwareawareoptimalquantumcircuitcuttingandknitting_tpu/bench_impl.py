@@ -92,7 +92,8 @@ def main() -> None:
         circ, maxNPartitions=2, maxNQubitsPerPartition=12,
         maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5,
     )
-    assert cutter.solve()
+    if not cutter.solve():  # not assert: side effect must survive python -O
+        raise RuntimeError("cut search found no model for the bench config")
     cut_circ = cutter.getResultCircs()[3]
     virt = VirtualCircuit(cut_circ)
     solve_s = time.perf_counter() - t_work

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..virt.virtual_circuit import VirtualCircuit
-from .variant_engine import FragmentResult
+from .variant_engine import FragmentResult, label_strides
 
 MAX_KERNEL_QUBITS = 13  # 2 * 4B * 2^n * 128 lanes must fit VMEM
 LANES = 128
@@ -110,15 +110,7 @@ def _plan(virt: VirtualCircuit, frag_name: str):
 def _slot_lane_params(virt, prog, meas_vgates, slots, flat_lanes):
     """Per-lane (variant x branch-code) coefficient arrays for every slot:
     pre[8], mask[2], post[8] -> concatenated [lanes, 18] float32."""
-    n_inst = {
-        g: virt.vgates[g].num_instantiations for g in prog.touching
-    }
-    strides: dict[int, int] = {}
-    acc = 1
-    for g in reversed(prog.touching):
-        strides[g] = acc
-        acc *= n_inst[g]
-    v_count = acc
+    strides, n_inst, v_count = label_strides(virt.vgates, prog.touching)
     m = len(meas_vgates)
     total = v_count << m
 

@@ -47,6 +47,7 @@ from .statevector import to_real_block
 from .variant_engine import (
     FragmentResult,
     _slot_tables,
+    label_strides,
     variant_index_table,
 )
 
@@ -68,12 +69,7 @@ def make_sharded_fragment_fn(
     prog = virt.programs[frag_name]
     specs = [vg.spec for vg in virt.vgates]
 
-    n_inst = {g: specs[g].num_instantiations for g in prog.touching}
-    flat_count = 1
-    strides: dict[int, int] = {}
-    for g in reversed(prog.touching):  # last vgate varies fastest
-        strides[g] = flat_count
-        flat_count *= n_inst[g]
+    strides, n_inst, flat_count = label_strides(specs, prog.touching)
 
     positions = sorted(prog.clbit_sources)
     sources = [prog.clbit_sources[c] for c in positions]

@@ -76,9 +76,18 @@ class ShardCtx:
         }
 
     def apply(self, state, block, axes, my_bits):
-        """Dispatch one gate on a local block ``[2, 2^(n-k)]``."""
+        """Dispatch one gate on a local block ``[2, 2^(n-k)]``.
+
+        Contract: <= 2 qubits per gate when any qubit is global (index
+        < k) — feed this engine unfused or max_qubits=2-fused streams
+        only (k-qubit fused blocks are the single-chip engines' trick)."""
         if all(q >= self.k for q in axes):
             return self._gate_local(state, block, axes)
+        if len(axes) > 2:
+            raise ValueError(
+                f"sharded apply supports <= 2-qubit gates on global "
+                f"qubits, got {len(axes)} qubits {axes} with k={self.k}"
+            )
         if len(axes) == 1:
             return self._gate_1q_global(state, block, axes[0], my_bits)
         if any(q >= self.k for q in axes):

@@ -42,7 +42,12 @@ from ..virt.virtual_circuit import VirtualCircuit
 from .bits import permute_bits_flat
 from .knit import fold_weights, nearest_probability_distribution
 from .statevector import Distribution
-from .variant_engine import _slot_tables, make_sim_fn, variant_index_table
+from .variant_engine import (
+    _slot_tables,
+    label_strides,
+    make_sim_fn,
+    variant_index_table,
+)
 
 
 def _resolve_noise(virt: VirtualCircuit, noise):
@@ -103,14 +108,9 @@ def make_streamed_knit(
     """
     specs = [vg.spec for vg in virt.vgates]
     num_g = len(specs)
-    gstride: dict[int, int] = {}
-    total = 1
-    for g in reversed(range(num_g)):
-        gstride[g] = total
-        total *= specs[g].num_instantiations
+    gstride, n_inst, total = label_strides(specs, range(num_g))
     n_chunks = max(1, math.ceil(total / chunk))
     padded = n_chunks * chunk
-    n_inst = {g: specs[g].num_instantiations for g in range(num_g)}
 
     labels = np.arange(padded)
     valid = (labels < total).astype(np.float32)

@@ -20,13 +20,16 @@ from ..virt.virtual_circuit import VirtualCircuit
 from .fusion import fused_stream
 from .knit import fold_weights, knit_values
 from .statevector import apply_matrix, marginalize_flat, to_real_block
-from .variant_engine import FragmentResult, _slot_matrices
+from .variant_engine import FragmentResult, _slot_matrices, label_strides
 
 
 def _fused_stream(prog):
     """Shared fused op stream (ops/fusion.fused_stream) with the matrices
-    converted to real blocks."""
-    skeleton, mats = fused_stream(prog.ops)
+    converted to real blocks.  max_qubits=3 like the single-chip exact
+    engine (variant_engine.make_sim_fn): the sweep runner's apply_matrix
+    handles k-qubit blocks and every merged block saves an HBM pass in
+    the steady serving loop."""
+    skeleton, mats = fused_stream(prog.ops, max_qubits=3)
     return skeleton, [to_real_block(m) for m in mats]
 
 
@@ -46,9 +49,7 @@ def make_parameter_sweep(virt: VirtualCircuit, keep_clbits=None):
         positions = sorted(prog.clbit_sources)
         sources = [prog.clbit_sources[c] for c in positions]
         specs = [vg.spec for vg in virt.vgates]
-        flat_count = 1
-        for g in prog.touching:
-            flat_count *= specs[g].num_instantiations
+        _, _, flat_count = label_strides(specs, prog.touching)
         template[name] = (
             skeleton, positions, sources, prog.num_sim_qubits, flat_count,
         )
@@ -105,14 +106,7 @@ def make_parameter_sweep(virt: VirtualCircuit, keep_clbits=None):
                     f"fragment {name}: op structure differs from template"
                 )
             specs = [vg.spec for vg in other.vgates]
-            n_inst = {
-                g: specs[g].num_instantiations for g in prog.touching
-            }
-            strides: dict[int, int] = {}
-            acc = 1
-            for g in reversed(prog.touching):
-                strides[g] = acc
-                acc *= n_inst[g]
+            strides, n_inst, acc = label_strides(specs, prog.touching)
             slot_mats.append(
                 _slot_matrices(prog, specs, acc, strides, n_inst)
             )

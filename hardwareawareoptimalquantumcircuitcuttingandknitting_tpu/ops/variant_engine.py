@@ -154,6 +154,26 @@ def _slot_matrices(
     return out
 
 
+def label_strides(
+    specs, touching,
+) -> tuple[dict[int, int], dict[int, int], int]:
+    """(strides, n_inst, flat_count) for a fragment's touching vgates:
+    last-vgate-fastest label order (reference qvm/virtual_circuit.py:
+    133-137).
+
+    The single implementation of the label->variant-index stride
+    convention — make_sim_fn, the sweep binder (ops/sweep.py) and the
+    dp x tp knit step (parallel/sharded.py) all call this; the
+    convention must never fork across engines."""
+    n_inst = {g: specs[g].num_instantiations for g in touching}
+    strides: dict[int, int] = {}
+    flat_count = 1
+    for g in reversed(list(touching)):
+        strides[g] = flat_count
+        flat_count *= n_inst[g]
+    return strides, n_inst, flat_count
+
+
 def variant_index_table(
     order, strides: dict[int, int], n_inst: dict[int, int],
     padded: int, clamp_to: int | None = None,
@@ -198,12 +218,7 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
     prog = virt.programs[frag_name]
     specs = [vg.spec for vg in virt.vgates]
 
-    n_inst = {g: specs[g].num_instantiations for g in prog.touching}
-    flat_count = 1
-    strides: dict[int, int] = {}
-    for g in reversed(prog.touching):  # last vgate varies fastest
-        strides[g] = flat_count
-        flat_count *= n_inst[g]
+    strides, n_inst, flat_count = label_strides(specs, prog.touching)
 
     n = prog.num_sim_qubits
     clbit_sources = prog.clbit_sources

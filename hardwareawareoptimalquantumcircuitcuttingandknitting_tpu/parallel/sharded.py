@@ -28,6 +28,7 @@ from ..ops.statevector import Distribution
 from ..ops.variant_engine import (
     FragmentResult,
     _slot_tables,
+    label_strides,
     make_sim_fn,
     variant_index_table,
 )
@@ -52,12 +53,7 @@ def make_sharded_step(virt: VirtualCircuit, mesh: Mesh):
         sim_one, _, positions, flat_count = make_sim_fn(
             virt, reg.name, build_matrices=False
         )
-        n_inst = {g: specs[g].num_instantiations for g in prog.touching}
-        strides: dict[int, int] = {}
-        fc = 1
-        for g in reversed(prog.touching):
-            strides[g] = fc
-            fc *= n_inst[g]
+        strides, n_inst, _fc = label_strides(specs, prog.touching)
         padded = -(-flat_count // dp) * dp
         touch_col = {g: i for i, g in enumerate(prog.touching)}
         vidx = variant_index_table(

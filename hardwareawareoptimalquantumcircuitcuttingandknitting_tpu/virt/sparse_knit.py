@@ -53,6 +53,7 @@ def sampled_sparse_fragment_rows(
     from ..ops.variant_engine import (
         _slot_tables,
         chunk_cap,
+        label_strides,
         make_sim_fn,
         variant_index_table,
     )
@@ -66,12 +67,7 @@ def sampled_sparse_fragment_rows(
     prog = virt.programs[frag_name]
     rng = np.random.default_rng(seed)
     specs = [vg.spec for vg in virt.vgates]
-    n_inst = {g: specs[g].num_instantiations for g in prog.touching}
-    strides: dict[int, int] = {}
-    fc = 1
-    for g in reversed(prog.touching):
-        strides[g] = fc
-        fc *= n_inst[g]
+    strides, n_inst, _fc = label_strides(specs, prog.touching)
     tables = _slot_tables(prog, specs)
     slot_g = [slot.vgate_idx for slot in prog.slots]
 
@@ -128,14 +124,12 @@ def sparse_knit(
     quasi-distribution over the original clbits, keys little-endian over
     global clbit positions.
     """
+    from ..ops.variant_engine import label_strides
+
     specs = [vg.spec for vg in virt.vgates]
     num_g = len(specs)
     # global label order: all-vgate cartesian product, last fastest
-    gstride: dict[int, int] = {}
-    total = 1
-    for g in reversed(range(num_g)):
-        gstride[g] = total
-        total *= specs[g].num_instantiations
+    gstride, _gn, total = label_strides(specs, range(num_g))
 
     frag_rows = []
     frag_meta = []
@@ -161,11 +155,7 @@ def sparse_knit(
         else:
             frag_rows.append(_fragment_sparse_rows(results[idx], prune))
         prog = virt.programs[name]
-        strides: dict[int, int] = {}
-        acc = 1
-        for g in reversed(prog.touching):
-            strides[g] = acc
-            acc *= specs[g].num_instantiations
+        strides, _n_inst, _ = label_strides(specs, prog.touching)
         frag_meta.append((list(prog.touching), strides))
 
     # merge across fragments per global label (quasi_distr.py:55-60)

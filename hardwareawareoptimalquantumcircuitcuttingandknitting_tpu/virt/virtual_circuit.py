@@ -94,10 +94,12 @@ class VirtualCircuit:
             raise KeyError(f"unknown fragment {frag_name!r}")
         if backend is not None and getattr(backend, "num_qubits", None):
             need = self._programs[frag_name].num_data_qubits
-            assert need <= backend.num_qubits, (
-                f"fragment {frag_name} needs {need} qubits, backend "
-                f"{getattr(backend, 'name', backend)} has {backend.num_qubits}"
-            )
+            if need > backend.num_qubits:  # user-facing: survive python -O
+                raise ValueError(
+                    f"fragment {frag_name} needs {need} qubits, backend "
+                    f"{getattr(backend, 'name', backend)} has "
+                    f"{backend.num_qubits}"
+                )
         self._backends[frag_name] = backend
 
     def set_backend_for_all(self, backend) -> None:
