@@ -134,18 +134,23 @@ NON_UNITARY = {"measure", "barrier", "reset", "initialize"}
 @lru_cache(maxsize=4096)
 def _matrix_cached(name: str, params: tuple) -> np.ndarray:
     if name in _FIXED_1Q:
-        return _FIXED_1Q[name]
-    if name in _FIXED_2Q:
-        return _FIXED_2Q[name]
-    if name in _PARAM_1Q:
-        return _PARAM_1Q[name](*params)
-    if name in _PARAM_2Q:
-        return _PARAM_2Q[name](*params)
-    if name == "ccx":
+        out = _FIXED_1Q[name]
+    elif name in _FIXED_2Q:
+        out = _FIXED_2Q[name]
+    elif name in _PARAM_1Q:
+        out = _PARAM_1Q[name](*params)
+    elif name in _PARAM_2Q:
+        out = _PARAM_2Q[name](*params)
+    elif name == "ccx":
         out = np.eye(8, dtype=COMPLEX)
         out[6:, 6:] = X
-        return out
-    raise KeyError(f"no matrix for gate {name!r}")
+    else:
+        raise KeyError(f"no matrix for gate {name!r}")
+    # cached (and module-constant) arrays are shared across every caller:
+    # freeze them so an accidental in-place edit can't corrupt a gate
+    # globally for the rest of the process
+    out.setflags(write=False)
+    return out
 
 
 def gate_matrix(name: str, params=()) -> np.ndarray:

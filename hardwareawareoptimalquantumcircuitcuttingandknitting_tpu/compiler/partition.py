@@ -31,9 +31,12 @@ def optimal_qubit_partition(
         (u, v): d["weight"] for u, v, d in qcg.edges(data=True)
     }
 
-    # estimate search size; fall back to KL if too big
+    # estimate search size; fall back to KL if too big (exact_count: this
+    # function's contract is exactly num_partitions non-empty sets)
     if num_partitions**n > node_budget:
-        return _kl_partition(qcg, num_partitions, size_to_reach)
+        return _kl_partition(
+            qcg, num_partitions, size_to_reach, exact_count=True
+        )
 
     best_key = (float("inf"), float("inf"))
     best: list[set] | None = None
@@ -84,8 +87,16 @@ def optimal_qubit_partition(
 
 
 def _kl_partition(
-    qcg: nx.Graph, num_partitions: int, size_to_reach: int
+    qcg: nx.Graph, num_partitions: int, size_to_reach: int,
+    exact_count: bool = False,
 ) -> list[set]:
+    """Recursive KL bisection until every set fits ``size_to_reach``.
+
+    With ``exact_count=False`` (BisectionPass semantics, gate_decomp.py:
+    10-41) the number of sets is whatever the bisection tree produces —
+    ``num_partitions`` is only the minimum.  ``exact_count=True``
+    (optimal_qubit_partition's over-budget fallback) additionally
+    reconciles to exactly ``num_partitions`` non-empty sets or raises."""
     from networkx.algorithms.community import kernighan_lin_bisection
 
     partitions: list[set] = [set(qcg.nodes)]
@@ -99,6 +110,26 @@ def _kl_partition(
         partitions += [
             set(s) for s in kernighan_lin_bisection(qcg.subgraph(largest))
         ]
+    if not exact_count:
+        return partitions
+    # honour the exact path's contract: exactly num_partitions non-empty
+    # sets.  The bisection tree can overshoot when size_to_reach forces
+    # deep splits — merge the smallest cap-respecting pairs back.
+    while len(partitions) > num_partitions:
+        partitions.sort(key=len)
+        for i, j in itertools.combinations(range(len(partitions)), 2):
+            if len(partitions[i]) + len(partitions[j]) <= size_to_reach:
+                partitions[i] |= partitions[j]
+                del partitions[j]
+                break
+        else:
+            raise ValueError(
+                f"KL fallback cannot pack {len(partitions)} fragments "
+                f"into {num_partitions} partitions of <= {size_to_reach} "
+                "qubits"
+            )
+    if len(partitions) < num_partitions:
+        raise ValueError("no feasible qubit partition")
     return partitions
 
 
@@ -128,10 +159,6 @@ def optimal_gate_partition(
     best_assign: list[int] | None = None
     assign = [0] * n
     part_qubits: list[set] = [set() for _ in range(num_partitions)]
-
-    import sys
-
-    sys.setrecursionlimit(10000)
 
     def dfs(i: int, cuts: int, used_max: int):
         nonlocal best_assign
@@ -164,6 +191,11 @@ def optimal_gate_partition(
         return _greedy_gate_partition(
             order, node_qubits, wire_prev, num_partitions, size_to_reach
         )
+    import sys
+
+    # dfs recurses n+1 deep; only ever RAISE the limit (lowering could
+    # break a host application that set its own deeper limit)
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), n + 1000))
     dfs(0, 0, -1)
     if best_assign is None:
         return None

@@ -36,7 +36,14 @@ class QubitReuser(DistributedTranspilerPass):
 
     def run(self, virt: VirtualCircuit) -> None:
         new_circ = self.run_on_circuit(virt._circuit)
+        backends = dict(virt._backends)
         virt.__init__(new_circ)
+        # fragment registers keep their names across reuse — restore the
+        # user's backend mapping instead of silently resetting it (which
+        # would make a later noisy run fall back to the ideal engine)
+        for name, backend in backends.items():
+            if backend is not None and name in virt._programs:
+                virt.set_backend(name, backend)
 
 
 def apply_qubit_reuse(circ, size_to_reach: int, dynamic: bool = True):
@@ -134,5 +141,8 @@ def find_valid_reuse_pairs(dag: DAG) -> Iterator[tuple[int, int]]:
         try:
             if not is_dependent_qubit(dag, reused_qubit, qubit):
                 yield qubit, reused_qubit
-        except StopIteration:
+        except (StopIteration, IndexError):
+            # either qubit is idle (no ops on it): StopIteration from
+            # next() on the first operand, IndexError from [-1] on the
+            # second — both mean the pair cannot constrain a reuse
             continue

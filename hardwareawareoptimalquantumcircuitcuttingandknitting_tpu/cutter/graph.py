@@ -57,7 +57,17 @@ def read_circuit(circ: Circuit) -> CutGraph:
     prev_vertex: dict[int, int] = {}
 
     for ins in circ.instructions:
-        if ins.name == "barrier" or len(ins.qubits) != 2:
+        if ins.name == "barrier":
+            continue
+        if len(ins.qubits) > 2:
+            # silently skipping would leave the operands unconstrained
+            # and let the solver split an unsplittable gate (the rewrite
+            # then fails with an opaque cross-fragment error)
+            raise ValueError(
+                f"{ins.name} acts on {len(ins.qubits)} qubits; decompose "
+                "to <= 2-qubit gates before cutting"
+            )
+        if len(ins.qubits) != 2:
             continue
         if ins.name in ("vgate", "wirecut"):
             continue

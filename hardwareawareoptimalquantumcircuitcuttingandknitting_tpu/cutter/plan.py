@@ -50,7 +50,9 @@ class CutPlan:
             d["num_partitions"],
             d["assignment"],
             [
-                CutDecision(tuple(c["edge"]), c["kind"], c["teleport"])
+                CutDecision(
+                    tuple(c["edge"]), c["kind"], c.get("teleport", False)
+                )
                 for c in d["cuts"]
             ],
             PlanMetrics(**d["metrics"]),

@@ -97,7 +97,7 @@ def compare_original_with_cut(
             original, noise_model, shots=shots, seed=seed + 211
         )
         cut_noisy, _ = run_noisy_virtual_circuit(
-            VirtualCircuit(cut), noise_model, shots=shots, seed=seed + 223
+            virt, noise_model, shots=shots, seed=seed + 223
         )
     else:
         input_noisy = input_ideal

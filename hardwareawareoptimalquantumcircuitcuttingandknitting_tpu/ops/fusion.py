@@ -36,7 +36,13 @@ def _kron2(ua: np.ndarray, ub: np.ndarray) -> np.ndarray:
     return np.kron(ua, ub)
 
 
-class _Fuser:
+class _OwnerMapFuser:
+    """Shared owner-map bookkeeping for the pairwise and block fusers:
+    ``pending`` rows are [matrix, axes, alive], ``owner`` maps qubit ->
+    pending row index; ``_flush`` retires one row into ``out`` preserving
+    operator order, ``passthrough`` flushes everything then emits an op
+    unfused (the too-many-qubits escape)."""
+
     def __init__(self):
         self.out: list[tuple[np.ndarray, tuple[int, ...]]] = []
         # qubit -> pending op index in self.pending
@@ -53,6 +59,18 @@ class _Fuser:
                 del self.owner[q]
         self.out.append((np.asarray(mat, dtype=complex), tuple(axes)))
 
+    def passthrough(self, mat: np.ndarray, axes) -> None:
+        for idx in range(len(self.pending)):
+            self._flush(idx)
+        self.out.append((np.asarray(mat, dtype=complex), tuple(axes)))
+
+    def finish(self) -> list[tuple[np.ndarray, tuple[int, ...]]]:
+        for idx in range(len(self.pending)):
+            self._flush(idx)
+        return self.out
+
+
+class _Fuser(_OwnerMapFuser):
     def _flush_qubit(self, q: int) -> None:
         if q in self.owner:
             self._flush(self.owner[q])
@@ -107,11 +125,6 @@ class _Fuser:
                 self._flush(idx)
         self._start(mat, (a, b))
 
-    def finish(self) -> list[tuple[np.ndarray, tuple[int, ...]]]:
-        for idx in range(len(self.pending)):
-            self._flush(idx)
-        return self.out
-
 
 def fused_stream(
     prog_ops: list, max_qubits: int = 2,
@@ -161,9 +174,7 @@ def fuse_ops(
     fuser = _Fuser()
     for mat, axes in ops:
         if len(axes) > 2:
-            for idx in range(len(fuser.pending)):
-                fuser._flush(idx)
-            fuser.out.append((np.asarray(mat, dtype=complex), tuple(axes)))
+            fuser.passthrough(mat, axes)
             continue
         fuser.add(mat, axes)
     return fuser.finish()
@@ -187,27 +198,15 @@ def _expand(mat: np.ndarray, axes: tuple[int, ...],
     return t.reshape(1 << k, 1 << k)
 
 
-class _BlockFuser:
+class _BlockFuser(_OwnerMapFuser):
     """Greedy owner-map fuser over already-2q-fused ops: merges an op into
     a pending disjoint block when their qubit union stays <= max_qubits.
     Pending blocks are mutually disjoint (hence commuting), so flushing
     conflicting blocks before a merge preserves operator order."""
 
     def __init__(self, max_qubits: int):
+        super().__init__()
         self.max_q = max_qubits
-        self.out: list[tuple[np.ndarray, tuple[int, ...]]] = []
-        self.owner: dict[int, int] = {}
-        self.pending: list = []  # [matrix, axes, alive]
-
-    def _flush(self, idx: int) -> None:
-        mat, axes, alive = self.pending[idx]
-        if not alive:
-            return
-        self.pending[idx][2] = False
-        for q in axes:
-            if self.owner.get(q) == idx:
-                del self.owner[q]
-        self.out.append((np.asarray(mat, complex), tuple(axes)))
 
     def add(self, mat: np.ndarray, axes: tuple[int, ...]) -> None:
         overlapping = sorted(
@@ -241,11 +240,6 @@ class _BlockFuser:
         for q in union:
             self.owner[q] = idx
 
-    def finish(self) -> list[tuple[np.ndarray, tuple[int, ...]]]:
-        for idx in range(len(self.pending)):
-            self._flush(idx)
-        return self.out
-
 
 def fuse_blocks(
     ops: list[tuple[np.ndarray, tuple[int, ...]]], max_qubits: int = 3,
@@ -261,9 +255,7 @@ def fuse_blocks(
     fuser = _BlockFuser(max_qubits)
     for mat, axes in base:
         if len(axes) > max_qubits:
-            for idx in range(len(fuser.pending)):
-                fuser._flush(idx)
-            fuser.out.append((np.asarray(mat, complex), tuple(axes)))
+            fuser.passthrough(mat, axes)
             continue
         fuser.add(mat, axes)
     return fuser.finish()

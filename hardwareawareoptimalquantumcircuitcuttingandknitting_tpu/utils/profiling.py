@@ -65,7 +65,17 @@ class Tracer:
     def report(self) -> dict:
         return {
             "phases": [
-                {"name": p.name, "seconds": round(p.seconds, 6), **p.meta}
+                # meta spreads after, but never overwrites, the measured
+                # fields — a meta key named "seconds" would otherwise
+                # silently replace the timing in the artifact
+                {
+                    "name": p.name,
+                    "seconds": round(p.seconds, 6),
+                    **{
+                        k: v for k, v in p.meta.items()
+                        if k not in ("name", "seconds")
+                    },
+                }
                 for p in self.phases
             ],
             "total_seconds": round(sum(p.seconds for p in self.phases), 6),

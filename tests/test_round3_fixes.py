@@ -171,3 +171,110 @@ def test_variant_index_table_convention():
     # empty order still yields one (unused) zero column
     t0 = variant_index_table([], {}, {}, padded=4)
     assert t0.shape == (4, 1) and not t0.any()
+
+
+def test_reuse_pairs_skip_idle_qubits():
+    """Regression: an idle qubit raised IndexError (not StopIteration)
+    from is_dependent_qubit and crashed find_valid_reuse_pairs."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+        Circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.compiler.dag import (
+        DAG,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.compiler.qubit_reuser import (
+        find_valid_reuse_pairs,
+    )
+
+    c = Circuit(3, 3)
+    c.cx(0, 1)
+    c.cx(1, 0)
+    pairs = list(find_valid_reuse_pairs(DAG(c)))  # must not raise
+    assert all(0 <= a < 3 and 0 <= b < 3 for a, b in pairs)
+
+
+def test_qubit_reuser_preserves_backends():
+    """Regression: QubitReuser.run re-inited the VirtualCircuit and
+    silently dropped the user's set_backend mapping."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+        Circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.compiler.passes import (
+        OptimalDecompositionPass,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.compiler.qubit_reuser import (
+        QubitReuser,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        default_noise_model,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+        VirtualCircuit,
+    )
+
+    c = Circuit(4, 4)
+    c.h(0)
+    for i in range(3):
+        c.cx(i, i + 1)
+    for q in range(4):
+        c.measure(q, q)
+    cut = OptimalDecompositionPass(2).run(c, budget=5)
+    virt = VirtualCircuit(cut)
+    model = default_noise_model()
+    virt.set_backend_for_all(model)
+    QubitReuser(2).run(virt)
+    assert virt._backends, "backend mapping lost across qubit reuse"
+    assert all(b is model for b in virt._backends.values())
+
+
+def test_cut_plan_json_teleport_optional():
+    """Regression: from_json required the 'teleport' key even though the
+    dataclass defaults it to False."""
+    import json
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.plan import (
+        CutPlan,
+    )
+
+    d = {
+        "num_partitions": 2,
+        "assignment": {"0": 0, "1": 1},
+        "cuts": [{"edge": [0, 1], "kind": "gate"}],
+        "metrics": {"S": 6, "A": 0, "L": 0, "Q": 2, "C": 1,
+                    "Q_p": [1, 1], "C_p": [1, 1]},
+    }
+    plan = CutPlan.from_json(json.dumps(d))
+    assert plan.cuts[0].teleport is False
+
+
+def test_gate_matrices_write_protected():
+    """Regression: gate_matrix returned shared mutable arrays — one
+    in-place edit would corrupt the gate for the whole process."""
+    import pytest
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.gates import (
+        gate_matrix,
+    )
+
+    for name, params in [("cx", ()), ("h", ()), ("rz", (0.3,))]:
+        m = gate_matrix(name, params)
+        with pytest.raises(ValueError):
+            m[0, 0] = 99.0
+
+
+def test_read_circuit_rejects_3q_ops():
+    """Regression: >2-qubit ops were silently dropped from the cut graph,
+    leaving their operands unconstrained for the solver."""
+    import pytest
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+        Circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.graph import (
+        read_circuit,
+    )
+
+    c = Circuit(3, 0)
+    c.ccx(0, 1, 2)
+    with pytest.raises(ValueError, match="decompose"):
+        read_circuit(c)
