@@ -87,20 +87,34 @@ def lightcone_marginal(circ: Circuit, keep_clbits: set[int], precomputed=None):
     dist = simulate_circuit(sub)
     # sum out retained-for-dephasing clbits (non-kept mid-circuit measures)
     keep_local = sorted(clbit_map[c] for c in keep_clbits)
-    if dist.bit_positions != keep_local:
+    # a kept clbit that is never measured reads as the implicit constant 0
+    # of the Distribution convention (same as the knit path's keep_clbits)
+    present = [c for c in keep_local if c in dist.bit_positions]
+    if dist.bit_positions != present:
         k = len(dist.bit_positions)
         vals = np.asarray(dist.values, dtype=np.float64)
         # bit j (LSB) of the flat index carries bit_positions[j]: in the
         # (2,)*k C-order view axis t is bit k-1-t
         arr = vals.reshape((2,) * k)
-        keep_idx = [dist.bit_positions.index(c) for c in keep_local]
+        keep_idx = [dist.bit_positions.index(c) for c in present]
         drop_axes = tuple(
             k - 1 - j for j in range(k) if j not in keep_idx
         )
         arr = arr.sum(axis=drop_axes)
         # remaining axes keep their relative order (descending bit index),
-        # so the C-order flatten already has keep_local[0] as the LSB
+        # so the C-order flatten already has present[0] as the LSB
         values = arr.reshape(-1).astype(np.float32)
     else:
         values = dist.values
+    if present != keep_local:
+        # expand to the full kept set: never-measured bits pinned to 0
+        m = len(keep_local)
+        full = np.zeros(1 << m, dtype=np.float32)
+        pos_in_full = [keep_local.index(c) for c in present]
+        idx = np.arange(len(values))
+        full_idx = np.zeros_like(idx)
+        for j, pj in enumerate(pos_in_full):
+            full_idx |= ((idx >> j) & 1) << pj
+        full[full_idx] = values
+        values = full
     return Distribution(values, sorted(keep_clbits), circ.num_clbits)

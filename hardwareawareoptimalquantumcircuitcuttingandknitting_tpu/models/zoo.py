@@ -141,6 +141,19 @@ def generate_ghz(n_qubits: int) -> Circuit:
     return circ
 
 
+def _gen_or_raise(n_qubits: int, depth: int, kind: str, seed) -> Circuit:
+    """generate_circ keeps the reference's None-on-unrealizable contract
+    (helper_functions.py:66-127); the CLI/genCirc path turns that into a
+    clear error instead of the reference's AttributeError crash."""
+    circ = generate_circ(n_qubits, depth, kind, seed=seed)
+    if circ is None:
+        raise ValueError(
+            f"{kind} generator cannot realize n_qubits={n_qubits} "
+            f"depth={depth}"
+        )
+    return circ
+
+
 def genCirc(circ_name: str, n_qubits: int, depth: int,
             seed=None) -> Circuit:
     """Reference benchmark.py's genCirc dispatch.  ``seed`` (ours only) pins
@@ -154,36 +167,40 @@ def genCirc(circ_name: str, n_qubits: int, depth: int,
         circ = random_circuit(n_qubits, depth, seed=seed)
         circ.measure_all()
     elif circ_name == "sup":
-        circ = generate_circ(n_qubits, depth, "supremacy", seed=seed)
+        circ = _gen_or_raise(n_qubits, depth, "supremacy", seed=seed)
         circ.measure_all()
     elif circ_name == "su":
+        if seed is not None:
+            # efficient_su2 draws its parameters from numpy's global RNG,
+            # which random.seed above does not pin
+            np.random.seed(seed)
         circ = efficient_su2(n_qubits, "linear", reps=2)
         circ.measure_all()
     elif circ_name == "ghz":
         return generate_ghz(n_qubits)
     elif circ_name == "syc":
-        circ = generate_circ(n_qubits, depth, "sycamore", seed=seed)
+        circ = _gen_or_raise(n_qubits, depth, "sycamore", seed=seed)
         circ.measure_all()
     elif circ_name == "hwe":
-        circ = generate_circ(n_qubits, depth, "hwea", seed=seed)
+        circ = _gen_or_raise(n_qubits, depth, "hwea", seed=seed)
         circ.measure_all()
     elif circ_name == "bv":
-        circ = generate_circ(n_qubits, depth, "bv", seed=seed)
+        circ = _gen_or_raise(n_qubits, depth, "bv", seed=seed)
         circ.measure_all()
     elif circ_name == "qft":
-        circ = generate_circ(n_qubits, depth, "qft", seed=seed)
+        circ = _gen_or_raise(n_qubits, depth, "qft", seed=seed)
         circ.measure_all()
     elif circ_name == "aqft":
-        circ = generate_circ(n_qubits, depth, "aqft", seed=seed)
+        circ = _gen_or_raise(n_qubits, depth, "aqft", seed=seed)
         circ.measure_all()
     elif circ_name == "add":
-        circ = generate_circ(n_qubits, depth, "adder", seed=seed)
+        circ = _gen_or_raise(n_qubits, depth, "adder", seed=seed)
         circ.measure_all()
     elif circ_name == "erd":
-        circ = generate_circ(n_qubits, depth, "erdos", seed=seed)
+        circ = _gen_or_raise(n_qubits, depth, "erdos", seed=seed)
         circ.measure_all()
     elif circ_name == "reg":
-        circ = generate_circ(n_qubits, depth, "regular", seed=seed)
+        circ = _gen_or_raise(n_qubits, depth, "regular", seed=seed)
         circ.measure_all()
     else:
         raise RuntimeError(f"circName {circ_name} is not supported")

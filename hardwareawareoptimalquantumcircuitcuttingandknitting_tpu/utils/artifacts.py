@@ -70,8 +70,10 @@ def save_circuit_png(circ: Circuit, directory, name: str) -> bool:
             busy_until[q] = col + 1
     n_cols = max((c for c, _ in placed), default=0) + 1
 
-    fig_w = max(3.0, 0.55 * n_cols + 1.6)
-    fig_h = max(1.6, 0.5 * n + 0.6)
+    # Agg refuses images beyond 2^16 px per side; at dpi=110 that is
+    # ~595 in — clamp (a squeezed render beats an aborted pipeline)
+    fig_w = min(max(3.0, 0.55 * n_cols + 1.6), 550.0)
+    fig_h = min(max(1.6, 0.5 * n + 0.6), 550.0)
     fig, ax = plt.subplots(figsize=(fig_w, fig_h))
     for q in range(n):
         ax.plot([-0.7, n_cols - 0.3], [q, q], color="0.55", lw=1, zorder=0)
@@ -134,9 +136,15 @@ def save_circuit_png(circ: Circuit, directory, name: str) -> bool:
     ax.set_ylim(n - 0.5, -0.5)  # qubit 0 on top, like the text draw
     ax.axis("off")
     ax.set_title(name, fontsize=9)
-    fig.tight_layout()
-    fig.savefig(pathlib.Path(directory) / f"{name}.png", dpi=110)
-    plt.close(fig)
+    try:
+        fig.tight_layout()
+        fig.savefig(pathlib.Path(directory) / f"{name}.png", dpi=110)
+    except (ValueError, OSError):
+        # rendering is best-effort (same contract as the matplotlib-less
+        # path): never abort the pipeline over an unrenderable figure
+        return False
+    finally:
+        plt.close(fig)
     return True
 
 
@@ -161,7 +169,10 @@ def save_dag_png(circ: Circuit, directory, name: str) -> bool:
     dag = DAG(circ)
     pos = {}
     for gen_x, generation in enumerate(nx.topological_generations(dag)):
-        # spread nodes of one generation by their mean qubit index
+        # spread nodes of one generation by their mean qubit index; nodes
+        # that tie on it get a small x offset so they never render on top
+        # of each other
+        seen_y: dict[float, int] = {}
         for node in sorted(
             generation,
             key=lambda n: sum(dag.get_node_instr(n).qubits or [0]),
@@ -170,7 +181,9 @@ def save_dag_png(circ: Circuit, directory, name: str) -> bool:
             y = (
                 sum(ins.qubits) / len(ins.qubits) if ins.qubits else 0.0
             )
-            pos[node] = (gen_x, -y)
+            dup = seen_y.get(y, 0)
+            seen_y[y] = dup + 1
+            pos[node] = (gen_x + 0.25 * dup, -y)
 
     labels = {}
     colors = []
@@ -202,7 +215,11 @@ def save_dag_png(circ: Circuit, directory, name: str) -> bool:
     nx.draw_networkx_labels(dag, pos, labels, ax=ax, font_size=6)
     ax.set_title(f"{name} (dag, {n_nodes} nodes)", fontsize=9)
     ax.axis("off")
-    fig.tight_layout()
-    fig.savefig(pathlib.Path(directory) / f"{name}.png", dpi=110)
-    plt.close(fig)
+    try:
+        fig.tight_layout()
+        fig.savefig(pathlib.Path(directory) / f"{name}.png", dpi=110)
+    except (ValueError, OSError):
+        return False
+    finally:
+        plt.close(fig)
     return True

@@ -84,7 +84,11 @@ def save_fragment_results(
         )
         entries.append({"name": res.name, "file": fname})
     manifest = {"fingerprint": fingerprint, "fragments": entries}
-    (directory / _MANIFEST).write_text(json.dumps(manifest, indent=2))
+    # atomic publish: a kill mid-write must not leave a truncated manifest
+    # that poisons the next run's resume
+    tmp = directory / (_MANIFEST + ".tmp")
+    tmp.write_text(json.dumps(manifest, indent=2))
+    tmp.replace(directory / _MANIFEST)
     return directory
 
 
@@ -95,7 +99,12 @@ def load_fragment_results(
     """Load a checkpoint.  With ``expect_fingerprint``, returns None when
     the stored fingerprint is absent or different (stale checkpoint)."""
     directory = pathlib.Path(directory)
-    manifest = json.loads((directory / _MANIFEST).read_text())
+    try:
+        manifest = json.loads((directory / _MANIFEST).read_text())
+    except (OSError, json.JSONDecodeError):
+        # corrupt/unreadable checkpoint: resume must fall back to
+        # re-simulation, not abort the run
+        return None
     if isinstance(manifest, list):  # pre-fingerprint layout
         manifest = {"fingerprint": None, "fragments": manifest}
     if (
@@ -105,7 +114,10 @@ def load_fragment_results(
         return None
     out = []
     for entry in manifest["fragments"]:
-        data = np.load(directory / entry["file"])
+        try:
+            data = np.load(directory / entry["file"])
+        except (OSError, ValueError):
+            return None  # missing/corrupt fragment file: re-simulate
         out.append(
             FragmentResult(
                 entry["name"],

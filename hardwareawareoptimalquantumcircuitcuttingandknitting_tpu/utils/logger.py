@@ -23,6 +23,8 @@ def configure_loggers(log_file: str | pathlib.Path | None = None) -> None:
     with _lock:
         root = logging.getLogger(_APP_NAME)
         root.setLevel(logging.DEBUG)
+        for h in root.handlers:  # close before dropping: a replaced file
+            h.close()            # handler would otherwise leak its fd
         root.handlers.clear()
         console = logging.StreamHandler()
         console.setLevel(logging.INFO)

@@ -1,5 +1,6 @@
 """Regression tests for the round-3 review/advisor findings."""
 import numpy as np
+import pytest
 
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.knit import (
     smolin_project,
@@ -278,3 +279,66 @@ def test_read_circuit_rejects_3q_ops():
     c.ccx(0, 1, 2)
     with pytest.raises(ValueError, match="decompose"):
         read_circuit(c)
+
+
+def test_lightcone_marginal_unmeasured_kept_clbit():
+    """Regression: a kept clbit with no measure raised ValueError instead
+    of reading as the Distribution convention's implicit constant 0."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+        Circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.lightcone import (
+        lightcone_marginal,
+    )
+
+    c = Circuit(3, 3)
+    c.h(0)
+    c.cx(0, 2)
+    c.measure(0, 0)
+    c.measure(2, 2)
+    d = lightcone_marginal(c, {0, 1})  # clbit 1 never measured
+    vals = np.asarray(d.values)
+    assert vals[0] == pytest.approx(0.5, abs=1e-6)
+    assert vals[1] == pytest.approx(0.5, abs=1e-6)
+    assert vals[2] == vals[3] == 0.0  # bit for clbit 1 pinned to 0
+
+
+def test_checkpoint_corrupt_manifest_returns_none(tmp_path):
+    """Regression: a truncated manifest or missing fragment file crashed
+    the resume path instead of falling back to re-simulation."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.utils.checkpoint import (
+        load_fragment_results,
+    )
+
+    (tmp_path / "fragment_results.json").write_text('{"fingerprint": "x"')
+    assert load_fragment_results(tmp_path) is None
+    (tmp_path / "fragment_results.json").write_text(
+        '{"fingerprint": null, "fragments": '
+        '[{"name": "f0", "file": "missing.npz"}]}'
+    )
+    assert load_fragment_results(tmp_path) is None
+
+
+def test_gencirc_su_seed_reproducible():
+    """Regression: the 'su' branch drew parameters from the unseeded
+    global numpy RNG, breaking genCirc's documented seed contract."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
+        genCirc,
+    )
+
+    a = genCirc("su", 5, 1, seed=11)
+    b = genCirc("su", 5, 1, seed=11)
+    pa = [i.params for i in a.instructions if i.params]
+    pb = [i.params for i in b.instructions if i.params]
+    assert pa and pa == pb
+
+
+def test_gencirc_unrealizable_clear_error():
+    """Regression: unrealizable generator configs crashed with
+    AttributeError on None instead of a clear ValueError."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
+        genCirc,
+    )
+
+    with pytest.raises(ValueError, match="cannot realize"):
+        genCirc("sup", 14, 1, seed=1)
