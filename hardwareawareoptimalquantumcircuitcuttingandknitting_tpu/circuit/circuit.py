@@ -18,6 +18,35 @@ import numpy as np
 from .gates import GATE_ARITY, NON_UNITARY, gate_matrix
 
 
+class ParamRef(float):
+    """A gate parameter that additionally names a position in an external
+    theta vector (for differentiable / re-bindable serving).
+
+    Behaves as its concrete float value everywhere in the host pipeline
+    (cutting, rewriting, gate-matrix tables), so any circuit built with
+    ParamRefs runs unchanged; the differentiable sweep
+    (ops/sweep.make_differentiable_sweep) detects the marker and rebuilds
+    the op's matrix from ``theta[index]`` inside the traced program.
+
+    Arithmetic on a ParamRef returns a plain float — the reference is
+    lost deliberately (derived parameters are not supported; parameterise
+    the gate argument directly).
+    """
+
+    __slots__ = ("index",)
+
+    def __new__(cls, index: int, value: float = 0.0) -> "ParamRef":
+        obj = super().__new__(cls, float(value))
+        obj.index = int(index)
+        return obj
+
+    def __getnewargs__(self):  # copy/deepcopy/pickle keep the index
+        return (self.index, float(self))
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"ParamRef({self.index}, {float(self):g})"
+
+
 @dataclass(frozen=True)
 class Register:
     name: str
@@ -145,7 +174,11 @@ class Circuit:
 
     def _g(self, name: str, qubits: Iterable[int], params=(), label=None):
         return self.append(
-            Instruction(name, list(qubits), [], [float(p) for p in params], label)
+            Instruction(
+                name, list(qubits), [],
+                [p if isinstance(p, ParamRef) else float(p) for p in params],
+                label,
+            )
         )
 
     # 1q

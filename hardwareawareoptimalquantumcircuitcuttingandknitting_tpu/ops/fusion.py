@@ -24,16 +24,16 @@ import numpy as np
 _I2 = np.eye(2, dtype=complex)
 
 
-def _swap_operands(u4: np.ndarray) -> np.ndarray:
+def _swap_operands(u4, xp=np):
     """Reorder a 4x4 matrix from qubit order (a, b) to (b, a)."""
-    perm = [0, 2, 1, 3]
-    return u4[np.ix_(perm, perm)]
+    perm = xp.asarray([0, 2, 1, 3])
+    return u4[perm][:, perm]
 
 
-def _kron2(ua: np.ndarray, ub: np.ndarray) -> np.ndarray:
+def _kron2(ua, ub, xp=np):
     """4x4 acting as ua on the first (most significant) operand, ub on
     the second."""
-    return np.kron(ua, ub)
+    return xp.kron(ua, ub)
 
 
 class _OwnerMapFuser:
@@ -41,13 +41,25 @@ class _OwnerMapFuser:
     ``pending`` rows are [matrix, axes, alive], ``owner`` maps qubit ->
     pending row index; ``_flush`` retires one row into ``out`` preserving
     operator order, ``passthrough`` flushes everything then emits an op
-    unfused (the too-many-qubits escape)."""
+    unfused (the too-many-qubits escape).
 
-    def __init__(self):
-        self.out: list[tuple[np.ndarray, tuple[int, ...]]] = []
+    ``xp`` selects the array backend: numpy (default, host compile path)
+    or jax.numpy — the fusion *structure* depends only on op axes, so
+    running with traced jnp matrices yields the same skeleton with
+    theta-dependent block matrices (the differentiable sweep's path).
+    """
+
+    def __init__(self, xp=np):
+        self.xp = xp
+        self.out: list[tuple] = []
         # qubit -> pending op index in self.pending
         self.owner: dict[int, int] = {}
         self.pending: list = []  # [matrix, axes, alive]
+
+    def _as(self, mat):
+        if self.xp is np:
+            return np.asarray(mat, dtype=complex)
+        return self.xp.asarray(mat).astype(self.xp.complex64)
 
     def _flush(self, idx: int) -> None:
         mat, axes, alive = self.pending[idx]
@@ -57,14 +69,14 @@ class _OwnerMapFuser:
         for q in axes:
             if self.owner.get(q) == idx:
                 del self.owner[q]
-        self.out.append((np.asarray(mat, dtype=complex), tuple(axes)))
+        self.out.append((self._as(mat), tuple(axes)))
 
-    def passthrough(self, mat: np.ndarray, axes) -> None:
+    def passthrough(self, mat, axes) -> None:
         for idx in range(len(self.pending)):
             self._flush(idx)
-        self.out.append((np.asarray(mat, dtype=complex), tuple(axes)))
+        self.out.append((self._as(mat), tuple(axes)))
 
-    def finish(self) -> list[tuple[np.ndarray, tuple[int, ...]]]:
+    def finish(self) -> list[tuple]:
         for idx in range(len(self.pending)):
             self._flush(idx)
         return self.out
@@ -75,14 +87,14 @@ class _Fuser(_OwnerMapFuser):
         if q in self.owner:
             self._flush(self.owner[q])
 
-    def _start(self, mat: np.ndarray, axes: tuple[int, ...]) -> None:
+    def _start(self, mat, axes: tuple[int, ...]) -> None:
         idx = len(self.pending)
-        self.pending.append([np.asarray(mat, dtype=complex), axes, True])
+        self.pending.append([self._as(mat), axes, True])
         for q in axes:
             self.owner[q] = idx
 
-    def add(self, mat: np.ndarray, axes: tuple[int, ...]) -> None:
-        mat = np.asarray(mat, dtype=complex)
+    def add(self, mat, axes: tuple[int, ...]) -> None:
+        mat = self._as(mat)
         if len(axes) == 1:
             q = axes[0]
             idx = self.owner.get(q)
@@ -95,7 +107,8 @@ class _Fuser(_OwnerMapFuser):
             else:  # absorb into the pending 2q
                 a, b = paxes
                 lift = (
-                    _kron2(mat, _I2) if q == a else _kron2(_I2, mat)
+                    _kron2(mat, _I2, self.xp) if q == a
+                    else _kron2(_I2, mat, self.xp)
                 )
                 self.pending[idx][0] = lift @ pmat
             return
@@ -106,7 +119,7 @@ class _Fuser(_OwnerMapFuser):
             pmat, paxes, _ = self.pending[ia]
             if len(paxes) == 2:  # same pair: compose
                 if tuple(paxes) == (b, a):
-                    mat = _swap_operands(mat)
+                    mat = _swap_operands(mat, self.xp)
                     a, b = paxes
                 self.pending[ia][0] = mat @ pmat
                 return
@@ -117,7 +130,10 @@ class _Fuser(_OwnerMapFuser):
                 continue
             pmat, paxes, _ = self.pending[idx]
             if len(paxes) == 1:
-                lift = _kron2(pmat, _I2) if q == a else _kron2(_I2, pmat)
+                lift = (
+                    _kron2(pmat, _I2, self.xp) if q == a
+                    else _kron2(_I2, pmat, self.xp)
+                )
                 mat = mat @ lift
                 self.pending[idx][2] = False
                 del self.owner[q]
@@ -127,8 +143,8 @@ class _Fuser(_OwnerMapFuser):
 
 
 def fused_stream(
-    prog_ops: list, max_qubits: int = 2,
-) -> tuple[list, list[np.ndarray]]:
+    prog_ops: list, max_qubits: int = 2, xp=np,
+) -> tuple[list, list]:
     """Fuse a FragmentProgram-style op stream (fixed "u"/"u_aux" entries
     interleaved with slot ops).  Fixed-gate runs between slots fuse;
     slot ops pass through as structural entries.
@@ -143,13 +159,13 @@ def fused_stream(
     used by the parameter-sweep binder.
     """
     skeleton: list = []
-    mats: list[np.ndarray] = []
+    mats: list = []
     run: list = []
 
     def flush():
         fused = (
-            fuse_blocks(run, max_qubits) if max_qubits > 2
-            else fuse_ops(run)
+            fuse_blocks(run, max_qubits, xp) if max_qubits > 2
+            else fuse_ops(run, xp)
         )
         for m, ax in fused:
             skeleton.append(("u", tuple(ax)))
@@ -167,11 +183,11 @@ def fused_stream(
 
 
 def fuse_ops(
-    ops: list[tuple[np.ndarray, tuple[int, ...]]],
-) -> list[tuple[np.ndarray, tuple[int, ...]]]:
+    ops: list, xp=np,
+) -> list:
     """Fuse a (matrix, axes) op list; 3q+ ops flush everything and pass
     through unfused."""
-    fuser = _Fuser()
+    fuser = _Fuser(xp)
     for mat, axes in ops:
         if len(axes) > 2:
             fuser.passthrough(mat, axes)
@@ -184,17 +200,17 @@ def fuse_ops(
 # Second pass: k-qubit block fusion (k <= 3)
 # ---------------------------------------------------------------------------
 
-def _expand(mat: np.ndarray, axes: tuple[int, ...],
-            target: tuple[int, ...]) -> np.ndarray:
+def _expand(mat, axes: tuple[int, ...],
+            target: tuple[int, ...], xp=np):
     """Lift ``mat`` on ``axes`` to a 2^len(target) matrix on ``target``
     (qubit order = target; axes must be a subset)."""
     k = len(target)
     rest = [q for q in target if q not in axes]
-    m = np.kron(np.asarray(mat, complex), np.eye(1 << len(rest)))
+    m = xp.kron(xp.asarray(mat), np.eye(1 << len(rest)))
     cur = list(axes) + rest
     perm = [cur.index(q) for q in target]
     t = m.reshape((2,) * k + (2,) * k)
-    t = np.transpose(t, perm + [k + p for p in perm])
+    t = xp.transpose(t, perm + [k + p for p in perm])
     return t.reshape(1 << k, 1 << k)
 
 
@@ -204,11 +220,11 @@ class _BlockFuser(_OwnerMapFuser):
     Pending blocks are mutually disjoint (hence commuting), so flushing
     conflicting blocks before a merge preserves operator order."""
 
-    def __init__(self, max_qubits: int):
-        super().__init__()
+    def __init__(self, max_qubits: int, xp=np):
+        super().__init__(xp)
         self.max_q = max_qubits
 
-    def add(self, mat: np.ndarray, axes: tuple[int, ...]) -> None:
+    def add(self, mat, axes: tuple[int, ...]) -> None:
         overlapping = sorted(
             {self.owner[q] for q in axes if q in self.owner}
         )
@@ -226,7 +242,7 @@ class _BlockFuser(_OwnerMapFuser):
                 self._flush(idx)
         if best is None:
             idx = len(self.pending)
-            self.pending.append([np.asarray(mat, complex), tuple(axes), True])
+            self.pending.append([self._as(mat), tuple(axes), True])
             for q in axes:
                 self.owner[q] = idx
             return
@@ -234,7 +250,8 @@ class _BlockFuser(_OwnerMapFuser):
         union = tuple(union)
         pmat, paxes, _ = self.pending[idx]
         self.pending[idx][0] = (
-            _expand(mat, axes, union) @ _expand(pmat, paxes, union)
+            _expand(mat, axes, union, self.xp)
+            @ _expand(pmat, paxes, union, self.xp)
         )
         self.pending[idx][1] = union
         for q in union:
@@ -242,17 +259,17 @@ class _BlockFuser(_OwnerMapFuser):
 
 
 def fuse_blocks(
-    ops: list[tuple[np.ndarray, tuple[int, ...]]], max_qubits: int = 3,
-) -> list[tuple[np.ndarray, tuple[int, ...]]]:
+    ops: list, max_qubits: int = 3, xp=np,
+) -> list:
     """Fuse a (matrix, axes) op list into blocks of <= max_qubits qubits.
     Runs the pairwise fuser first (its absorb rules are tighter for 1q),
     then the greedy block pass.  Every merged block replaces >= 2 HBM
     passes with one — the direct lever on the bandwidth-limited engines
     (BENCH_TABLE_TPU.md per-op probe: ~193 GB/s regardless of position)."""
-    base = fuse_ops(ops)
+    base = fuse_ops(ops, xp)
     if max_qubits <= 2:
         return base
-    fuser = _BlockFuser(max_qubits)
+    fuser = _BlockFuser(max_qubits, xp)
     for mat, axes in base:
         if len(axes) > max_qubits:
             fuser.passthrough(mat, axes)

@@ -12,6 +12,8 @@ per run) has no analog of.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -93,6 +95,8 @@ def make_parameter_sweep(virt: VirtualCircuit, keep_clbits=None):
         )
         return values
 
+    runner.template = template  # skeletons, for the differentiable binder
+
     def bind(other: VirtualCircuit):
         if [r.name for r in other.fragments] != frag_names:
             raise ValueError("fragment structure mismatch")
@@ -118,3 +122,181 @@ def make_parameter_sweep(virt: VirtualCircuit, keep_clbits=None):
         return (slot_mats, gate_blocks, weights)
 
     return runner, bind
+
+
+# ---------------------------------------------------------------------------
+# Differentiable sweep: jax.grad through the cut-sim-knit pipeline
+# ---------------------------------------------------------------------------
+#
+# Gates built with circuit.ParamRef parameters keep a reference to a
+# position in an external theta vector.  make_differentiable_sweep
+# rebuilds exactly those matrices from theta INSIDE the traced program
+# (re-running the gate fuser with jax.numpy — the fusion structure
+# depends only on op axes, so the skeleton matches the template) and
+# reuses make_parameter_sweep's runner.  The result: gradients of any
+# function of the knitted distribution w.r.t. the circuit parameters,
+# with the cut plan, QPD slot tables and knit weights as constants —
+# variational (VQE/QAOA-style) optimisation on circuits too large for
+# one device.  No analog exists in the reference (its ansatz generators
+# qcg/hw_efficient_ansatz.py, uccsd_ansatz.py are sampling-only).
+
+_C64 = None  # lazy jnp constants cache
+
+
+def _fsim_basis():
+    import numpy as np
+
+    e00 = np.zeros((4, 4), np.complex64); e00[0, 0] = 1
+    mid_c = np.zeros((4, 4), np.complex64); mid_c[1, 1] = mid_c[2, 2] = 1
+    mid_s = np.zeros((4, 4), np.complex64); mid_s[1, 2] = mid_s[2, 1] = 1
+    e33 = np.zeros((4, 4), np.complex64); e33[3, 3] = 1
+    return e00, mid_c, mid_s, e33
+
+
+def _mat_theta(name: str, ps):
+    """Traceable complex64 matrix for a parameterised gate, matching
+    circuit/gates.py's conventions (first listed qubit = gate-local MSB)."""
+    from ..circuit import gates as G
+
+    c64 = jnp.complex64
+
+    def e(x):
+        return jnp.exp(1j * jnp.asarray(x).astype(c64))
+
+    def diag(entries):
+        return jnp.diag(jnp.stack(
+            [jnp.asarray(v).astype(c64) for v in entries]
+        ))
+
+    one = jnp.asarray(1.0, c64)
+    if name in ("rx", "ry"):
+        half = ps[0] * 0.5
+        c = jnp.cos(half).astype(c64)
+        s = jnp.sin(half).astype(c64)
+        pauli = G.X if name == "rx" else G.Y
+        return c * jnp.asarray(G.I2) - 1j * s * jnp.asarray(pauli)
+    if name == "rz":
+        half = ps[0] * 0.5
+        return diag([e(-half), e(half)])
+    if name in ("p", "u1"):
+        return diag([one, e(ps[0])])
+    if name in ("u3", "u", "u2"):
+        if name == "u2":
+            th, ph, lam = jnp.float32(math.pi / 2), ps[0], ps[1]
+        else:
+            th, ph, lam = ps
+        c = jnp.cos(th * 0.5).astype(c64)
+        s = jnp.sin(th * 0.5).astype(c64)
+        row0 = jnp.stack([c, -e(lam) * s])
+        row1 = jnp.stack([e(ph) * s, e(ph) * e(lam) * c])
+        return jnp.stack([row0, row1])
+    if name == "rzz":
+        half = ps[0] * 0.5
+        return diag([e(-half), e(half), e(half), e(-half)])
+    if name in ("cp", "cu1"):
+        return diag([one, one, one, e(ps[0])])
+    if name == "crz":
+        half = ps[0] * 0.5
+        return diag([one, one, e(-half), e(half)])
+    if name == "fsim":
+        th, ph = ps
+        c = jnp.cos(th).astype(c64)
+        s = jnp.sin(th).astype(c64)
+        e00, mid_c, mid_s, e33 = _fsim_basis()
+        return (
+            jnp.asarray(e00) + c * jnp.asarray(mid_c)
+            - 1j * s * jnp.asarray(mid_s) + e(-ph) * jnp.asarray(e33)
+        )
+    raise NotImplementedError(
+        f"no traceable matrix for parameterised gate {name!r}"
+    )
+
+
+def _real_block_traceable(u):
+    """Traceable twin of ops.statevector.to_real_block."""
+    ur = jnp.real(u).astype(jnp.float32)
+    ui = jnp.imag(u).astype(jnp.float32)
+    return jnp.stack(
+        [jnp.stack([ur, -ui], axis=1), jnp.stack([ui, ur], axis=1)], axis=0
+    )
+
+
+def make_differentiable_sweep(virt: VirtualCircuit, keep_clbits=None):
+    """Build ``runner_theta(theta) -> flat knitted values`` for a cut
+    circuit whose gates carry :class:`~..circuit.circuit.ParamRef`
+    parameters.  ``runner_theta`` is jit-able and differentiable w.r.t.
+    theta (shape ``[n_params]``); returns ``(runner_theta, n_params)``.
+
+    The cut plan, QPD slot tables and knit weights are trace-time
+    constants: only the parameterised gate matrices (and every fused
+    block containing one) are rebuilt from theta.  Cut gates must not
+    carry ParamRefs (differentiating through a parameterised gate's own
+    QPD tables is not supported) — cut cx/cz/cy around parameterised
+    1q/2q layers is the supported variational shape.
+    """
+    from ..circuit.circuit import ParamRef
+
+    for g, vg in enumerate(virt.vgates):
+        if any(isinstance(p, ParamRef) for p in vg.params):
+            raise NotImplementedError(
+                f"cut gate {g} ({vg.base_name}) carries a ParamRef: its "
+                "QPD slot tables and knit coefficients would depend on "
+                "theta; keep ParamRefs off cut gates"
+            )
+
+    runner, bind = make_parameter_sweep(virt, keep_clbits)
+    slot_mats_c, _gate_blocks_c, weights_c = bind(virt)
+    frag_names = [r.name for r in virt.fragments]
+
+    n_params = 0
+    for name in frag_names:
+        prog = virt.programs[name]
+        for ins in prog.op_instrs.values():
+            for p in ins.params:
+                if isinstance(p, ParamRef):
+                    n_params = max(n_params, p.index + 1)
+
+    def runner_theta(theta):
+        theta = jnp.asarray(theta, jnp.float32)
+        gate_blocks = []
+        for fi, name in enumerate(frag_names):
+            prog = virt.programs[name]
+            ops_theta = []
+            for i, op in enumerate(prog.ops):
+                if op[0] in ("u", "u_aux"):
+                    ins = prog.op_instrs.get(i)
+                    if ins is not None and any(
+                        isinstance(p, ParamRef) for p in ins.params
+                    ):
+                        ps = [
+                            theta[p.index] if isinstance(p, ParamRef)
+                            else jnp.float32(p)
+                            for p in ins.params
+                        ]
+                        ops_theta.append(
+                            (op[0], _mat_theta(ins.name, ps), op[2])
+                        )
+                        continue
+                ops_theta.append(op)
+            skel, mats = fused_stream(ops_theta, max_qubits=3, xp=jnp)
+            if skel != runner.template[name][0]:  # defensive: axes-only
+                raise RuntimeError(
+                    f"fragment {name}: traced fusion skeleton diverged"
+                )
+            gate_blocks.append([_real_block_traceable(m) for m in mats])
+        return runner((slot_mats_c, gate_blocks, weights_c))
+
+    return runner_theta, n_params
+
+
+def pauli_z_diagonal(bit_positions, z_clbits) -> np.ndarray:
+    """[2^m] vector of (-1)^(parity of the bits in ``z_clbits``) over the
+    flat little-endian index (bit j carries ``bit_positions[j]``) — dot it
+    with a runner's output values for <prod Z> expectation objectives."""
+    m = len(bit_positions)
+    idx = np.arange(1 << m)
+    parity = np.zeros(1 << m, np.int64)
+    for j, c in enumerate(bit_positions):
+        if c in z_clbits:
+            parity ^= (idx >> j) & 1
+    return (1.0 - 2.0 * parity).astype(np.float32)

@@ -56,6 +56,9 @@ class FragmentProgram:
     source: list = field(default_factory=list)
     # pre-compilation fragment instruction stream: ("slot", (g, side, lq)) or
     # ("ins", Instruction-with-local-qubits) — used for artifact rendering
+    op_instrs: dict[int, object] = field(default_factory=dict)
+    # op index -> source Instruction for "u" ops (the differentiable sweep
+    # uses this to rebuild parameterised matrices from theta)
 
 
 class VirtualCircuit:
@@ -240,6 +243,7 @@ class VirtualCircuit:
                     prog.ops.append(("u_aux", CX, (src, lqs[0])))
                     continue
                 raise NotImplementedError(f"conditioned {ins.name}")
+            prog.op_instrs[len(prog.ops)] = ins
             prog.ops.append(("u", ins.matrix(), lqs))
 
         prog.touching.sort()
