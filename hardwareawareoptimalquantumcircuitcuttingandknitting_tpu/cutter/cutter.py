@@ -47,25 +47,45 @@ class Cutter:
             caps = list(maxNQubitsPerPartition)
         else:
             raise RuntimeError("Invalid type")
-        assert len(caps) == maxNPartitions
-        assert inputCirc.num_qubits <= sum(caps)
-        if forceNWireCuts is not None:
-            assert forceNWireCuts >= 0
-        if forceNGateCuts is not None:
-            assert forceNGateCuts >= 0
+        # config validation mirrors the reference's asserts (Cutter.py:52-82)
+        # but raises ValueError so the checks survive ``python -O``
+        if len(caps) != maxNPartitions:
+            raise ValueError(
+                f"maxNQubitsPerPartition has {len(caps)} entries for "
+                f"{maxNPartitions} partitions"
+            )
+        if inputCirc.num_qubits > sum(caps):
+            raise ValueError(
+                f"circuit has {inputCirc.num_qubits} qubits but the "
+                f"partitions hold only {sum(caps)} in total"
+            )
+        if forceNWireCuts is not None and forceNWireCuts < 0:
+            raise ValueError("forceNWireCuts must be >= 0")
+        if forceNGateCuts is not None and forceNGateCuts < 0:
+            raise ValueError("forceNGateCuts must be >= 0")
         if maxNCuts is not None:
-            assert maxNCuts > 0
-            assert maxNCuts >= (forceNWireCuts or 0) + (forceNGateCuts or 0)
+            if maxNCuts <= 0:
+                raise ValueError("maxNCuts must be > 0")
+            if maxNCuts < (forceNWireCuts or 0) + (forceNGateCuts or 0):
+                raise ValueError("maxNCuts is below the forced cut counts")
         if maxNQpdCuts is not None:
-            assert maxNQpdCuts >= 0
-            if maxNCuts is not None:
-                assert maxNQpdCuts <= maxNCuts
-        if maxCutsPerPartitions is not None:
-            assert maxCutsPerPartitions > 0
+            if maxNQpdCuts < 0:
+                raise ValueError("maxNQpdCuts must be >= 0")
+            if maxNCuts is not None and maxNQpdCuts > maxNCuts:
+                raise ValueError("maxNQpdCuts exceeds maxNCuts")
+        if maxCutsPerPartitions is not None and maxCutsPerPartitions <= 0:
+            raise ValueError("maxCutsPerPartitions must be > 0")
 
         self.maxNQubitsPerPartition = caps
         self.decomposedCirc = inputCirc.decompose()
         self.graph = read_circuit(self.decomposedCirc)
+        if 0 < self.graph.num_vertices < maxNPartitions:
+            # reference asserts mid-solve (Cutter.py:364); fail fast with a
+            # clear message instead
+            raise ValueError(
+                f"maxNPartitions={maxNPartitions} exceeds the circuit's "
+                f"{self.graph.num_vertices} cut-graph vertices"
+            )
         cost_kwargs = {}
         if costModel is not None:
             # utils.config.CostModel (or duck-typed equivalent): replaces
@@ -93,6 +113,7 @@ class Cutter:
             max_n_cuts=maxNCuts,
             max_n_qpd_cuts=maxNQpdCuts,
             max_cuts_per_partition=maxCutsPerPartitions,
+            spare_capacity=sum(caps) - inputCirc.num_qubits,
             **cost_kwargs,
         )
         self.plan: CutPlan | None = None

@@ -78,7 +78,7 @@ def solve_native(graph: CutGraph, cfg) -> CutPlan | None:
         cfg.num_partitions, ptr(caps),
         opt(cfg.force_n_wire_cuts), opt(cfg.force_n_gate_cuts),
         opt(cfg.max_n_cuts), opt(cfg.max_n_qpd_cuts),
-        opt(cfg.max_cuts_per_partition),
+        opt(cfg.max_cuts_per_partition), opt(cfg.spare_capacity),
         ptr(out_assign), ptr(out_cu), ptr(out_cv), ptr(out_ck), ptr(out_ct),
         ptr(out_nc), ptr(out_metrics), ptr(out_qp), ptr(out_cp),
     )

@@ -23,10 +23,16 @@ Semantics replicated 1:1 from the reference model:
   * lexicographic objectives min(Q), min(S), min(A), min(L), min(C)
                                                            (Cutter.py:567-571)
 
-Deliberate deviation (documented): endpoints of non-virtualizable 2-qubit
-gates are constrained to one partition; the reference omits them from the
-model entirely and would emit an unrunnable split if the optimiser separated
-them (Cutter.py:351-354).
+Deliberate deviations (documented):
+  * endpoints of non-virtualizable 2-qubit gates are constrained to one
+    partition; the reference omits them from the model entirely and would
+    emit an unrunnable split if the optimiser separated them
+    (Cutter.py:351-354).
+  * ``spare_capacity``: plans whose wire-cut count exceeds the circuit's
+    spare slots (sum(caps) - num_qubits) are rejected in the model; the
+    reference's z3 model misses this (its Q_p only counts gated qubits)
+    and crashes at fragment time on "not enough available spots"
+    (Cutter.py:684) when gate-less qubits no longer fit.
 """
 from __future__ import annotations
 
@@ -51,6 +57,12 @@ class SolverConfig:
     max_n_cuts: int | None = None
     max_n_qpd_cuts: int | None = None
     max_cuts_per_partition: int | None = None
+    # total slots beyond the circuit's qubit count: sum(caps) - num_qubits.
+    # Each wire cut materialises one vmove qubit at rewrite time, so plans
+    # with n_wire_cuts > spare_capacity cannot be fragmented (the reference
+    # misses this and raises "not enough available spots" at Cutter.py:684
+    # — a documented deviation, see PARITY.md)
+    spare_capacity: int | None = None
     exclude: frozenset = frozenset()  # previously returned solutions (re-solve)
     # (S-multiplier, ancilla, latency) cost tables; the native solver bakes
     # in the defaults, so custom tables route to the Python solver
@@ -80,6 +92,8 @@ def _leaf_evaluate(graph, cfg, assignment, cut_edges, best_key):
     n_wire = sum(1 for (_, _, k) in cut_edges if k == WIRE)
     n_gate = n_cuts - n_wire
 
+    if cfg.spare_capacity is not None and n_wire > cfg.spare_capacity:
+        return None  # vmove qubits wouldn't fit any partition packing
     if cfg.force_n_wire_cuts is not None and n_wire != cfg.force_n_wire_cuts:
         return None
     if cfg.force_n_gate_cuts is not None and n_gate != cfg.force_n_gate_cuts:
@@ -259,6 +273,8 @@ def solve_python(graph: CutGraph, cfg: SolverConfig) -> CutPlan | None:
             if not ok:
                 continue
             if n_w + n_g > cut_bound:
+                continue
+            if cfg.spare_capacity is not None and n_w > cfg.spare_capacity:
                 continue
             if (
                 cfg.force_n_wire_cuts is not None

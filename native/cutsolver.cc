@@ -55,6 +55,9 @@ struct Problem {
   int P;
   std::vector<long long> caps;
   int force_wire, force_gate, max_cuts, max_qpd, max_cpp;  // -1 == None
+  // spare qubit slots beyond the circuit width (sum(caps) - num_qubits);
+  // every wire cut consumes one for its vmove qubit.  -1 == unconstrained.
+  int spare;
 };
 
 class Solver {
@@ -103,6 +106,7 @@ class Solver {
  private:
   void LeafEvaluate(int n_wire, int n_gate) {
     int n_cuts = (int)cut_edges_.size();
+    if (p_.spare >= 0 && n_wire > p_.spare) return;
     if (p_.force_wire >= 0 && n_wire != p_.force_wire) return;
     if (p_.force_gate >= 0 && n_gate != p_.force_gate) return;
     if (p_.max_cuts >= 0 && n_cuts > p_.max_cuts) return;
@@ -203,6 +207,7 @@ class Solver {
         }
       }
       if (ok && n_w + n_g <= cut_bound_ &&
+          !(p_.spare >= 0 && n_w > p_.spare) &&
           !(p_.force_wire >= 0 &&
             (n_w > p_.force_wire ||
              n_w + rem_wire_[v + 1] < p_.force_wire)) &&
@@ -269,6 +274,7 @@ int solve_cut(int nv, int num_edges, const int* edges_u, const int* edges_v,
               const int* edges_kind, int num_initial, const int* initial,
               int num_partitions, const long long* caps, int force_wire,
               int force_gate, int max_cuts, int max_qpd, int max_cpp,
+              int spare,
               int* out_assignment, int* out_cut_u, int* out_cut_v,
               int* out_cut_kind, int* out_cut_tele, int* out_n_cuts,
               long long* out_metrics,  // S, A, L, Q, C, nWire, nGate, soft
@@ -286,6 +292,7 @@ int solve_cut(int nv, int num_edges, const int* edges_u, const int* edges_v,
   p.max_cuts = max_cuts;
   p.max_qpd = max_qpd;
   p.max_cpp = max_cpp;
+  p.spare = spare;
 
   Solver solver(p);
   Solution sol = solver.Run();

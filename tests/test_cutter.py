@@ -187,3 +187,67 @@ def test_cost_model_knob_propagates():
     assert cutter.solve()
     assert cutter.plan.metrics.n_gate_cuts == 1
     assert cutter.plan.metrics.S == 100  # custom table, not the default 6
+
+
+# ---------------------------------------------------------------------------
+# spare-capacity constraint: wire cuts need a free slot for their vmove qubit
+# ---------------------------------------------------------------------------
+
+def _spare_regression_circ():
+    """6 qubits, qubit 0 gate-less (stress seed 1009): with caps [3, 3]
+    every slot is taken by original qubits, so any wire-cut plan is
+    fragment-infeasible.  The reference's z3 model misses this and dies in
+    _getFragments with "not enough available spots" (Cutter.py:684)."""
+    c = Circuit(6, 6)
+    c.cx(1, 2)
+    c.swap(1, 5)
+    c.cz(3, 5)
+    c.z(1)
+    c.sdg(0)
+    c.cx(5, 4)
+    c.t(2)
+    for q in range(6):
+        c.measure(q, q)
+    return c
+
+
+def test_zero_spare_capacity_avoids_wire_cuts():
+    circ = _spare_regression_circ()
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=3,
+                    maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
+    check_pipeline(circ, cutter)  # must not raise in getResultCircs
+    assert cutter.plan.metrics.n_wire_cuts == 0
+
+
+def test_zero_spare_capacity_forced_wire_cut_is_unsat():
+    circ = _spare_regression_circ()
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=3,
+                    forceNWireCuts=1, maxNQpdCuts=5, maxNCuts=5,
+                    maxCutsPerPartitions=5)
+    assert not cutter.solve()  # infeasible up front, not a rewrite crash
+
+
+def test_one_spare_slot_allows_one_wire_cut():
+    circ = _spare_regression_circ()
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=[4, 3],
+                    forceNWireCuts=1, maxNQpdCuts=5, maxNCuts=5,
+                    maxCutsPerPartitions=5)
+    check_pipeline(circ, cutter)
+    assert cutter.plan.metrics.n_wire_cuts == 1
+
+
+def test_invalid_configs_raise_value_error():
+    circ = ghz(4)
+    with pytest.raises(ValueError, match="hold only"):
+        Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=1)
+    with pytest.raises(ValueError, match="cut-graph vertices"):
+        Cutter(ghz(2), maxNPartitions=3, maxNQubitsPerPartition=2)
+    with pytest.raises(ValueError, match="forceNWireCuts"):
+        Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=3,
+               forceNWireCuts=-1)
+    with pytest.raises(ValueError, match="below the forced"):
+        Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=3,
+               forceNGateCuts=3, maxNCuts=2)
+    with pytest.raises(ValueError, match="exceeds maxNCuts"):
+        Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=3,
+               maxNCuts=2, maxNQpdCuts=3)

@@ -36,6 +36,7 @@ def random_config(circ, seed):
         max_n_cuts=rng.choice([2, 3, 5]),
         max_n_qpd_cuts=rng.choice([None, 5]),
         max_cuts_per_partition=rng.choice([None, 5]),
+        spare_capacity=rng.choice([None, 0, 1, cap * p - circ.num_qubits]),
     )
 
 

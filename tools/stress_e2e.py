@@ -1,0 +1,227 @@
+"""Randomized end-to-end stress campaign (CPU).
+
+Generates random circuits and cut configs, runs the full cut-sim-knit
+pipeline through multiple engines, and checks every cross-engine and
+vs-oracle invariant the framework promises:
+
+  * knitted (unprojected) distribution matches the uncut oracle
+    (hellinger fidelity > 1-1e-5, mass ~ 1)
+  * streamed scan == batched XLA engine elementwise
+  * keep_clbits marginal knit == marginalized full knit
+  * projected distribution is a simplex point
+  * shot sampling concentrates on the support of the exact distribution
+
+Failures are appended to ``stress_failures.jsonl`` with the trial seed so
+any failure is replayable:  ``python tools/stress_e2e.py --replay SEED``.
+
+Usage:  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+            python tools/stress_e2e.py --trials 300
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+import traceback
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (  # noqa: E402
+    Circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (  # noqa: E402
+    Cutter,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (  # noqa: E402
+    hellinger_fidelity,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (  # noqa: E402
+    simulate_circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.run import (  # noqa: E402
+    run_virtual_circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (  # noqa: E402
+    VirtualCircuit,
+)
+
+_1Q = ["h", "x", "y", "z", "s", "t", "sdg"]
+_1QP = ["rx", "ry", "rz"]
+_2Q = ["cx", "cy", "cz", "swap"]
+_2QP = ["rzz", "cp"]
+
+
+def random_circuit(rng: np.random.Generator) -> Circuit:
+    n = int(rng.integers(4, 8))
+    circ = Circuit(n, n)
+    n_gates = int(rng.integers(6, 25))
+    for _ in range(n_gates):
+        kind = int(rng.integers(0, 4))
+        if kind == 0:
+            getattr(circ, _1Q[rng.integers(len(_1Q))])(
+                int(rng.integers(n))
+            )
+        elif kind == 1:
+            getattr(circ, _1QP[rng.integers(len(_1QP))])(
+                float(rng.uniform(-3, 3)), int(rng.integers(n))
+            )
+        else:
+            a = int(rng.integers(n))
+            b = int(rng.integers(n - 1))
+            if b >= a:
+                b += 1
+            if kind == 2:
+                getattr(circ, _2Q[rng.integers(len(_2Q))])(a, b)
+            else:
+                getattr(circ, _2QP[rng.integers(len(_2QP))])(
+                    float(rng.uniform(-3, 3)), a, b
+                )
+    for q in range(n):
+        circ.measure(q, q)
+    return circ
+
+
+def run_trial(seed: int) -> dict | None:
+    """Returns None on success, a failure record dict otherwise."""
+    rng = np.random.default_rng(seed)
+    circ = random_circuit(rng)
+    n = circ.num_qubits
+    p = int(rng.integers(2, 4))
+    cap = int(rng.integers(3, 6))
+    kwargs = dict(
+        maxNPartitions=p, maxNQubitsPerPartition=cap,
+        maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5,
+    )
+    if rng.random() < 0.2:
+        kwargs["forceNWireCuts"] = 1
+    try:
+        try:
+            cutter = Cutter(circ, **kwargs)
+        except ValueError:
+            return None  # invalid random config (caps/partitions) — skip
+        if not cutter.solve():
+            return None  # infeasible budget — nothing to check
+        virt = VirtualCircuit(cutter.getResultCircs()[3])
+
+        labels = virt.total_instantiations()
+        if labels > 50_000:
+            return None  # keep CPU trials bounded
+
+        knitted, _ = run_virtual_circuit(virt, project=False)
+        ideal = simulate_circuit(circ)
+        fid = hellinger_fidelity(ideal, knitted)
+        kv = np.asarray(knitted.values, dtype=np.float64)
+        total = float(kv.sum())
+        if not fid > 1 - 1e-5:
+            return {"check": "fidelity", "fid": float(fid)}
+        if abs(total - 1.0) > 1e-4:
+            return {"check": "mass", "total": total}
+
+        streamed, _ = run_virtual_circuit(
+            virt, project=False, engine="streamed",
+            chunk_size=int(rng.choice([7, 16, 64])),
+        )
+        if streamed.bit_positions != knitted.bit_positions:
+            return {"check": "streamed_positions"}
+        err = float(np.max(np.abs(
+            np.asarray(streamed.values, np.float64) - kv
+        )))
+        if err > 5e-6:
+            return {"check": "streamed_vs_batched", "max_err": err}
+
+        # marginal knit vs marginalized full knit
+        keep = sorted(
+            int(q) for q in rng.choice(n, size=max(1, n // 2), replace=False)
+        )
+        from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.knit import (
+            knit,
+        )
+        from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.variant_engine import (
+            run_all_fragments,
+        )
+        res = run_all_fragments(virt, 1024)
+        marg = knit(virt, res, keep_clbits=set(keep))
+        mv = np.asarray(marg.values, np.float64)
+        # fold the full distribution onto the kept clbits
+        kvf = np.zeros(1 << len(keep))
+        pos = knitted.bit_positions
+        idx = np.arange(kv.size)
+        fold = np.zeros_like(idx)
+        for j, c in enumerate(keep):
+            jsrc = pos.index(c)
+            fold |= ((idx >> jsrc) & 1) << j
+        np.add.at(kvf, fold, kv)
+        merr = float(np.max(np.abs(mv - kvf)))
+        if merr > 5e-6:
+            return {"check": "marginal_knit", "max_err": merr,
+                    "keep": keep}
+
+        # projection is a simplex point
+        proj, _ = run_virtual_circuit(virt, project=True)
+        pv = np.asarray(proj.values, np.float64)
+        if pv.min() < -1e-9 or abs(pv.sum() - 1.0) > 1e-5:
+            return {"check": "projection", "min": float(pv.min()),
+                    "sum": float(pv.sum())}
+
+        # shot path: samples live on (near) the support of the exact dist
+        if labels <= 2000 and rng.random() < 0.5:
+            shots = 4000
+            sampled, _ = run_virtual_circuit(
+                virt, shots=shots, seed=int(rng.integers(1 << 30))
+            )
+            sv = np.asarray(sampled.values, np.float64)
+            sfid = hellinger_fidelity(ideal, sampled)
+            if not sfid > 1 - 0.05:
+                return {"check": "sampled_fidelity", "fid": float(sfid)}
+            # reference-parity Smolin projection removes negative mass but
+            # never renormalizes, so sampling noise leaves sum = 1 +- noise
+            if abs(sv.sum() - 1.0) > 0.1:
+                return {"check": "sampled_mass", "sum": float(sv.sum())}
+    except Exception:
+        return {"check": "exception", "traceback": traceback.format_exc()}
+    return None
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=200)
+    ap.add_argument("--seed0", type=int, default=1000)
+    ap.add_argument("--replay", type=int, default=None)
+    ap.add_argument(
+        "--out", default=str(pathlib.Path(__file__).parent
+                             / "stress_failures.jsonl")
+    )
+    args = ap.parse_args()
+
+    if args.replay is not None:
+        rec = run_trial(args.replay)
+        print(json.dumps({"seed": args.replay, "failure": rec}, indent=2))
+        sys.exit(0 if rec is None else 1)
+
+    t0 = time.time()
+    n_fail = 0
+    out = pathlib.Path(args.out)
+    for i in range(args.trials):
+        seed = args.seed0 + i
+        rec = run_trial(seed)
+        if rec is not None:
+            n_fail += 1
+            rec["seed"] = seed
+            with out.open("a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(f"[stress] FAIL seed={seed} check={rec['check']}",
+                  flush=True)
+        if (i + 1) % 20 == 0:
+            print(f"[stress] {i+1}/{args.trials} trials, {n_fail} failures, "
+                  f"{time.time()-t0:.0f}s", flush=True)
+    print(f"[stress] done: {args.trials} trials, {n_fail} failures, "
+          f"{time.time()-t0:.0f}s", flush=True)
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
