@@ -1,0 +1,143 @@
+"""Pauli-Hamiltonian observables + VQE on cut circuits (ops/hamiltonian).
+
+The reference has no observable machinery (its pipeline ends at a sampled
+distribution; qcg ansatz generators are sampling-only) — this is a
+TPU-native extension.  Oracle: dense Hamiltonian matrix applied to the
+uncut statevector.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+    Circuit,
+    ParamRef,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.hamiltonian import (
+    dense_matrix,
+    group_qubitwise,
+    make_hamiltonian_energy,
+    measurement_circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+    compile_circuit,
+    run_statevector_host,
+)
+
+CUT_KW = dict(maxNPartitions=2, maxNQubitsPerPartition=4,
+              maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
+
+N = 6
+
+
+def tfim_terms(n, j=1.0, h=0.7):
+    """Transverse-field Ising chain: -J sum Z_i Z_{i+1} - h sum X_i."""
+    terms = []
+    for i in range(n - 1):
+        zz = ["I"] * n
+        zz[i] = zz[i + 1] = "Z"
+        terms.append((-j, "".join(zz)))
+    for i in range(n):
+        x = ["I"] * n
+        x[i] = "X"
+        terms.append((-h, "".join(x)))
+    return terms
+
+
+def _ansatz(thetas, n=N, mark=True):
+    c = Circuit(n, n)
+    for q in range(n):
+        v = float(thetas[q])
+        c.ry(ParamRef(q, v) if mark else v, q)
+    for i in range(n - 1):
+        c.cx(i, i + 1)
+    for q in range(n):
+        v = float(thetas[n + q])
+        c.ry(ParamRef(n + q, v) if mark else v, q)
+    return c
+
+
+def _oracle_energy(circ_no_measure, terms):
+    state = run_statevector_host(compile_circuit(circ_no_measure))
+    psi = state[0].astype(np.complex128) + 1j * state[1]
+    h = dense_matrix(terms, circ_no_measure.num_qubits)
+    return float(np.real(psi.conj() @ (h @ psi)))
+
+
+def test_group_qubitwise():
+    groups = group_qubitwise([
+        (1.0, "ZZII"), (1.0, "IIZZ"), (0.5, "XIXI"), (0.2, "IYII"),
+    ])
+    # ZZII+IIZZ share a basis; XIXI and IYII merge into XYXI
+    bases = {b for b, _ in groups}
+    assert bases == {"ZZZZ", "XYXI"}
+    assert sum(len(m) for _, m in groups) == 4
+
+
+def test_dense_matrix_conventions():
+    # qubit 0 is the MSB: Z on qubit 0 of 2 -> diag(1, 1, -1, -1)
+    m = dense_matrix([(1.0, "ZI")], 2)
+    np.testing.assert_allclose(np.diag(m).real, [1, 1, -1, -1])
+    m = dense_matrix([(1.0, "IZ")], 2)
+    np.testing.assert_allclose(np.diag(m).real, [1, -1, 1, -1])
+
+
+def test_measurement_circuit_rejects_measured_ansatz():
+    c = Circuit(2, 2)
+    c.h(0)
+    c.measure(0, 0)
+    with pytest.raises(ValueError, match="measure"):
+        measurement_circuit(c, "ZI")
+
+
+def test_energy_matches_statevector_oracle():
+    rng = np.random.default_rng(11)
+    th = rng.uniform(-2, 2, 2 * N)
+    terms = tfim_terms(N) + [(0.3, "IYIZIX"), (1.5, "I" * N)]
+    energy, info = make_hamiltonian_energy(_ansatz(th), CUT_KW, terms)
+    assert info.n_params == 2 * N
+    assert info.n_groups < len(terms)  # grouping actually groups
+    got = float(jax.jit(energy)(jnp.asarray(th, jnp.float32)))
+    want = _oracle_energy(_ansatz(th, mark=False), terms)
+    assert abs(got - want) < 5e-4, (got, want)
+
+
+def test_energy_gradient_matches_finite_differences():
+    rng = np.random.default_rng(5)
+    th = rng.uniform(-1, 1, 2 * N)
+    terms = tfim_terms(N)
+    energy, _ = make_hamiltonian_energy(_ansatz(th), CUT_KW, terms)
+    je = jax.jit(energy)
+    g = np.asarray(jax.grad(energy)(jnp.asarray(th, jnp.float32)))
+    eps = 1e-2
+    for i in [0, N, 2 * N - 1]:
+        tp = th.copy(); tp[i] += eps
+        tm = th.copy(); tm[i] -= eps
+        fd = (
+            float(je(jnp.asarray(tp, jnp.float32)))
+            - float(je(jnp.asarray(tm, jnp.float32)))
+        ) / (2 * eps)
+        assert abs(g[i] - fd) < 5e-3, (i, g[i], fd)
+
+
+def test_vqe_reaches_tfim_ground_state():
+    """Gradient descent on the cut ansatz must reach the TFIM ground
+    energy (dense-diagonalization oracle) to ~2% of the spectral width."""
+    terms = tfim_terms(N)
+    evals = np.linalg.eigvalsh(dense_matrix(terms, N))
+    e_min, width = float(evals[0]), float(evals[-1] - evals[0])
+
+    th0 = np.linspace(0.2, 1.9, 2 * N)
+    energy, info = make_hamiltonian_energy(_ansatz(th0), CUT_KW, terms)
+
+    @jax.jit
+    def step(th):
+        e, g = jax.value_and_grad(energy)(th)
+        return e, th - 0.1 * g
+
+    th = jnp.asarray(th0, jnp.float32)
+    for _ in range(120):
+        e, th = step(th)
+    assert float(e) < e_min + 0.02 * width, (float(e), e_min)
