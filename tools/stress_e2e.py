@@ -10,6 +10,10 @@ vs-oracle invariant the framework promises:
   * keep_clbits marginal knit == marginalized full knit
   * projected distribution is a simplex point
   * shot sampling concentrates on the support of the exact distribution
+  * plan save -> load -> use_plan reproduces the identical pipeline
+  * OpenQASM export/import roundtrip preserves the uncut distribution
+  * checkpoint/resume returns bit-identical values
+  * differentiable sweep at the template theta matches the engine
 
 Failures are appended to ``stress_failures.jsonl`` with the trial seed so
 any failure is replayable:  ``python tools/stress_e2e.py --replay SEED``.
@@ -23,6 +27,7 @@ import argparse
 import json
 import pathlib
 import sys
+import tempfile
 import time
 import traceback
 
@@ -32,9 +37,16 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (  # noqa: E402
     Circuit,
+    ParamRef,
 )
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (  # noqa: E402
     Cutter,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.plan import (  # noqa: E402
+    CutPlan,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.sweep import (  # noqa: E402
+    make_differentiable_sweep,
 )
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (  # noqa: E402
     hellinger_fidelity,
@@ -85,6 +97,13 @@ def random_circuit(rng: np.random.Generator) -> Circuit:
     return circ
 
 
+PROBE_HITS: dict = {}  # probe name -> times it actually ran
+
+
+def _hit(name: str) -> None:
+    PROBE_HITS[name] = PROBE_HITS.get(name, 0) + 1
+
+
 def run_trial(seed: int) -> dict | None:
     """Returns None on success, a failure record dict otherwise."""
     rng = np.random.default_rng(seed)
@@ -111,6 +130,7 @@ def run_trial(seed: int) -> dict | None:
         if labels > 50_000:
             return None  # keep CPU trials bounded
 
+        _hit("pipeline")
         knitted, _ = run_virtual_circuit(virt, project=False)
         ideal = simulate_circuit(circ)
         fid = hellinger_fidelity(ideal, knitted)
@@ -169,6 +189,7 @@ def run_trial(seed: int) -> dict | None:
 
         # shot path: samples live on (near) the support of the exact dist
         if labels <= 2000 and rng.random() < 0.5:
+            _hit("shots")
             shots = 4000
             sampled, _ = run_virtual_circuit(
                 virt, shots=shots, seed=int(rng.integers(1 << 30))
@@ -181,9 +202,96 @@ def run_trial(seed: int) -> dict | None:
             # never renormalizes, so sampling noise leaves sum = 1 +- noise
             if abs(sv.sum() - 1.0) > 0.1:
                 return {"check": "sampled_mass", "sum": float(sv.sum())}
+
+        # plan save/load + use_plan reproduces the identical pipeline
+        if rng.random() < 0.25:
+            _hit("plan_roundtrip")
+            with tempfile.TemporaryDirectory() as td:
+                path = pathlib.Path(td) / "plan.json"
+                cutter.save_plan(path)
+                cutter2 = Cutter(circ, **kwargs)
+                cutter2.use_plan(CutPlan.load(path))
+                virt2 = VirtualCircuit(cutter2.getResultCircs()[3])
+                re_knit, _ = run_virtual_circuit(virt2, project=False)
+            rerr = float(np.max(np.abs(
+                np.asarray(re_knit.values, np.float64) - kv
+            )))
+            if re_knit.bit_positions != knitted.bit_positions or rerr > 1e-12:
+                return {"check": "plan_roundtrip", "max_err": rerr}
+
+        # OpenQASM roundtrip preserves the uncut distribution
+        if rng.random() < 0.25:
+            _hit("qasm_roundtrip")
+            circ_rt = Circuit.from_qasm(circ.to_qasm())
+            rt = simulate_circuit(circ_rt)
+            qerr = float(np.max(np.abs(
+                np.asarray(rt.values, np.float64)
+                - np.asarray(ideal.values, np.float64)
+            )))
+            if rt.bit_positions != ideal.bit_positions or qerr > 1e-6:
+                return {"check": "qasm_roundtrip", "max_err": qerr}
+
+        # checkpoint/resume: a resumed run equals the fresh run exactly
+        if rng.random() < 0.2:
+            _hit("checkpoint")
+            with tempfile.TemporaryDirectory() as td:
+                first, _ = run_virtual_circuit(
+                    virt, project=False, checkpoint_dir=td
+                )
+                resumed, _ = run_virtual_circuit(
+                    virt, project=False, checkpoint_dir=td
+                )
+            cerr = float(np.max(np.abs(
+                np.asarray(resumed.values, np.float64)
+                - np.asarray(first.values, np.float64)
+            )))
+            if cerr > 0.0:
+                return {"check": "checkpoint_resume", "max_err": cerr}
+
+        # differentiable sweep at the template theta == the engine
+        if rng.random() < 0.25:
+            marked, n_marked = _mark_params(circ)
+            if n_marked:
+                cutter3 = Cutter(marked, **kwargs)
+                if cutter3.solve():
+                    virt3 = VirtualCircuit(cutter3.getResultCircs()[3])
+                    want3, _ = run_virtual_circuit(virt3, project=False)
+                    _hit("diff_sweep")
+                    try:
+                        runner, n_params = make_differentiable_sweep(virt3)
+                    except NotImplementedError:
+                        return None  # a ParamRef landed on a cut gate
+                    theta = np.zeros(n_params, np.float32)
+                    for ins in marked.instructions:
+                        for p in ins.params:
+                            if isinstance(p, ParamRef):
+                                theta[p.index] = float(p)
+                    vals = np.asarray(runner(theta), np.float64)
+                    derr = float(np.max(np.abs(
+                        vals - np.asarray(want3.values, np.float64)
+                    )))
+                    if derr > 5e-6:
+                        return {"check": "diff_sweep", "max_err": derr}
     except Exception:
         return {"check": "exception", "traceback": traceback.format_exc()}
     return None
+
+
+def _mark_params(circ: Circuit):
+    """Rebuild ``circ`` with every parameterised gate angle wrapped in a
+    ParamRef; returns (marked_circuit, n_params)."""
+    out = Circuit(circ.num_qubits, circ.num_clbits)
+    k = 0
+    for ins in circ.instructions:
+        if ins.name == "measure":
+            out.measure(ins.qubits[0], ins.clbits[0])
+            continue
+        params = []
+        for p in ins.params:
+            params.append(ParamRef(k, float(p)))
+            k += 1
+        getattr(out, ins.name)(*params, *ins.qubits)
+    return out, k
 
 
 def main() -> None:
@@ -220,6 +328,7 @@ def main() -> None:
                   f"{time.time()-t0:.0f}s", flush=True)
     print(f"[stress] done: {args.trials} trials, {n_fail} failures, "
           f"{time.time()-t0:.0f}s", flush=True)
+    print(f"[stress] probe coverage: {PROBE_HITS}", flush=True)
     sys.exit(1 if n_fail else 0)
 
 
