@@ -114,7 +114,8 @@ class HamiltonianEnergyInfo:
     instances_per_step: int  # QPD instances executed per energy evaluation
 
 
-def make_hamiltonian_energy(ansatz: Circuit, cutter_kwargs: dict, terms):
+def make_hamiltonian_energy(ansatz: Circuit, cutter_kwargs: dict, terms,
+                            contract: bool | None = None):
     """Build ``energy(theta)`` for ``<psi(theta)| H |psi(theta)>`` on the
     CUT ansatz.  ``ansatz`` carries :class:`~..circuit.circuit.ParamRef`
     angles (measurement-free); ``cutter_kwargs`` go to
@@ -125,19 +126,28 @@ def make_hamiltonian_energy(ansatz: Circuit, cutter_kwargs: dict, terms):
     One cut solve serves every measurement group (1q basis rotations do
     not change the cut graph), one compiled runner per group; all groups
     evaluate inside a single jitted program.
+
+    ``contract``: True routes each group through the fragment parity
+    contraction (ops/knit.expectation_z_multi) — expectations come
+    straight off the variant axes and NOTHING of size 2^n is built, so
+    VQE runs at any circuit width.  False knits the full distribution
+    per group and dots it with parity diagonals.  None (default) picks
+    the contraction above 12 qubits.
     """
     from ..cutter.cutter import Cutter
     from ..virt.virtual_circuit import VirtualCircuit
     from .sweep import make_differentiable_sweep, pauli_z_diagonal
 
     terms = _validate(terms, ansatz.num_qubits)
+    if contract is None:
+        contract = ansatz.num_qubits > 12
     constant = sum(c for c, p in terms if set(p) == {"I"})
     groups = group_qubitwise(
         [(c, p) for c, p in terms if set(p) != {"I"}]
     )
 
     plan = None
-    runners = []  # (runner_theta, [(coeff, diag f32[2^m])])
+    runners = []  # (runner_theta, coeffs [n] | [(coeff, diag)] per mode)
     n_params = 0
     instances = 0
     for basis, members in groups:
@@ -150,35 +160,41 @@ def make_hamiltonian_energy(ansatz: Circuit, cutter_kwargs: dict, terms):
         else:
             cutter.use_plan(plan)
         virt = VirtualCircuit(cutter.getResultCircs()[3])
-        runner, k = make_differentiable_sweep(virt)
+        supports = [
+            {q for q, ch in enumerate(pauli) if ch != "I"}
+            for _, pauli in members
+        ]
+        if contract:
+            runner, k = make_differentiable_sweep(virt, z_sets=supports)
+            coeffs = jnp.asarray([c for c, _ in members], jnp.float32)
+            runners.append((runner, coeffs))
+        else:
+            runner, k = make_differentiable_sweep(virt)
+            # written DATA clbits (vgate measure clbits live at >=
+            # num_clbits and are contracted away by the knit)
+            positions = sorted(
+                c
+                for name in virt.programs
+                for c in virt.programs[name].clbit_sources
+                if c < virt.num_clbits
+            )
+            diags = [
+                (coeff, jnp.asarray(pauli_z_diagonal(positions, supp)))
+                for (coeff, _), supp in zip(members, supports)
+            ]
+            runners.append((runner, diags))
         n_params = max(n_params, k)
         instances += virt.total_instantiations()
-        # written DATA clbits (vgate measure clbits live at >= num_clbits
-        # and are contracted away by the knit)
-        positions = sorted(
-            c
-            for name in virt.programs
-            for c in virt.programs[name].clbit_sources
-            if c < virt.num_clbits
-        )
-        diags = [
-            (
-                coeff,
-                jnp.asarray(pauli_z_diagonal(
-                    positions,
-                    {q for q, ch in enumerate(pauli) if ch != "I"},
-                )),
-            )
-            for coeff, pauli in members
-        ]
-        runners.append((runner, diags))
 
     def energy(theta):
         e = jnp.asarray(constant, jnp.float32)
-        for runner, diags in runners:
-            values = runner(theta)
-            for coeff, diag in diags:
-                e = e + jnp.float32(coeff) * jnp.dot(values, diag)
+        for runner, payload in runners:
+            if contract:
+                e = e + jnp.dot(payload, runner(theta))
+            else:
+                values = runner(theta)
+                for coeff, diag in payload:
+                    e = e + jnp.float32(coeff) * jnp.dot(values, diag)
         return e
 
     info = HamiltonianEnergyInfo(

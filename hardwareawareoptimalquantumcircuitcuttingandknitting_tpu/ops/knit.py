@@ -168,38 +168,66 @@ def expectation_z(
     distribution of any size materialises.  This is the serving path for
     observable estimation on circuits of any width.
     """
-    z_clbits = set(z_clbits)
+    return float(expectation_z_multi(virt, results, [z_clbits])[0])
+
+
+def expectation_z_multi(
+    virt: VirtualCircuit,
+    results: list[FragmentResult],
+    z_sets,
+    weights=None,
+):
+    """Traceable batch of <prod Z> observables: returns a jnp vector of
+    ``len(z_sets)`` expectations (see :func:`expectation_z` for why the
+    parity contraction factorises over fragments).  The fragment fold runs
+    ONCE; each z-set then reduces every data bit with its own (+1,+1) /
+    (+1,-1) weights — per-set scalars per variant — and the cross-fragment
+    contraction carries a shared set axis.  ``results`` values may be jnp
+    tracers and ``weights`` (per-fragment, parameter-sweep style) may
+    replace the trace-time constants, so this is the wide-circuit
+    observable path for the differentiable sweep: a Hamiltonian group's
+    expectations without materialising any 2^num_clbits distribution.
+    """
+    z_sets = [set(s) for s in z_sets]
     letters = list(string.ascii_letters)
     vgate_letter = {g: letters.pop() for g in range(len(virt.vgates))}
+    set_letter = letters.pop()
 
     operands = []
     subs = []
-    for res in results:
-        e, data_pos = _fold_fragment(virt, res)
-        # contract every data bit with its parity weights
+    for fi, res in enumerate(results):
+        e, data_pos = _fold_fragment(
+            virt, res, None, None if weights is None else weights[fi]
+        )
         nv = e.ndim - 1
-        k = len(data_pos)
-        t = e
-        for p in list(data_pos):
-            j = data_pos.index(p)
-            high, low = 1 << (k - 1 - j), 1 << j
-            t = t.reshape(t.shape[:nv] + (high, 2, low))
-            sign = jnp.asarray(
-                [1.0, -1.0] if p in z_clbits else [1.0, 1.0], dtype=t.dtype
-            )
-            t = jnp.einsum(
-                t, list(range(nv)) + [nv, nv + 1, nv + 2],
-                sign, [nv + 1],
-                list(range(nv)) + [nv, nv + 2],
-            )
-            data_pos.remove(p)
-            k -= 1
-            t = t.reshape(t.shape[:nv] + (1 << k,))
-        operands.append(t.reshape(t.shape[:nv]))
-        subs.append("".join(vgate_letter[g] for g in res.touching))
+        per_set = []
+        for z in z_sets:
+            k = len(data_pos)
+            pos = list(data_pos)
+            t = e
+            for p in list(pos):
+                j = pos.index(p)
+                high, low = 1 << (k - 1 - j), 1 << j
+                t = t.reshape(t.shape[:nv] + (high, 2, low))
+                sign = jnp.asarray(
+                    [1.0, -1.0] if p in z else [1.0, 1.0], dtype=t.dtype
+                )
+                t = jnp.einsum(
+                    t, list(range(nv)) + [nv, nv + 1, nv + 2],
+                    sign, [nv + 1],
+                    list(range(nv)) + [nv, nv + 2],
+                )
+                pos.remove(p)
+                k -= 1
+                t = t.reshape(t.shape[:nv] + (1 << k,))
+            per_set.append(t.reshape(t.shape[:nv]))
+        operands.append(jnp.stack(per_set))
+        subs.append(
+            set_letter + "".join(vgate_letter[g] for g in res.touching)
+        )
 
-    expr = ",".join(subs) + "->"
-    return float(jnp.einsum(expr, *operands))
+    expr = ",".join(subs) + "->" + set_letter
+    return jnp.einsum(expr, *operands)
 
 
 def smolin_project(vals: np.ndarray) -> np.ndarray:

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..virt.virtual_circuit import VirtualCircuit
 from .fusion import fused_stream
-from .knit import fold_weights, knit_values
+from .knit import expectation_z_multi, fold_weights, knit_values
 from .statevector import apply_matrix, marginalize_flat, to_real_block
 from .variant_engine import FragmentResult, _slot_matrices, label_strides
 
@@ -35,13 +35,20 @@ def _fused_stream(prog):
     return skeleton, [to_real_block(m) for m in mats]
 
 
-def make_parameter_sweep(virt: VirtualCircuit, keep_clbits=None):
+def make_parameter_sweep(virt: VirtualCircuit, keep_clbits=None,
+                         z_sets=None):
     """Build (runner, bind) for the cut plan embodied by ``virt``.
 
     ``bind(other_virt)`` -> argument pytree for any VirtualCircuit with
     the same structure (same cut plan applied to a re-parameterised
     circuit; structural mismatch raises).  ``runner(args)`` -> flat
     knitted quasi-distribution values; jit it once and reuse.
+
+    ``z_sets`` (list of clbit sets): observable mode — the runner returns
+    the ``[len(z_sets)]`` vector of <prod Z> expectations via the
+    per-fragment parity contraction (ops/knit.expectation_z_multi)
+    instead of knitting a distribution, so nothing of size
+    2^num_clbits ever materialises (the wide-circuit serving shape).
     """
     frag_names = [r.name for r in virt.fragments]
     template = {}
@@ -90,6 +97,8 @@ def make_parameter_sweep(virt: VirtualCircuit, keep_clbits=None):
                 name, values, positions,
                 list(virt.programs[name].touching),
             ))
+        if z_sets is not None:
+            return expectation_z_multi(virt, results, z_sets, weights)
         values, _pos = knit_values(
             virt, results, keep_clbits, weights=weights
         )
@@ -221,11 +230,17 @@ def _real_block_traceable(u):
     )
 
 
-def make_differentiable_sweep(virt: VirtualCircuit, keep_clbits=None):
+def make_differentiable_sweep(virt: VirtualCircuit, keep_clbits=None,
+                              z_sets=None):
     """Build ``runner_theta(theta) -> flat knitted values`` for a cut
     circuit whose gates carry :class:`~..circuit.circuit.ParamRef`
     parameters.  ``runner_theta`` is jit-able and differentiable w.r.t.
     theta (shape ``[n_params]``); returns ``(runner_theta, n_params)``.
+
+    ``z_sets``: observable mode — runner_theta returns the
+    ``[len(z_sets)]`` vector of <prod Z> expectations via the fragment
+    parity contraction; no 2^num_clbits array exists anywhere in the
+    program (differentiable observables at any circuit width).
 
     The cut plan, QPD slot tables and knit weights are trace-time
     constants: only the parameterised gate matrices (and every fused
@@ -244,7 +259,7 @@ def make_differentiable_sweep(virt: VirtualCircuit, keep_clbits=None):
                 "theta; keep ParamRefs off cut gates"
             )
 
-    runner, bind = make_parameter_sweep(virt, keep_clbits)
+    runner, bind = make_parameter_sweep(virt, keep_clbits, z_sets)
     slot_mats_c, _gate_blocks_c, weights_c = bind(virt)
     frag_names = [r.name for r in virt.fragments]
 
