@@ -115,7 +115,7 @@ class HamiltonianEnergyInfo:
 
 
 def make_hamiltonian_energy(ansatz: Circuit, cutter_kwargs: dict, terms,
-                            contract: bool | None = None):
+                            contract: bool | None = None, mesh=None):
     """Build ``energy(theta)`` for ``<psi(theta)| H |psi(theta)>`` on the
     CUT ansatz.  ``ansatz`` carries :class:`~..circuit.circuit.ParamRef`
     angles (measurement-free); ``cutter_kwargs`` go to
@@ -133,6 +133,12 @@ def make_hamiltonian_energy(ansatz: Circuit, cutter_kwargs: dict, terms,
     VQE runs at any circuit width.  False knits the full distribution
     per group and dots it with parity diagonals.  None (default) picks
     the contraction above 12 qubits.
+
+    ``mesh`` (a ``jax.sharding.Mesh`` with a ``"dp"`` axis): multi-chip
+    VQE — every fragment's QPD variant fan-out is sharding-constrained
+    over ``dp``, so jitting ``energy``/``grad(energy)`` under the mesh
+    splits the fan-out across devices with the variant-axis reduction
+    riding ICI.
     """
     from ..cutter.cutter import Cutter
     from ..virt.virtual_circuit import VirtualCircuit
@@ -141,6 +147,13 @@ def make_hamiltonian_energy(ansatz: Circuit, cutter_kwargs: dict, terms,
     terms = _validate(terms, ansatz.num_qubits)
     if contract is None:
         contract = ansatz.num_qubits > 12
+    variant_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        variant_sharding = NamedSharding(
+            mesh, PartitionSpec("dp", None)
+        )
     constant = sum(c for c, p in terms if set(p) == {"I"})
     groups = group_qubitwise(
         [(c, p) for c, p in terms if set(p) != {"I"}]
@@ -165,11 +178,15 @@ def make_hamiltonian_energy(ansatz: Circuit, cutter_kwargs: dict, terms,
             for _, pauli in members
         ]
         if contract:
-            runner, k = make_differentiable_sweep(virt, z_sets=supports)
+            runner, k = make_differentiable_sweep(
+                virt, z_sets=supports, variant_sharding=variant_sharding
+            )
             coeffs = jnp.asarray([c for c, _ in members], jnp.float32)
             runners.append((runner, coeffs))
         else:
-            runner, k = make_differentiable_sweep(virt)
+            runner, k = make_differentiable_sweep(
+                virt, variant_sharding=variant_sharding
+            )
             # written DATA clbits (vgate measure clbits live at >=
             # num_clbits and are contracted away by the knit)
             positions = sorted(

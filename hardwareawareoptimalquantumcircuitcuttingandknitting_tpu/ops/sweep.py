@@ -36,7 +36,7 @@ def _fused_stream(prog):
 
 
 def make_parameter_sweep(virt: VirtualCircuit, keep_clbits=None,
-                         z_sets=None):
+                         z_sets=None, variant_sharding=None):
     """Build (runner, bind) for the cut plan embodied by ``virt``.
 
     ``bind(other_virt)`` -> argument pytree for any VirtualCircuit with
@@ -49,6 +49,12 @@ def make_parameter_sweep(virt: VirtualCircuit, keep_clbits=None,
     per-fragment parity contraction (ops/knit.expectation_z_multi)
     instead of knitting a distribution, so nothing of size
     2^num_clbits ever materialises (the wide-circuit serving shape).
+
+    ``variant_sharding`` (a ``NamedSharding`` with spec ``("dp", None)``):
+    multi-chip mode — each fragment's vmapped per-variant probability
+    rows are constrained to it, so GSPMD splits the QPD fan-out over the
+    ``dp`` mesh axis and lowers the variant-axis contraction to an
+    all-reduce over ICI.
     """
     frag_names = [r.name for r in virt.fragments]
     template = {}
@@ -90,6 +96,10 @@ def make_parameter_sweep(virt: VirtualCircuit, keep_clbits=None,
             mats = slot_mats[fi]
             if mats:
                 values = jax.vmap(sim_one)(mats)
+                if variant_sharding is not None:
+                    values = jax.lax.with_sharding_constraint(
+                        values, variant_sharding
+                    )
             else:
                 row = sim_one([])
                 values = jnp.broadcast_to(row, (flat_count, row.shape[0]))
@@ -231,7 +241,7 @@ def _real_block_traceable(u):
 
 
 def make_differentiable_sweep(virt: VirtualCircuit, keep_clbits=None,
-                              z_sets=None):
+                              z_sets=None, variant_sharding=None):
     """Build ``runner_theta(theta) -> flat knitted values`` for a cut
     circuit whose gates carry :class:`~..circuit.circuit.ParamRef`
     parameters.  ``runner_theta`` is jit-able and differentiable w.r.t.
@@ -259,7 +269,9 @@ def make_differentiable_sweep(virt: VirtualCircuit, keep_clbits=None,
                 "theta; keep ParamRefs off cut gates"
             )
 
-    runner, bind = make_parameter_sweep(virt, keep_clbits, z_sets)
+    runner, bind = make_parameter_sweep(
+        virt, keep_clbits, z_sets, variant_sharding
+    )
     slot_mats_c, _gate_blocks_c, weights_c = bind(virt)
     frag_names = [r.name for r in virt.fragments]
 

@@ -61,3 +61,17 @@ print("6dev OK", fid, fid2)
         6,
     )
     assert "6dev OK" in out
+
+
+@pytest.mark.slow
+def test_vqe_energy_and_grad_sharded_over_dp():
+    """Multi-chip VQE (r3): make_hamiltonian_energy(mesh=...) constrains
+    every fragment's QPD variant fan-out over the dp axis; energy and a
+    descending gradient step must match the single-device path exactly."""
+    out = _run_in_subprocess(
+        "from __graft_entry__ import _dryrun_vqe_sharded;"
+        "err, gnorm = _dryrun_vqe_sharded(4);"
+        "print('vqe-dp OK', err, gnorm)",
+        4,
+    )
+    assert "vqe-dp OK" in out
