@@ -26,25 +26,51 @@ class ParamRef(float):
     (cutting, rewriting, gate-matrix tables), so any circuit built with
     ParamRefs runs unchanged; the differentiable sweep
     (ops/sweep.make_differentiable_sweep) detects the marker and rebuilds
-    the op's matrix from ``theta[index]`` inside the traced program.
+    the op's matrix from ``scale * theta[index] + shift`` inside the
+    traced program.
 
-    Arithmetic on a ParamRef returns a plain float — the reference is
-    lost deliberately (derived parameters are not supported; parameterise
-    the gate argument directly).
+    Affine derivations are supported through :meth:`scaled` /
+    :meth:`shifted` (QAOA's ``gamma/2`` / ``-2*beta`` gate angles share
+    one theta entry).  Plain Python arithmetic on a ParamRef still
+    returns a float — the reference is lost deliberately, since silent
+    propagation through arbitrary expressions could not be traced.
     """
 
-    __slots__ = ("index",)
+    __slots__ = ("index", "scale", "shift")
 
-    def __new__(cls, index: int, value: float = 0.0) -> "ParamRef":
-        obj = super().__new__(cls, float(value))
+    def __new__(cls, index: int, value: float = 0.0, scale: float = 1.0,
+                shift: float = 0.0) -> "ParamRef":
+        if scale == 0.0:
+            raise ValueError("ParamRef scale must be non-zero")
+        obj = super().__new__(cls, scale * float(value) + shift)
         obj.index = int(index)
+        obj.scale = float(scale)
+        obj.shift = float(shift)
         return obj
 
-    def __getnewargs__(self):  # copy/deepcopy/pickle keep the index
-        return (self.index, float(self))
+    @property
+    def base(self) -> float:
+        """The underlying theta-entry value this ref was built with."""
+        return (float(self) - self.shift) / self.scale
+
+    def scaled(self, k: float) -> "ParamRef":
+        """Derived parameter ``k * self`` referencing the same theta entry."""
+        return ParamRef(self.index, self.base, k * self.scale, k * self.shift)
+
+    def shifted(self, d: float) -> "ParamRef":
+        """Derived parameter ``self + d`` referencing the same theta entry."""
+        return ParamRef(self.index, self.base, self.scale, self.shift + d)
+
+    def __getnewargs__(self):  # copy/deepcopy/pickle keep the derivation
+        return (self.index, self.base, self.scale, self.shift)
 
     def __repr__(self) -> str:  # pragma: no cover
-        return f"ParamRef({self.index}, {float(self):g})"
+        return (
+            f"ParamRef({self.index}, {self.base:g}"
+            + (f", scale={self.scale:g}" if self.scale != 1.0 else "")
+            + (f", shift={self.shift:g}" if self.shift != 0.0 else "")
+            + ")"
+        )
 
 
 @dataclass(frozen=True)

@@ -6,7 +6,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..circuit.circuit import Circuit, Register
+from ..circuit.circuit import Circuit, ParamRef, Register
+
+
+def _scaled(p, k: float):
+    """``k * p`` that keeps a ParamRef's theta reference alive (plain
+    arithmetic on ParamRef deliberately degrades to float)."""
+    return p.scaled(k) if isinstance(p, ParamRef) else k * p
 
 
 def construct_qaoa_plus(
@@ -24,15 +30,15 @@ def construct_qaoa_plus(
     betas = [p for i, p in enumerate(params) if i % 2 == 1]
     for i in range(P):
         for q_i, q_j in G.edges():
-            circ.rz(gammas[i] / 2, q_i)
-            circ.rz(gammas[i] / 2, q_j)
+            circ.rz(_scaled(gammas[i], 0.5), q_i)
+            circ.rz(_scaled(gammas[i], 0.5), q_j)
             circ.cx(q_i, q_j)
-            circ.rz(-gammas[i] / 2, q_j)
+            circ.rz(_scaled(gammas[i], -0.5), q_j)
             circ.cx(q_i, q_j)
             if barriers:
                 circ.barrier()
         for q_i in range(nq):
-            circ.rx(-2 * betas[i], q_i)
+            circ.rx(_scaled(betas[i], -2.0), q_i)
 
     if measure:
         circ.measure_all()

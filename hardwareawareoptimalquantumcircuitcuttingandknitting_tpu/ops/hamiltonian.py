@@ -77,10 +77,16 @@ def group_qubitwise(terms):
 
 def measurement_circuit(ansatz: Circuit, basis: str) -> Circuit:
     """Copy of ``ansatz`` with the basis rotation (X: H; Y: Sdg then H —
-    both map the operator onto Z) and a full measure layer appended."""
+    both map the operator onto Z) and a full measure layer appended.
+    Ansatzes built without clbits (the natural variational shape, e.g.
+    models.qaoa.construct_qaoa_plus) get a ``meas`` register added."""
     if any(ins.name == "measure" for ins in ansatz.instructions):
         raise ValueError("ansatz must not contain measurements")
     c = ansatz.copy()
+    if c.num_clbits < ansatz.num_qubits:
+        from ..circuit.circuit import Register
+
+        c.add_creg(Register("meas", ansatz.num_qubits - c.num_clbits))
     for q, b in enumerate(basis):
         if b == "X":
             c.h(q)

@@ -296,7 +296,8 @@ def make_differentiable_sweep(virt: VirtualCircuit, keep_clbits=None,
                         isinstance(p, ParamRef) for p in ins.params
                     ):
                         ps = [
-                            theta[p.index] if isinstance(p, ParamRef)
+                            theta[p.index] * p.scale + p.shift
+                            if isinstance(p, ParamRef)
                             else jnp.float32(p)
                             for p in ins.params
                         ]

@@ -161,3 +161,59 @@ def test_pauli_z_diagonal_subset():
     assert d[0b000] == 1 and d[0b001] == -1
     assert d[0b010] == 1  # clbit 2 not in the observable
     assert d[0b100] == -1 and d[0b101] == 1
+
+
+def test_param_ref_affine_derivations():
+    p = ParamRef(3, 0.8)
+    h = p.scaled(0.5)            # 0.4, theta[3]*0.5
+    m = p.scaled(-2.0).shifted(1.0)  # -0.6, theta[3]*-2 + 1
+    assert isinstance(h, ParamRef) and isinstance(m, ParamRef)
+    assert h.index == m.index == 3
+    assert float(h) == pytest.approx(0.4)
+    assert (h.scale, h.shift) == (0.5, 0.0)
+    assert float(m) == pytest.approx(-0.6)
+    assert (m.scale, m.shift) == (-2.0, 1.0)
+    assert m.base == pytest.approx(0.8)
+    q = pickle.loads(pickle.dumps(m))
+    assert (q.index, q.scale, q.shift, float(q)) == (3, -2.0, 1.0, float(m))
+    with pytest.raises(ValueError, match="scale"):
+        ParamRef(0, 1.0, scale=0.0)
+
+
+def test_affine_param_refs_trace_correctly():
+    """rz(theta/2) and rx(-2*theta + pi/4) built via scaled/shifted refs:
+    the traced runner at theta' must equal a freshly-built concrete
+    circuit at the derived angles."""
+    th0, th1 = 0.9, -0.4
+
+    def build(t0, t1, mark):
+        c = Circuit(2, 2)
+        a = ParamRef(0, t0).scaled(0.5) if mark else t0 * 0.5
+        b = (ParamRef(1, t1).scaled(-2.0).shifted(np.pi / 4)
+             if mark else -2.0 * t1 + np.pi / 4)
+        c.ry(0.3, 0)
+        c.rz(a, 0)
+        c.rx(b, 1)
+        c.cx(0, 1)
+        c.measure(0, 0)
+        c.measure(1, 1)
+        return c
+
+    cutter = Cutter(build(th0, th1, True), maxNPartitions=2,
+                    maxNQubitsPerPartition=2, maxNQpdCuts=5, maxNCuts=5,
+                    maxCutsPerPartitions=5)
+    assert cutter.solve()
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    runner, n_params = make_differentiable_sweep(virt)
+    assert n_params == 2
+
+    t0p, t1p = -0.35, 1.7
+    got = np.asarray(jax.jit(runner)(jnp.asarray([t0p, t1p], jnp.float32)))
+    cutter2 = Cutter(build(t0p, t1p, False), maxNPartitions=2,
+                     maxNQubitsPerPartition=2, maxNQpdCuts=5, maxNCuts=5,
+                     maxCutsPerPartitions=5)
+    assert cutter2.solve()
+    fresh, _ = run_virtual_circuit(
+        VirtualCircuit(cutter2.getResultCircs()[3]), project=False
+    )
+    np.testing.assert_allclose(got, np.asarray(fresh.values), atol=1e-5)
