@@ -1,0 +1,254 @@
+"""Monte-Carlo QPD sampling: estimate the knit without enumerating labels.
+
+The reference enumerates every global label exhaustively — all
+``prod_g n_g`` instantiations are executed and knitted
+(qvm/virtual_circuit.py:133-137, run.py:36-42).  That is optimal for few
+cuts but scales exponentially in the cut count.  This module implements
+the standard quasi-probability sampling estimator on top of the same
+engines:
+
+  * each cut's coefficient table ``coef[v, b]`` factors into a magnitude
+    ``m[v] = |coef[v, b]|`` (b-independent for every QPD in virt/tables.py)
+    and a sign ``coef[v, b] / m[v]``,
+  * ``gamma_g = sum_v m[v]`` is the cut's 1-norm; sampling labels with
+    ``P(v_g) = m_g[v_g] / gamma_g`` independently per cut and weighting
+    each sample by ``prod_g gamma_g`` times the signs gives an unbiased
+    estimator of the knitted distribution,
+  * the estimator variance scales with ``kappa = (prod_g gamma_g)^2`` —
+    the well-known sampling overhead (the cutter's S objective is exactly
+    ``prod`` per-cut overhead; see cutter/solver.py:15).
+
+TPU shape: sampled labels are deduplicated on host, each unique label's
+fragment rows are simulated in one vmapped batch (slot tables gathered by
+the label's per-vgate variant indices — no flat-index materialisation),
+and the cross-fragment combination is a single weighted einsum over the
+label axis (an MXU contraction), mirroring ops/knit.knit_values' layout.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..virt.virtual_circuit import VirtualCircuit
+from .bits import permute_bits_flat
+from .knit import fold_weights
+from .statevector import Distribution
+from .variant_engine import _slot_tables, make_sim_fn
+
+
+def cut_gammas(virt: VirtualCircuit) -> list[float]:
+    """Per-vgate QPD 1-norms ``gamma_g = sum_v |coef[v, 0]|``.
+
+    Raises if any table's coefficient magnitude depends on the measured
+    bit (none of virt/tables.py's do) — outcome-dependent magnitudes
+    would need a different sampler.
+    """
+    gammas = []
+    for g, vg in enumerate(virt.vgates):
+        coef = np.asarray(vg.spec.coef, np.float64)
+        m0, m1 = np.abs(coef[:, 0]), np.abs(coef[:, 1])
+        if not np.allclose(m0, m1):
+            raise ValueError(
+                f"vgate {g} ({vg.base_name}): coefficient magnitude "
+                "depends on the measured bit; cannot importance-sample"
+            )
+        gammas.append(float(m0.sum()))
+    return gammas
+
+
+def sampling_overhead(virt: VirtualCircuit, eps: float | None = None):
+    """``{"gammas", "gamma_total", "kappa", "shots_for_eps"}`` — the
+    analytic sampling budget of this cut plan.  ``kappa = gamma_total^2``
+    bounds the estimator variance per outcome; ``ceil(kappa / eps^2)``
+    samples suffice for additive error ``eps`` (Hoeffding scale).  The
+    cut search already minimises exactly this product (the S objective,
+    cutter/solver.py:15 / reference Cutter.py:567-571)."""
+    gammas = cut_gammas(virt)
+    gamma_total = float(np.prod(gammas)) if gammas else 1.0
+    out = {
+        "gammas": gammas,
+        "gamma_total": gamma_total,
+        "kappa": gamma_total * gamma_total,
+    }
+    if eps is not None:
+        out["shots_for_eps"] = int(np.ceil(out["kappa"] / (eps * eps)))
+    return out
+
+
+def sample_labels(
+    virt: VirtualCircuit, num_samples: int, seed: int = 0
+) -> np.ndarray:
+    """[num_samples, n_vgates] int32 variant indices, drawn independently
+    per cut with ``P(v) = |coef[v, 0]| / gamma``."""
+    rng = np.random.default_rng(seed)
+    cols = []
+    for vg in virt.vgates:
+        m = np.abs(np.asarray(vg.spec.coef, np.float64)[:, 0])
+        cols.append(
+            rng.choice(len(m), size=num_samples, p=m / m.sum())
+        )
+    if not cols:
+        return np.zeros((num_samples, 0), np.int32)
+    return np.stack(cols, axis=1).astype(np.int32)
+
+
+def _sign_weights(virt: VirtualCircuit, frag_name: str) -> list[np.ndarray]:
+    """fold_weights with each owner-side coefficient normalised to its
+    sign (magnitudes live in the sampling probabilities instead)."""
+    out = []
+    for w in fold_weights(virt, frag_name):
+        w = np.asarray(w, np.float64)
+        # rows are either the owner's coef (|w0| == |w1|, validated by
+        # cut_gammas) or ones — normalising by |w0| is a no-op on the
+        # latter.  Zero-magnitude variants are never sampled; guard them.
+        mag = np.abs(w[:, 0])
+        out.append(w / np.where(mag > 0, mag, 1.0)[:, None])
+    return out
+
+
+def _fold_rows_per_label(virt, frag_name, rows, lab, positions):
+    """Contract a fragment's vgate clbits out of per-label rows.
+
+    ``rows``: [L, 2^k] per-unique-label outcome rows; ``lab``: [L, G]
+    global label matrix; ``positions``: ascending global clbit ids (bit j
+    of the row index carries positions[j]).  Returns ([L, 2^d], data
+    positions) with each touching vgate's measure clbit contracted by its
+    per-label sign weight (owner) or summed out (other endpoint).
+    """
+    prog = virt.programs[frag_name]
+    touching = list(prog.touching)
+    weights = _sign_weights(virt, frag_name)
+    positions = list(positions)
+    k = len(positions)
+    t = rows
+    L = t.shape[0]
+    for ti, g in enumerate(touching):
+        w = jnp.asarray(weights[ti], t.dtype)  # [n_inst, 2]
+        wl = w[lab[:, g]]                      # [L, 2] per-label weights
+        cg = virt.num_clbits + g
+        if cg in positions:
+            j = positions.index(cg)
+            high, low = 1 << (k - 1 - j), 1 << j
+            t = t.reshape(L, high, 2, low)
+            t = (
+                t[:, :, 0, :] * wl[:, 0, None, None]
+                + t[:, :, 1, :] * wl[:, 1, None, None]
+            )
+            positions.pop(j)
+            k -= 1
+            t = t.reshape(L, 1 << k)
+        else:
+            # clbit structurally zero in this fragment (knit.py:98-103)
+            t = t * wl[:, 0, None]
+    return t, positions
+
+
+def _marginalize_rows(t, positions, keep_clbits):
+    """Sum out data bits not in ``keep_clbits`` (marginal estimate)."""
+    positions = list(positions)
+    k = len(positions)
+    L = t.shape[0]
+    for p in [p for p in positions if p not in keep_clbits]:
+        j = positions.index(p)
+        high, low = 1 << (k - 1 - j), 1 << j
+        t = t.reshape(L, high, 2, low).sum(axis=2)
+        positions.pop(j)
+        k -= 1
+        t = t.reshape(L, 1 << k)
+    return t, positions
+
+
+def _simulate_label_rows(virt, frag_name, lab):
+    """[L, 2^k] probability rows for a fragment at each unique label —
+    slot tables gathered by the label's per-vgate variant index (the
+    slot's variant IS its vgate's label component; no flat-index table)."""
+    prog = virt.programs[frag_name]
+    sim_one, _, positions, _ = make_sim_fn(
+        virt, frag_name, build_matrices=False
+    )
+    tables = _slot_tables(prog, [vg.spec for vg in virt.vgates])
+    mats = [
+        (
+            jnp.asarray(pre)[lab[:, slot.vgate_idx]],
+            jnp.asarray(m4)[lab[:, slot.vgate_idx]],
+            jnp.asarray(post)[lab[:, slot.vgate_idx]],
+        )
+        for slot, (pre, m4, post) in zip(prog.slots, tables)
+    ]
+    if mats:
+        rows = jax.vmap(sim_one)(mats)
+    else:
+        row = sim_one([])
+        rows = jnp.broadcast_to(row, (lab.shape[0], row.shape[0]))
+    return rows, positions
+
+
+def _estimate(
+    virt: VirtualCircuit,
+    labels: np.ndarray,
+    mass: np.ndarray,
+    keep_clbits=None,
+) -> Distribution:
+    """Core estimator: ``sum_l mass[l] * gamma_total * signed_knit(l)``.
+
+    With ``labels`` = the full label grid and ``mass`` = each label's
+    exact sampling probability this reproduces the exact knit (the
+    identity the estimator is unbiased against — tested); with sampled
+    unique labels and ``mass = counts / num_samples`` it is the
+    Monte-Carlo estimate."""
+    gamma_total = sampling_overhead(virt)["gamma_total"]
+    lab = jnp.asarray(labels, jnp.int32)
+    frag_rows = []
+    frag_positions = []
+    for reg in virt.fragments:
+        rows, positions = _simulate_label_rows(virt, reg.name, lab)
+        rows, positions = _fold_rows_per_label(
+            virt, reg.name, rows, lab, positions
+        )
+        if keep_clbits is not None:
+            rows, positions = _marginalize_rows(
+                rows, positions, keep_clbits
+            )
+        frag_rows.append(rows)
+        frag_positions.append(positions)
+
+    # one weighted einsum over the label axis: 'l,la,lb,...->ab...'
+    w = jnp.asarray(mass, frag_rows[0].dtype) * gamma_total
+    operands = [w, [0]]
+    for i, rows in enumerate(frag_rows):
+        operands += [rows, [0, 1 + i]]
+    merged = jnp.einsum(*operands, list(range(1, 1 + len(frag_rows))))
+    merged = merged.reshape(-1)
+
+    # mirror knit_values' layout: LAST fragment axis = LOW bits, then
+    # permute to global ascending clbit order
+    src_bits: list[int] = []
+    for pos_list in reversed(frag_positions):
+        src_bits.extend(pos_list)
+    dst_bits = sorted(src_bits)
+    merged = permute_bits_flat(merged, src_bits, dst_bits)
+    return Distribution(np.asarray(merged), dst_bits, virt.num_clbits)
+
+
+def sampled_knit(
+    virt: VirtualCircuit,
+    num_samples: int,
+    seed: int = 0,
+    keep_clbits=None,
+) -> Distribution:
+    """Unbiased Monte-Carlo estimate of the knitted distribution from
+    ``num_samples`` QPD samples — only the sampled labels' instances are
+    simulated (deduplicated), instead of the full ``prod_g n_g`` grid.
+
+    Per-outcome standard error ~ ``gamma_total / sqrt(num_samples)``;
+    see :func:`sampling_overhead` for the budget.  ``keep_clbits``
+    estimates a marginal (wide circuits) without materialising the full
+    distribution.
+    """
+    labels = sample_labels(virt, num_samples, seed)
+    uniq, counts = np.unique(labels, axis=0, return_counts=True)
+    return _estimate(
+        virt, uniq, counts.astype(np.float64) / num_samples, keep_clbits
+    )

@@ -83,7 +83,10 @@ def run_virtual_circuit(
     (batched unrolled, always), "streamed" (constant-memory lax.scan over
     global label chunks; use for large fan-outs), "sharded" (variant x
     amplitude co-sharding over a ``(dp, amp)`` device mesh — fragments
-    larger than one device's budget; see ops/sharded_fragment.py), or
+    larger than one device's budget; see ops/sharded_fragment.py),
+    "sampled" (Monte-Carlo QPD sampling, ops/qpd_sampling.py — ``shots``
+    is the label-sample budget; unbiased with std ~ gamma/sqrt(shots),
+    for cut counts whose label grid is too large to enumerate), or
     "pallas" (fused VMEM kernel — strictly opt-in: Mosaic compiles
     through the tunneled TPU backend are slow and high-variance at scale).
 
@@ -108,10 +111,25 @@ def run_virtual_circuit(
     """
     from .utils.profiling import Tracer
 
-    if engine not in ("auto", "xla", "streamed", "pallas", "sharded"):
+    if engine not in (
+        "auto", "xla", "streamed", "pallas", "sharded", "sampled"
+    ):
         raise ValueError(f"unknown engine {engine!r}")
     log = get_logger(__name__)
     tracer = tracer or Tracer()
+    if engine == "sampled":
+        # Monte-Carlo QPD sampling: only the sampled labels' instances
+        # run (ops/qpd_sampling.py).  ``shots`` is the QPD sample budget
+        # (default: the plan's kappa / 0.05^2 Hoeffding budget).
+        from .ops.qpd_sampling import sampled_knit, sampling_overhead
+
+        budget = shots or sampling_overhead(virt, eps=0.05)["shots_for_eps"]
+        now = time.perf_counter()
+        with tracer.phase("qpd_sample_knit", samples=budget):
+            dist = sampled_knit(virt, budget, seed=seed)
+            if project:
+                dist = nearest_probability_distribution(dist)
+        return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
     if engine == "auto":
         labels = 1
         for vg in virt.vgates:

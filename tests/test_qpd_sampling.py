@@ -1,0 +1,156 @@
+"""Monte-Carlo QPD sampling estimator (ops/qpd_sampling.py).
+
+The reference enumerates every label exhaustively; the sampler estimates
+the same knit from importance-sampled labels with variance kappa/M.
+"""
+import numpy as np
+import pytest
+
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+    Circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
+    Cutter,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (
+    hellinger_fidelity,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.knit import (
+    nearest_probability_distribution,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+    _estimate,
+    cut_gammas,
+    sample_labels,
+    sampled_knit,
+    sampling_overhead,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+    simulate_circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.run import (
+    run_virtual_circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+    VirtualCircuit,
+)
+
+
+def _cut_ghz(n=5, cap=3):
+    circ = Circuit(n, n)
+    circ.h(0)
+    for i in range(n - 1):
+        circ.cx(i, i + 1)
+    for q in range(n):
+        circ.measure(q, q)
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=cap,
+                    maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
+    assert cutter.solve()
+    return circ, VirtualCircuit(cutter.getResultCircs()[3])
+
+
+def _cut_wire(n=4):
+    """Force a wire cut so the move-spec (gamma=4) path is covered."""
+    circ = Circuit(n, n)
+    circ.h(0)
+    for i in range(n - 1):
+        circ.cx(i, i + 1)
+    circ.cz(0, n - 1)
+    for q in range(n):
+        circ.measure(q, q)
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=3,
+                    maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5,
+                    forceNWireCuts=1)
+    assert cutter.solve()
+    return circ, VirtualCircuit(cutter.getResultCircs()[3])
+
+
+def _full_grid(virt):
+    """All labels (vgate-index order) + their exact sampling mass."""
+    sizes = [vg.spec.num_instantiations for vg in virt.vgates]
+    grid = np.indices(sizes).reshape(len(sizes), -1).T.astype(np.int32)
+    mass = np.ones(len(grid), np.float64)
+    for g, vg in enumerate(virt.vgates):
+        m = np.abs(np.asarray(vg.spec.coef, np.float64)[:, 0])
+        mass *= (m / m.sum())[grid[:, g]]
+    return grid, mass
+
+
+def test_gammas_match_theory():
+    _, virt = _cut_ghz()
+    assert cut_gammas(virt) == [3.0] * len(virt.vgates)  # gate cuts
+    _, virt_w = _cut_wire()
+    assert 4.0 in cut_gammas(virt_w)  # wire cut (move spec)
+
+    over = sampling_overhead(virt, eps=0.1)
+    g = 3.0 ** len(virt.vgates)
+    assert over["gamma_total"] == pytest.approx(g)
+    assert over["kappa"] == pytest.approx(g * g)
+    assert over["shots_for_eps"] == int(np.ceil(g * g / 0.01))
+
+
+@pytest.mark.parametrize("maker", [_cut_ghz, _cut_wire])
+def test_estimate_on_full_grid_equals_exact_knit(maker):
+    """Unbiasedness, checked exactly: feeding the estimator the full
+    label grid weighted by each label's sampling probability must
+    reproduce the exact knit (no Monte-Carlo noise in this identity)."""
+    _, virt = maker()
+    grid, mass = _full_grid(virt)
+    est = _estimate(virt, grid, mass)
+    want, _ = run_virtual_circuit(virt, project=False)
+    assert list(est.bit_positions) == list(want.bit_positions)
+    np.testing.assert_allclose(
+        np.asarray(est.values), np.asarray(want.values), atol=2e-5
+    )
+
+
+def test_sampled_knit_converges():
+    orig, virt = _cut_ghz()
+    over = sampling_overhead(virt)
+    m = 40000
+    est = sampled_knit(virt, m, seed=1)
+    ideal = simulate_circuit(orig)
+    err = float(np.max(np.abs(np.asarray(est.values)
+                              - np.asarray(ideal.values))))
+    # per-entry std <= gamma_total / sqrt(M); allow 5 sigma
+    assert err < 5 * over["gamma_total"] / np.sqrt(m), err
+    fid = hellinger_fidelity(ideal, nearest_probability_distribution(est))
+    assert fid > 0.99, fid
+
+
+def test_sampled_knit_marginal():
+    """keep_clbits estimates the exact marginal (wide-circuit mode)."""
+    orig, virt = _cut_ghz()
+    keep = {0, 4}
+    est = sampled_knit(virt, 40000, seed=2, keep_clbits=keep)
+    assert list(est.bit_positions) == sorted(keep)
+    ideal = simulate_circuit(orig)
+    v = np.asarray(ideal.values).reshape(-1)
+    marg = np.zeros(4)
+    for i, p in enumerate(v):
+        marg[((i >> 4) & 1) << 1 | (i & 1)] += p  # clbits 0 (LSB) and 4
+    np.testing.assert_allclose(
+        np.asarray(est.values), marg, atol=0.06
+    )
+
+
+def test_fewer_unique_instances_than_grid():
+    """The point of sampling: far fewer simulated instances than the
+    exhaustive grid when the budget is below the label count."""
+    _, virt = _cut_ghz(n=7, cap=4)  # >= 2 cuts
+    total = 1
+    for vg in virt.vgates:
+        total *= vg.spec.num_instantiations
+    m = max(4, total // 8)
+    labels = sample_labels(virt, m, seed=3)
+    uniq = np.unique(labels, axis=0)
+    assert len(uniq) <= m < total
+
+
+def test_run_virtual_circuit_sampled_engine():
+    orig, virt = _cut_ghz()
+    dist, info = run_virtual_circuit(virt, engine="sampled", shots=30000,
+                                     seed=4)
+    fid = hellinger_fidelity(simulate_circuit(orig), dist)
+    assert fid > 0.99, fid
+    assert info.run_time > 0
