@@ -86,7 +86,11 @@ def measurement_circuit(ansatz: Circuit, basis: str) -> Circuit:
     if c.num_clbits < ansatz.num_qubits:
         from ..circuit.circuit import Register
 
-        c.add_creg(Register("meas", ansatz.num_qubits - c.num_clbits))
+        taken = {r.name for r in c.cregs}
+        name = "meas"
+        while name in taken:
+            name += "_"
+        c.add_creg(Register(name, ansatz.num_qubits - c.num_clbits))
     for q, b in enumerate(basis):
         if b == "X":
             c.h(q)

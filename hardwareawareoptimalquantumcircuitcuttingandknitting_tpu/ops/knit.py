@@ -67,6 +67,10 @@ def _fold_fragment(
     reconstructed marginal is exact while the full 2^num_clbits
     distribution never materialises (the only way to knit 30+ qubit
     circuits).
+
+    NOTE: ops/qpd_sampling._fold_rows_per_label is this fold's per-label
+    twin (Monte-Carlo estimator) — semantic changes here (owner rule,
+    zero-clbit branch, bit-split order) must be mirrored there.
     """
     touching = res.touching
     n_inst = [virt.vgates[g].num_instantiations for g in touching]

@@ -88,10 +88,44 @@ def sample_labels(
         m = np.abs(np.asarray(vg.spec.coef, np.float64)[:, 0])
         cols.append(
             rng.choice(len(m), size=num_samples, p=m / m.sum())
+            .astype(np.int32)
         )
     if not cols:
         return np.zeros((num_samples, 0), np.int32)
-    return np.stack(cols, axis=1).astype(np.int32)
+    return np.stack(cols, axis=1)
+
+
+def sample_label_counts(
+    virt: VirtualCircuit,
+    num_samples: int,
+    seed: int = 0,
+    chunk: int = 1 << 20,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(unique_labels [L, G], counts [L]) for ``num_samples`` draws,
+    accumulated chunk-by-chunk — peak memory is O(chunk + unique), not
+    O(num_samples), so budgets far beyond the unique-label count cost
+    nothing extra."""
+    acc: dict[tuple, int] = {}
+    rng_seed = seed
+    done = 0
+    while done < num_samples:
+        take = min(chunk, num_samples - done)
+        labels = sample_labels(virt, take, seed=rng_seed)
+        uniq, counts = np.unique(labels, axis=0, return_counts=True)
+        for row, c in zip(uniq, counts):
+            key = tuple(int(v) for v in row)
+            acc[key] = acc.get(key, 0) + int(c)
+        done += take
+        rng_seed += 1  # fresh stream per chunk
+    if not acc:
+        return (np.zeros((0, len(virt.vgates)), np.int32),
+                np.zeros(0, np.int64))
+    uniq = np.array(sorted(acc), np.int32).reshape(
+        len(acc), len(virt.vgates)
+    )
+    counts = np.array([acc[tuple(int(v) for v in r)] for r in uniq],
+                      np.int64)
+    return uniq, counts
 
 
 def _sign_weights(virt: VirtualCircuit, frag_name: str) -> list[np.ndarray]:
@@ -116,6 +150,12 @@ def _fold_rows_per_label(virt, frag_name, rows, lab, positions):
     of the row index carries positions[j]).  Returns ([L, 2^d], data
     positions) with each touching vgate's measure clbit contracted by its
     per-label sign weight (owner) or summed out (other endpoint).
+
+    PARITY-CRITICAL twin of ops/knit._fold_fragment (label axis instead
+    of variant-grid axes): the owner-side rule, the structurally-zero
+    clbit branch, and the bit-split convention must stay in lockstep —
+    any change to the exact fold must be mirrored here (the full-grid
+    identity tests in tests/test_qpd_sampling.py catch drift).
     """
     prog = virt.programs[frag_name]
     touching = list(prog.touching)
@@ -247,8 +287,7 @@ def sampled_knit(
     estimates a marginal (wide circuits) without materialising the full
     distribution.
     """
-    labels = sample_labels(virt, num_samples, seed)
-    uniq, counts = np.unique(labels, axis=0, return_counts=True)
+    uniq, counts = sample_label_counts(virt, num_samples, seed)
     return _estimate(
         virt, uniq, counts.astype(np.float64) / num_samples, keep_clbits
     )

@@ -123,7 +123,21 @@ def run_virtual_circuit(
         # (default: the plan's kappa / 0.05^2 Hoeffding budget).
         from .ops.qpd_sampling import sampled_knit, sampling_overhead
 
-        budget = shots or sampling_overhead(virt, eps=0.05)["shots_for_eps"]
+        budget = shots
+        if budget is None:
+            over = sampling_overhead(virt, eps=0.05)
+            # the Hoeffding budget kappa/eps^2 grows as 9^n_cuts — cap the
+            # default and report the accuracy actually bought; callers
+            # wanting tighter eps pass ``shots`` explicitly
+            budget = min(over["shots_for_eps"], 2_000_000)
+            if budget < over["shots_for_eps"]:
+                log.warning(
+                    f"sampled engine: default budget capped at {budget} "
+                    f"(kappa={over['kappa']:.3g} wants "
+                    f"{over['shots_for_eps']} for eps=0.05; the cap buys "
+                    f"eps~{(over['kappa'] / budget) ** 0.5:.3g}); pass "
+                    "shots= for a larger budget"
+                )
         now = time.perf_counter()
         with tracer.phase("qpd_sample_knit", samples=budget):
             dist = sampled_knit(virt, budget, seed=seed)

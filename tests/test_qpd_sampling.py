@@ -154,3 +154,64 @@ def test_run_virtual_circuit_sampled_engine():
     fid = hellinger_fidelity(simulate_circuit(orig), dist)
     assert fid > 0.99, fid
     assert info.run_time > 0
+
+
+def _cut_three_fragments():
+    """3-fragment chain via explicit vgates (as __graft_entry__ does)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+        Instruction,
+        Register,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_gates import (
+        VirtualGateOp,
+    )
+
+    n = 6
+    orig = Circuit(n, n)
+    orig.h(0)
+    for i in range(n - 1):
+        if i in (1, 3):
+            orig.cz(i, i + 1)
+        else:
+            orig.cx(i, i + 1)
+    for q in range(n):
+        orig.measure(q, q)
+
+    cut = Circuit(
+        [Register("f0", 2), Register("f1", 2), Register("f2", 2)], n
+    )
+    cut.h(0)
+    cut.cx(0, 1)
+    cut.append(Instruction("vgate", [1, 2], op=VirtualGateOp("cz")))
+    cut.cx(2, 3)
+    cut.append(Instruction("vgate", [3, 4], op=VirtualGateOp("cz")))
+    cut.cx(4, 5)
+    for q in range(n):
+        cut.measure(q, q)
+    return orig, VirtualCircuit(cut)
+
+
+def test_estimate_full_grid_three_fragments():
+    """>=3 fragments through the label-axis einsum: the full-grid
+    identity must still reproduce the exact knit (guards the fold-twin
+    against drift beyond the 2-fragment shape)."""
+    _, virt = _cut_three_fragments()
+    assert len(virt.fragments) == 3
+    grid, mass = _full_grid(virt)
+    est = _estimate(virt, grid, mass)
+    want, _ = run_virtual_circuit(virt, project=False)
+    assert list(est.bit_positions) == list(want.bit_positions)
+    np.testing.assert_allclose(
+        np.asarray(est.values), np.asarray(want.values), atol=2e-5
+    )
+
+
+def test_sample_label_counts_chunked_matches_total():
+    _, virt = _cut_ghz()
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        sample_label_counts,
+    )
+
+    uniq, counts = sample_label_counts(virt, 5000, seed=9, chunk=700)
+    assert counts.sum() == 5000
+    assert len(uniq) == len(np.unique(uniq, axis=0))
