@@ -38,7 +38,35 @@ CONFIGS = {
     # name: (n_qubits, entangling layers, partition cap)
     "tfim16": (16, 1, 9),
     "tfim20": (20, 2, 11),
+    # qaoa16: MaxCut on the 16-ring, p=1 (2 params via affine ParamRefs),
+    # 2 crossing edges x 2 cx = 4 gate cuts, 1296 instances, 1 group
+    "qaoa16": (16, 1, 9),
 }
+
+
+def qaoa_maxcut_terms(n):
+    """E = -C for MaxCut on the n-ring: (+0.5, Z_iZ_{i+1}) and -n/2."""
+    terms = []
+    for i in range(n):
+        zz = ["I"] * n
+        zz[i] = zz[(i + 1) % n] = "Z"
+        terms.append((0.5, "".join(zz)))
+    terms.append((-0.5 * n, "I" * n))
+    return terms
+
+
+def build_qaoa_ansatz(n, th, mark=True):
+    import networkx as nx
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.qaoa import (
+        construct_qaoa_plus,
+    )
+
+    params = (
+        [ParamRef(0, float(th[0])), ParamRef(1, float(th[1]))]
+        if mark else [float(th[0]), float(th[1])]
+    )
+    return construct_qaoa_plus(P=1, G=nx.cycle_graph(n), params=params)
 
 
 def tfim(n, j=1.0, h=0.7):
@@ -95,15 +123,25 @@ def run_config(key: str, steps: int, reps: int) -> dict:
     n, layers, cap = CONFIGS[key]
     out = {"config": key, "n_qubits": n, "layers": layers,
            "device": jax.devices()[0].device_kind}
-    terms = tfim(n)
-    n_params = (layers + 1) * n
-    th0 = np.linspace(0.2, 1.7, n_params)
+    qaoa = key.startswith("qaoa")
+    if qaoa:
+        terms = qaoa_maxcut_terms(n)
+        th0 = np.array([2.0, 1.5])
+        build = lambda th, mark=True: build_qaoa_ansatz(n, th, mark)  # noqa: E731
+        cuts_budget = 8
+    else:
+        terms = tfim(n)
+        n_params = (layers + 1) * n
+        th0 = np.linspace(0.2, 1.7, n_params)
+        build = lambda th, mark=True: build_ansatz(n, layers, th, mark)  # noqa: E731
+        cuts_budget = 5
 
     t0 = time.perf_counter()
     energy, info = make_hamiltonian_energy(
-        build_ansatz(n, layers, th0),
+        build(th0),
         dict(maxNPartitions=2, maxNQubitsPerPartition=cap,
-             maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5),
+             maxNQpdCuts=cuts_budget, maxNCuts=cuts_budget,
+             maxCutsPerPartitions=cuts_budget),
         terms,
     )
     out["build_s"] = round(time.perf_counter() - t0, 3)
@@ -123,7 +161,7 @@ def run_config(key: str, steps: int, reps: int) -> dict:
     out["first_step_s"] = round(time.perf_counter() - t0, 2)
     out["e_theta0"] = round(e0, 6)
     out["e_oracle_theta0"] = round(
-        oracle_energy(build_ansatz(n, layers, th0, mark=False), terms, n), 6
+        oracle_energy(build(th0, mark=False), terms, n), 6
     )
 
     times = []

@@ -7,9 +7,10 @@ cuts but scales exponentially in the cut count.  This module implements
 the standard quasi-probability sampling estimator on top of the same
 engines:
 
-  * each cut's coefficient table ``coef[v, b]`` factors into a magnitude
-    ``m[v] = |coef[v, b]|`` (b-independent for every QPD in virt/tables.py)
-    and a sign ``coef[v, b] / m[v]``,
+  * each cut's coefficient table ``coef[v, b]`` factors into a sampling
+    magnitude ``m[v] = max_b |coef[v, b]|`` and a bounded fold ratio
+    ``coef[v, b] / m[v]`` (a pure sign for the fixed-gate QPDs, a value
+    in [-1, 1] for the parameterised rzz/cp tables),
   * ``gamma_g = sum_v m[v]`` is the cut's 1-norm; sampling labels with
     ``P(v_g) = m_g[v_g] / gamma_g`` independently per cut and weighting
     each sample by ``prod_g gamma_g`` times the signs gives an unbiased
@@ -38,24 +39,24 @@ from .statevector import Distribution
 from .variant_engine import _slot_tables, make_sim_fn
 
 
-def cut_gammas(virt: VirtualCircuit) -> list[float]:
-    """Per-vgate QPD 1-norms ``gamma_g = sum_v |coef[v, 0]|``.
+def _variant_magnitudes(spec) -> np.ndarray:
+    """Per-variant sampling magnitude ``m[v] = max_b |coef[v, b]|``.
 
-    Raises if any table's coefficient magnitude depends on the measured
-    bit (none of virt/tables.py's do) — outcome-dependent magnitudes
-    would need a different sampler.
-    """
-    gammas = []
-    for g, vg in enumerate(virt.vgates):
-        coef = np.asarray(vg.spec.coef, np.float64)
-        m0, m1 = np.abs(coef[:, 0]), np.abs(coef[:, 1])
-        if not np.allclose(m0, m1):
-            raise ValueError(
-                f"vgate {g} ({vg.base_name}): coefficient magnitude "
-                "depends on the measured bit; cannot importance-sample"
-            )
-        gammas.append(float(m0.sum()))
-    return gammas
+    For the fixed-gate QPDs (cx/cy/cz, wire move) the magnitude is
+    outcome-independent and this is just ``|coef[v, 0]|`` (the textbook
+    gammas: 3 and 4); parameterised QPDs (rzz/cp) have outcome-dependent
+    coefficients, for which sampling by the max and folding
+    ``coef[v, b] / m[v]`` (a ratio in [-1, 1]) keeps the estimator
+    unbiased with gamma = sum_v m[v]."""
+    coef = np.asarray(spec.coef, np.float64)
+    return np.maximum(np.abs(coef[:, 0]), np.abs(coef[:, 1]))
+
+
+def cut_gammas(virt: VirtualCircuit) -> list[float]:
+    """Per-vgate QPD 1-norms ``gamma_g = sum_v max_b |coef[v, b]|``."""
+    return [
+        float(_variant_magnitudes(vg.spec).sum()) for vg in virt.vgates
+    ]
 
 
 def sampling_overhead(virt: VirtualCircuit, eps: float | None = None):
@@ -81,11 +82,11 @@ def sample_labels(
     virt: VirtualCircuit, num_samples: int, seed: int = 0
 ) -> np.ndarray:
     """[num_samples, n_vgates] int32 variant indices, drawn independently
-    per cut with ``P(v) = |coef[v, 0]| / gamma``."""
+    per cut with ``P(v) = max_b |coef[v, b]| / gamma``."""
     rng = np.random.default_rng(seed)
     cols = []
     for vg in virt.vgates:
-        m = np.abs(np.asarray(vg.spec.coef, np.float64)[:, 0])
+        m = _variant_magnitudes(vg.spec)
         cols.append(
             rng.choice(len(m), size=num_samples, p=m / m.sum())
             .astype(np.int32)
@@ -129,15 +130,15 @@ def sample_label_counts(
 
 
 def _sign_weights(virt: VirtualCircuit, frag_name: str) -> list[np.ndarray]:
-    """fold_weights with each owner-side coefficient normalised to its
-    sign (magnitudes live in the sampling probabilities instead)."""
+    """fold_weights with each owner-side coefficient normalised by its
+    variant's sampling magnitude ``max_b |coef[v, b]|`` (the same ``m``
+    :func:`sample_labels` draws with — the two MUST share the convention
+    for unbiasedness).  Non-owner rows are ones (max 1, no-op).
+    Zero-magnitude variants are never sampled; guard the division."""
     out = []
     for w in fold_weights(virt, frag_name):
         w = np.asarray(w, np.float64)
-        # rows are either the owner's coef (|w0| == |w1|, validated by
-        # cut_gammas) or ones — normalising by |w0| is a no-op on the
-        # latter.  Zero-magnitude variants are never sampled; guard them.
-        mag = np.abs(w[:, 0])
+        mag = np.maximum(np.abs(w[:, 0]), np.abs(w[:, 1]))
         out.append(w / np.where(mag > 0, mag, 1.0)[:, None])
     return out
 

@@ -71,7 +71,8 @@ def _full_grid(virt):
     grid = np.indices(sizes).reshape(len(sizes), -1).T.astype(np.int32)
     mass = np.ones(len(grid), np.float64)
     for g, vg in enumerate(virt.vgates):
-        m = np.abs(np.asarray(vg.spec.coef, np.float64)[:, 0])
+        c = np.asarray(vg.spec.coef, np.float64)
+        m = np.maximum(np.abs(c[:, 0]), np.abs(c[:, 1]))
         mass *= (m / m.sum())[grid[:, g]]
     return grid, mass
 

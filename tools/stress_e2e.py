@@ -180,6 +180,34 @@ def run_trial(seed: int) -> dict | None:
             return {"check": "marginal_knit", "max_err": merr,
                     "keep": keep}
 
+        # QPD-sampling estimator fed the FULL grid at its exact sampling
+        # mass must reproduce the exact knit (unbiasedness identity —
+        # deterministic, no Monte-Carlo tolerance)
+        if labels <= 3000:
+            _hit("qpd_identity")
+            from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+                _estimate,
+            )
+
+            sizes = [vg.spec.num_instantiations for vg in virt.vgates]
+            grid = (
+                np.indices(sizes).reshape(len(sizes), -1).T.astype(np.int32)
+                if sizes else np.zeros((1, 0), np.int32)
+            )
+            mass = np.ones(len(grid), np.float64)
+            for g, vg in enumerate(virt.vgates):
+                c = np.asarray(vg.spec.coef, np.float64)
+                m = np.maximum(np.abs(c[:, 0]), np.abs(c[:, 1]))
+                mass *= (m / m.sum())[grid[:, g]]
+            est = _estimate(virt, grid, mass)
+            if est.bit_positions != knitted.bit_positions:
+                return {"check": "qpd_identity_positions"}
+            qerr = float(np.max(np.abs(
+                np.asarray(est.values, np.float64) - kv
+            )))
+            if qerr > 5e-5:
+                return {"check": "qpd_identity", "max_err": qerr}
+
         # projection is a simplex point
         proj, _ = run_virtual_circuit(virt, project=True)
         pv = np.asarray(proj.values, np.float64)
