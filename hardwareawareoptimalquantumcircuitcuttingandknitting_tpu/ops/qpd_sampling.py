@@ -231,14 +231,21 @@ def _estimate(
     labels: np.ndarray,
     mass: np.ndarray,
     keep_clbits=None,
-) -> Distribution:
+    second_moment: bool = False,
+):
     """Core estimator: ``sum_l mass[l] * gamma_total * signed_knit(l)``.
 
     With ``labels`` = the full label grid and ``mass`` = each label's
     exact sampling probability this reproduces the exact knit (the
     identity the estimator is unbiased against — tested); with sampled
     unique labels and ``mass = counts / num_samples`` it is the
-    Monte-Carlo estimate."""
+    Monte-Carlo estimate.
+
+    ``second_moment``: also return ``E[X^2]`` per outcome (X = the
+    per-sample weighted value ``gamma * signed_knit``; the per-label
+    square factors over the disjoint fragment bit groups, so it is the
+    same einsum over squared rows) — the ingredient for standard
+    errors."""
     gamma_total = sampling_overhead(virt)["gamma_total"]
     lab = jnp.asarray(labels, jnp.int32)
     frag_rows = []
@@ -255,22 +262,33 @@ def _estimate(
         frag_rows.append(rows)
         frag_positions.append(positions)
 
-    # one weighted einsum over the label axis: 'l,la,lb,...->ab...'
-    w = jnp.asarray(mass, frag_rows[0].dtype) * gamma_total
-    operands = [w, [0]]
-    for i, rows in enumerate(frag_rows):
-        operands += [rows, [0, 1 + i]]
-    merged = jnp.einsum(*operands, list(range(1, 1 + len(frag_rows))))
-    merged = merged.reshape(-1)
-
     # mirror knit_values' layout: LAST fragment axis = LOW bits, then
     # permute to global ascending clbit order
     src_bits: list[int] = []
     for pos_list in reversed(frag_positions):
         src_bits.extend(pos_list)
     dst_bits = sorted(src_bits)
-    merged = permute_bits_flat(merged, src_bits, dst_bits)
-    return Distribution(np.asarray(merged), dst_bits, virt.num_clbits)
+
+    def combine(weights_l, rows_list):
+        # one weighted einsum over the label axis: 'l,la,lb,...->ab...'
+        operands = [weights_l, [0]]
+        for i, rows in enumerate(rows_list):
+            operands += [rows, [0, 1 + i]]
+        merged = jnp.einsum(
+            *operands, list(range(1, 1 + len(rows_list)))
+        ).reshape(-1)
+        return permute_bits_flat(merged, src_bits, dst_bits)
+
+    dt = frag_rows[0].dtype
+    w = jnp.asarray(mass, dt) * gamma_total
+    est = Distribution(
+        np.asarray(combine(w, frag_rows)), dst_bits, virt.num_clbits
+    )
+    if not second_moment:
+        return est
+    w2 = jnp.asarray(mass, dt) * (gamma_total * gamma_total)
+    m2 = np.asarray(combine(w2, [r * r for r in frag_rows]))
+    return est, m2
 
 
 def sampled_knit(
@@ -278,7 +296,8 @@ def sampled_knit(
     num_samples: int,
     seed: int = 0,
     keep_clbits=None,
-) -> Distribution:
+    with_stderr: bool = False,
+):
     """Unbiased Monte-Carlo estimate of the knitted distribution from
     ``num_samples`` QPD samples — only the sampled labels' instances are
     simulated (deduplicated), instead of the full ``prod_g n_g`` grid.
@@ -286,9 +305,14 @@ def sampled_knit(
     Per-outcome standard error ~ ``gamma_total / sqrt(num_samples)``;
     see :func:`sampling_overhead` for the budget.  ``keep_clbits``
     estimates a marginal (wide circuits) without materialising the full
-    distribution.
+    distribution.  ``with_stderr``: additionally return the per-outcome
+    standard error of the estimate, ``sqrt((E[X^2] - E[X]^2) /
+    num_samples)`` from the sample's own moments.
     """
     uniq, counts = sample_label_counts(virt, num_samples, seed)
-    return _estimate(
-        virt, uniq, counts.astype(np.float64) / num_samples, keep_clbits
-    )
+    mass = counts.astype(np.float64) / num_samples
+    if not with_stderr:
+        return _estimate(virt, uniq, mass, keep_clbits)
+    est, m2 = _estimate(virt, uniq, mass, keep_clbits, second_moment=True)
+    var = np.maximum(m2 - np.asarray(est.values) ** 2, 0.0)
+    return est, np.sqrt(var / num_samples)

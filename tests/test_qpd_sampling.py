@@ -216,3 +216,23 @@ def test_sample_label_counts_chunked_matches_total():
     uniq, counts = sample_label_counts(virt, 5000, seed=9, chunk=700)
     assert counts.sum() == 5000
     assert len(uniq) == len(np.unique(uniq, axis=0))
+
+
+def test_sampled_knit_stderr_calibration():
+    """Reported per-outcome stderr must (a) respect the analytic
+    gamma/sqrt(M) bound and (b) actually cover the realised error: the
+    true value should land within 4 reported sigmas for ~every outcome,
+    and the stderr must not be wildly pessimistic either (the realised
+    max |error| should exceed 0.1x the max stderr)."""
+    orig, virt = _cut_ghz()
+    m = 20000
+    est, stderr = sampled_knit(virt, m, seed=5, with_stderr=True)
+    over = sampling_overhead(virt)
+    assert stderr.shape == np.asarray(est.values).shape
+    assert float(stderr.max()) <= over["gamma_total"] / np.sqrt(m) + 1e-9
+
+    ideal = np.asarray(simulate_circuit(orig).values)
+    errs = np.abs(np.asarray(est.values) - ideal)
+    cover = errs <= 4 * stderr + 1e-12
+    assert cover.mean() > 0.97, (errs.max(), stderr.max())
+    assert errs.max() > 0.1 * stderr.max()
