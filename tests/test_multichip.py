@@ -64,6 +64,19 @@ print("6dev OK", fid, fid2)
 
 
 @pytest.mark.slow
+def test_population_spsa_sharded_over_dp():
+    """Population-parallel optimisation (r3): SPSA probe batches sharded
+    over a 4-device dp mesh must step to the single-device trajectory."""
+    out = _run_in_subprocess(
+        "from __graft_entry__ import _dryrun_population_sharded;"
+        "err = _dryrun_population_sharded(4);"
+        "print('pop-dp OK', err)",
+        4,
+    )
+    assert "pop-dp OK" in out
+
+
+@pytest.mark.slow
 def test_vqe_energy_and_grad_sharded_over_dp():
     """Multi-chip VQE (r3): make_hamiltonian_energy(mesh=...) constrains
     every fragment's QPD variant fan-out over the dp axis; energy and a
