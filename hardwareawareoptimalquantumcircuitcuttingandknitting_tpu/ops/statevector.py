@@ -88,6 +88,74 @@ def _kq_operands(b, axes, n: int, transpose, state_reshape):
     return u, st, f"{u_sub},{st_sub}->{out_sub}"
 
 
+def diag_of_block(b) -> tuple[np.ndarray, np.ndarray] | None:
+    """``(re, im)`` diagonal vectors if the HOST-constant real block
+    encodes a diagonal complex matrix, else None.
+
+    Diagonal gates dominate several benchmark families post-fusion (cp
+    layers in aqft, rz/rzz in hwe: 39-56% of HBM passes), and a diagonal
+    application needs no matmul and no transposes — XLA lowers the
+    elementwise form to ONE fused HBM pass, where the einsum path's
+    transpose-dot-transpose moves ~2.6x the state bytes (measured via
+    compiled cost_analysis on the v5e, see PERF.md).  Only trace-time
+    numpy constants are inspected; traced (theta-dependent) blocks take
+    the general path.
+    """
+    if not isinstance(b, np.ndarray) or b.ndim != 4:
+        return None
+    m = b.shape[1]
+    i = np.arange(m)
+    dr, di = b[0, i, 0, i], b[1, i, 0, i]
+    if (
+        np.count_nonzero(b[0, :, 0, :] - np.diag(dr)) == 0
+        and np.count_nonzero(b[1, :, 0, :] - np.diag(di)) == 0
+        and np.count_nonzero(b[0, :, 1, :] + np.diag(di)) == 0
+        and np.count_nonzero(b[1, :, 1, :] - np.diag(dr)) == 0
+    ):
+        return dr, di
+    return None
+
+
+def _diag_broadcast(d: np.ndarray, axes, trail: int = 0):
+    """Reshape a [2^k] gate-local diagonal to broadcast against a state
+    reshaped per the bit split of :func:`apply_diag`: gate-local bit
+    order (axes[0] = MSB) is permuted to ascending qubit order, gap dims
+    become 1s.  ``trail`` appends broadcast axes (1 for the lane layout's
+    trailing chunk axis)."""
+    k = len(axes)
+    t = d.reshape((2,) * k)
+    order = sorted(range(k), key=lambda i: axes[i])
+    if order != list(range(k)):
+        t = np.transpose(t, order)
+    shape = []
+    for _ in range(k):
+        shape += [1, 2]
+    shape.append(1)
+    shape += [1] * trail
+    return np.reshape(t, shape)
+
+
+def apply_diag(state: jnp.ndarray, dr: np.ndarray, di: np.ndarray,
+               axes, n: int) -> jnp.ndarray:
+    """Apply a diagonal gate (diagonal ``dr + i*di`` over the gate-local
+    index, axes[0] = MSB) to a flat real-rep ``[2, 2^n]`` state as one
+    fused elementwise pass."""
+    k = len(axes)
+    qs = sorted(axes)
+    shape = []
+    prev = -1
+    for q in qs:
+        shape += [1 << (q - prev - 1), 2]
+        prev = q
+    shape.append(1 << (n - 1 - qs[-1]))
+    st = state.reshape((2,) + tuple(shape))
+    re, im = st[0], st[1]
+    drb = jnp.asarray(_diag_broadcast(dr, axes))
+    dib = jnp.asarray(_diag_broadcast(di, axes))
+    out = jnp.stack([drb * re - dib * im, dib * re + drb * im])
+    return out.reshape(2, 1 << n)
+
+
 def apply_matrix(state: jnp.ndarray, block, axes, n: int | None = None) -> jnp.ndarray:
     """Apply a 1- or 2-qubit gate (real block from ``to_real_block``, or a
     complex matrix converted on the fly) to a flat real-rep state
@@ -105,6 +173,9 @@ def apply_matrix(state: jnp.ndarray, block, axes, n: int | None = None) -> jnp.n
         block = to_real_block(block)
     if n is None:
         n = int(math.log2(state.shape[-1]))
+    d = diag_of_block(block)
+    if d is not None:
+        return apply_diag(state, d[0], d[1], axes, n)
     b = jnp.asarray(block)
     if len(axes) == 1:
         q = axes[0]

@@ -417,6 +417,14 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
 
     _sim_one.noise_sites = noise_sites
     _sim_one.readout_device = readout_device
+    # the real execution plan, for the analytic performance model
+    # (ops/roofline.py): per-variant steps after the shared host prefix,
+    # the prefix width, and the final active-qubit set
+    _sim_one.run_plan = run_plan
+    _sim_one.prefix_width = m0
+    _sim_one.prefix_state = prefix_state
+    _sim_one.active_final = active_final
+    _sim_one.sources = sources
     # callers that gather slot matrices ON DEVICE (streamed / sharded
     # paths) skip the O(flat_count x slots x ~384 B) host gather
     all_mats = (
