@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--fragment", type=int, default=0)
+    ap.add_argument("--fuse", type=int, default=3)
     args = ap.parse_args()
     name, n, d = args.config[0], int(args.config[1]), int(args.config[2])
 
@@ -76,9 +77,9 @@ def main():
     specs = [vg.spec for vg in virt.vgates]
 
     sim_one, _, positions, flat_count = make_sim_fn(
-        virt, frag, build_matrices=False
+        virt, frag, build_matrices=False, fuse_qubits=args.fuse
     )
-    sim_chunk, _, _ = make_lane_sim(virt, frag)
+    sim_chunk, _, _ = make_lane_sim(virt, frag, fuse_qubits=args.fuse)
 
     chunk = int(min(args.chunk, flat_count))
     n_chunks = -(-flat_count // chunk)
@@ -128,6 +129,7 @@ def main():
         "variants": flat_count,
         "sim_qubits": prog.num_sim_qubits,
         "chunk": chunk,
+        "fuse_qubits": args.fuse,
         "device": str(dev.device_kind),
     }
 

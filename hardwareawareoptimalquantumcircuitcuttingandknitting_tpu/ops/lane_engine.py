@@ -83,9 +83,28 @@ def apply_lane(state, block, axes, m: int, variant_axis: bool):
     ``block``: real block ``[2, d, 2, d]`` (trace-time constant) or
     ``[C, 2, d, 2, d]`` per-variant (``variant_axis=True``), d = 2^k.
     """
-    from .statevector import _diag_broadcast, diag_of_block
+    from .statevector import (
+        _apply_const_slices,
+        _diag_broadcast,
+        diag_of_block,
+    )
 
     k = len(axes)
+    if not variant_axis:
+        C = state.shape[-1]
+        if (
+            isinstance(block, np.ndarray) and k <= 3
+            and C & (C - 1) == 0
+        ):
+            # the trailing chunk axis folds into the final gap dim: a
+            # [2, 2^m, C] lane state IS a [2, 2^(m+log2 C)] state whose
+            # gates act on the same high axes — reuse the slice-combine
+            # fast path unchanged
+            out = _apply_const_slices(
+                state.reshape(2, -1), block, axes,
+                m + (C.bit_length() - 1),
+            )
+            return out.reshape(2, 1 << m, C)
     if not variant_axis:
         dg = diag_of_block(
             block if isinstance(block, np.ndarray) else None
@@ -119,7 +138,8 @@ def apply_lane(state, block, axes, m: int, variant_axis: bool):
     return out.reshape(2, 1 << m, C)
 
 
-def make_lane_sim(virt: VirtualCircuit, frag_name: str):
+def make_lane_sim(virt: VirtualCircuit, frag_name: str,
+                  fuse_qubits: int = 3):
     """Build ``sim_chunk(slot_mats) -> [2^width, C]`` for one fragment.
 
     ``slot_mats``: per-slot ``(pre[C,2,2,2,2], m4[C,2,4,2,4],
@@ -130,7 +150,7 @@ def make_lane_sim(virt: VirtualCircuit, frag_name: str):
     from .variant_engine import label_strides, make_sim_fn
 
     sim_one, _, positions, flat_count = make_sim_fn(
-        virt, frag_name, build_matrices=False
+        virt, frag_name, build_matrices=False, fuse_qubits=fuse_qubits
     )
     run_plan = sim_one.run_plan
     m0 = sim_one.prefix_width

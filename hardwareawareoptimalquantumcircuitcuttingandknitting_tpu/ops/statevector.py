@@ -156,6 +156,72 @@ def apply_diag(state: jnp.ndarray, dr: np.ndarray, di: np.ndarray,
     return out.reshape(2, 1 << n)
 
 
+def _apply_const_slices(state: jnp.ndarray, block: np.ndarray, axes,
+                        n: int) -> jnp.ndarray:
+    """Apply a host-constant k<=3-qubit real block as an explicit
+    slice-combination: every output sub-block is a coefficient-weighted
+    sum of input sub-blocks (strided elementwise FMAs).
+
+    XLA lowers the general einsum path as transpose-dot-transpose — 2.98x
+    the minimal state traffic by its own cost model; this form fuses to
+    strided loads/FMAs/stores with no transposes and measured 1.39x
+    faster on the v5e for a dense 2q gate (benchmarks/gate micro-probe,
+    PERF.md).  Zero coefficients (>= 50% of a typical real-rep block) are
+    constant-folded away entirely.
+    """
+    k = len(axes)
+    u = block.reshape((2,) + (2,) * k + (2,) + (2,) * k)
+    order = sorted(range(k), key=lambda i: axes[i])
+    if order != list(range(k)):
+        perm = [0] + [1 + p for p in order] + [k + 1] + [
+            k + 2 + p for p in order
+        ]
+        u = np.transpose(u, perm)
+    qs = sorted(axes)
+    shape = [2]
+    prev = -1
+    for q in qs:
+        shape += [1 << (q - prev - 1), 2]
+        prev = q
+    shape.append(1 << (n - 1 - qs[-1]))
+    st = state.reshape(tuple(shape))
+    gap_shape = tuple(shape[i] for i in range(1, 2 * k + 2, 2)) + (
+        shape[-1],
+    )
+
+    def comb(out_bits):
+        # out_bits = (x, o_0..o_{k-1}); sum over (y, i_0..i_{k-1})
+        acc = None
+        for in_flat in range(1 << (k + 1)):
+            in_bits = tuple(
+                (in_flat >> (k - j)) & 1 for j in range(k + 1)
+            )
+            coef = float(u[out_bits + in_bits])
+            if coef == 0.0:
+                continue
+            idx = (in_bits[0],)
+            for j in range(k):
+                idx += (slice(None), in_bits[1 + j])
+            t = st[idx] if coef == 1.0 else coef * st[idx]
+            acc = t if acc is None else acc + t
+        if acc is None:
+            acc = jnp.zeros(gap_shape, state.dtype)
+        return acc
+
+    def build(prefix):
+        # stacks happen bottom-up: o_{k-1} first onto the gap-only
+        # tensor [g0..gk] at axis k, ..., o_{j-1} at axis j (between
+        # g_{j-1} and g_j), finally x at axis 0
+        j = len(prefix)
+        if j == k + 1:
+            return comb(tuple(prefix))
+        parts = [build(prefix + (b,)) for b in (0, 1)]
+        return jnp.stack(parts, axis=j)
+
+    out = build(())
+    return out.reshape(2, 1 << n)
+
+
 def apply_matrix(state: jnp.ndarray, block, axes, n: int | None = None) -> jnp.ndarray:
     """Apply a 1- or 2-qubit gate (real block from ``to_real_block``, or a
     complex matrix converted on the fly) to a flat real-rep state
@@ -176,6 +242,8 @@ def apply_matrix(state: jnp.ndarray, block, axes, n: int | None = None) -> jnp.n
     d = diag_of_block(block)
     if d is not None:
         return apply_diag(state, d[0], d[1], axes, n)
+    if isinstance(block, np.ndarray) and len(axes) <= 3:
+        return _apply_const_slices(state, block, axes, n)
     b = jnp.asarray(block)
     if len(axes) == 1:
         q = axes[0]

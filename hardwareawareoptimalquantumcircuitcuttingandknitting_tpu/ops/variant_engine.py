@@ -199,7 +199,7 @@ def variant_index_table(
 
 
 def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
-                build_matrices: bool = True):
+                build_matrices: bool = True, fuse_qubits: int = 3):
     """Build the per-variant simulation closure for a fragment.
 
     Returns (sim_one, slot_mats, positions, flat_count) where ``sim_one``
@@ -236,7 +236,7 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
         # 3-qubit block fusion: every merged block replaces >= 2 HBM
         # passes with one on the bandwidth-limited engines (the sharded
         # and Pallas paths, whose apply only handles 2q, stay at 2)
-        skeleton, mats = fused_stream(prog.ops, max_qubits=3)
+        skeleton, mats = fused_stream(prog.ops, max_qubits=fuse_qubits)
         prog_ops = []
         bi = 0
         for op in skeleton:
