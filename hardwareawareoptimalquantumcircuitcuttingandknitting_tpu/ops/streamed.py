@@ -46,6 +46,8 @@ from .variant_engine import (
     _slot_tables,
     label_strides,
     make_sim_fn,
+    make_split_fns,
+    split_plan,
     variant_index_table,
 )
 
@@ -74,7 +76,8 @@ def _sample_pauli_indices(rng, site_probs, count: int, traj: int) -> np.ndarray:
 def make_streamed_knit(
     virt: VirtualCircuit, chunk: int = 512, keep_clbits=None,
     noise=None, trajectories: int | None = None, seed: int = 0,
-    z_clbits=None,
+    z_clbits=None, share_prefix: bool = False,
+    bank_budget_bytes: int = 512 << 20,
 ):
     """Build (step_fn, xs, meta): ``step_fn(xs)`` scans all global label
     chunks and returns the flat knitted quasi-distribution values.
@@ -105,6 +108,18 @@ def make_streamed_knit(
     are gathered on device — so host memory and host->device traffic scale
     with ``labels x vgates x 4 B`` instead of ``labels x slots x ~384 B``
     (load-bearing on the tunneled TPU and for aqft-16-class fan-outs).
+
+    ``share_prefix``: tree-share each fragment's plan prefix across
+    labels (exact path only).  Per fragment a :class:`SplitPlan` picks
+    the byte-minimal split: an *ancestor bank* ``[n_anc, 2, 2^m_split]``
+    is computed by a first scan (one prefix run per combination of the
+    shared vgates' variants), and the label scan gathers ancestor states
+    and runs only the plan's suffix — 1.4-1.6x less HBM traffic on the
+    north-star configs (PERF.md), full row dedup for fragments touching
+    a vgate subset.  The bank is (re)computed inside ``step_fn`` — one
+    program, no semantic change; fragments where no split wins (or the
+    bank exceeds ``bank_budget_bytes``) keep the flat path.  Noisy
+    fragments never share (per-label trajectory sites).
     """
     specs = [vg.spec for vg in virt.vgates]
     num_g = len(specs)
@@ -129,6 +144,7 @@ def make_streamed_knit(
     width_bits = []    # per fragment: #written bits before folding
     fold_plans = []    # per fragment: list of (bit_offset | None)
     data_positions = []
+    splits = []        # per fragment: None | (SplitPlan, prefix_one, suffix_one)
 
     def _chunked(a: np.ndarray) -> np.ndarray:
         return np.ascontiguousarray(
@@ -147,6 +163,15 @@ def make_streamed_knit(
             for t in _slot_tables(prog, specs)
         ])
         slot_gcols.append([slot.vgate_idx for slot in prog.slots])
+
+        sp = None
+        if share_prefix and nm is None:
+            sp = split_plan(
+                sim_one, prog, specs, total, bank_budget_bytes
+            )
+        splits.append(
+            None if sp is None else (sp,) + make_split_fns(sim_one, sp)
+        )
 
         if nm is None:
             xs_pauli.append(np.zeros((n_chunks, chunk, 0, 0), np.int32))
@@ -224,8 +249,70 @@ def make_streamed_knit(
 
     pauli_table = jnp.asarray(_PAULI_BLOCKS)
 
-    def _rows_for_fragment(fi, name, vidx_chunk, pidx):
+    def _bank_for_fragment(fi):
+        """[n_anc_pad, 2, 2^m_split] ancestor states: one prefix run per
+        combination of the shared vgates' variants (chunked lax.scan)."""
+        sp, prefix_one, _ = splits[fi]
+        per_anc = (1 << (sp.m_split + 1)) * 4
+        achunk = int(max(8, min(sp.n_anc, _CHUNK_BYTES_BUDGET // per_anc)))
+        n_ac = math.ceil(sp.n_anc / achunk)
+        n_pad = n_ac * achunk
+        n_inst_s = {
+            g: specs[g].num_instantiations for g in sp.shared
+        }
+        avidx = jnp.asarray(variant_index_table(
+            sp.shared, sp.astrides, n_inst_s, n_pad, clamp_to=sp.n_anc
+        ).reshape(n_ac, achunk, len(sp.shared)))
+        shared_sids = sorted({
+            stp[1] for stp in sp.prefix_steps if stp[0].startswith("slot")
+        })
+        suffix_sids = {
+            stp[1] for stp in sp.suffix_steps if stp[0].startswith("slot")
+        }
+        # slot-step groups are contiguous, so no slot straddles the split
+        assert not (set(shared_sids) & suffix_sids), (shared_sids, suffix_sids)
+        col_of = {g: j for j, g in enumerate(sp.shared)}
+
+        def abody(_, av):
+            mats = {
+                sid: tuple(
+                    t[av[:, col_of[slot_gcols[fi][sid]]]]
+                    for t in slot_tables[fi][sid]
+                )
+                for sid in shared_sids
+            }
+            return None, jax.vmap(prefix_one)(mats)
+
+        _, ys = jax.lax.scan(abody, None, avidx)
+        return ys.reshape(n_pad, 2, 1 << sp.m_split)
+
+    def _compute_banks():
+        return tuple(
+            _bank_for_fragment(fi) if splits[fi] is not None
+            else jnp.zeros((0,), jnp.float32)
+            for fi in range(len(frag_names))
+        )
+
+    def _rows_for_fragment(fi, name, vidx_chunk, pidx, bank=None):
         sim_one = sim_ones[name]
+        if splits[fi] is not None:
+            sp, _, suffix_one = splits[fi]
+            anc = jnp.zeros((chunk,), jnp.int32)
+            for g in sp.shared:
+                anc = anc + vidx_chunk[:, g] * jnp.int32(sp.astrides[g])
+            states = bank[anc]
+            suffix_sids = sorted({
+                stp[1] for stp in sp.suffix_steps
+                if stp[0].startswith("slot")
+            })
+            mats = {
+                sid: tuple(
+                    t[vidx_chunk[:, slot_gcols[fi][sid]]]
+                    for t in slot_tables[fi][sid]
+                )
+                for sid in suffix_sids
+            }
+            return jax.vmap(suffix_one)(states, mats)
         # device-side gather: per-label variant index -> slot matrices
         mats = [
             tuple(t[vidx_chunk[:, g]] for t in tabs)
@@ -264,12 +351,13 @@ def make_streamed_knit(
                 ).reshape(chunk, -1)
         return rows
 
-    def body(carry, x):
+    def body(carry, x, banks=None):
         vidx_chunk, pauli_chunks, valid_chunk = x
         es = []
         for fi, name in enumerate(frag_names):
             rows = _rows_for_fragment(
-                fi, name, vidx_chunk, pauli_chunks[fi]
+                fi, name, vidx_chunk, pauli_chunks[fi],
+                None if banks is None else banks[fi],
             )
             w_iter = iter(w_tables[fi])
             for kind, j, k in fold_plans[fi]:
@@ -299,8 +387,14 @@ def make_streamed_knit(
         es[0] = es[0] * valid_chunk[:, None]
         return carry + jnp.einsum(expr, *es), None
 
-    def segment_fn(carry, xs_seg):
-        out, _ = jax.lax.scan(body, carry, xs_seg)
+    any_split = any(s is not None for s in splits)
+
+    def segment_fn(carry, xs_seg, banks=None):
+        if banks is None and any_split:
+            banks = _compute_banks()
+        out, _ = jax.lax.scan(
+            lambda c, x: body(c, x, banks), carry, xs_seg
+        )
         return out
 
     def finish_fn(carry):
@@ -327,6 +421,8 @@ def make_streamed_knit(
         "carry_shape": shape,
         "segment_fn": segment_fn,
         "finish_fn": finish_fn,
+        "bank_fn": _compute_banks if any_split else None,
+        "splits": [s[0] if s is not None else None for s in splits],
     }
     return step_fn, xs, meta
 
@@ -441,6 +537,7 @@ def run_virtual_circuit_streamed(
     seed: int = 0,
     checkpoint_dir=None,
     segment_chunks: int | None = None,
+    share_prefix: bool | None = None,
 ) -> Distribution:
     """End-to-end streamed execution on the default device.  ``chunk`` is
     capped by :func:`auto_chunk` to bound device memory.
@@ -461,6 +558,11 @@ def run_virtual_circuit_streamed(
     fetch costs ~minutes while the sampled fetch is free, so this is the
     shot-serving shape (the reference likewise returns counts, not the
     dense vector: qvm/run.py:42-58).
+
+    ``share_prefix``: tree-share plan prefixes across labels (see
+    :func:`make_streamed_knit`).  Default (None) = on; per-fragment the
+    split only engages where the byte model says it wins, and noisy
+    fragments always run flat.
     """
     models = _resolve_noise(virt, noise)
     traj_eff = max(
@@ -474,7 +576,8 @@ def run_virtual_circuit_streamed(
         virt, chunk, traj_eff, noisy=any(m is not None for m in models)
     )
     step_fn, xs, meta = make_streamed_knit(
-        virt, chunk, noise=noise, trajectories=trajectories, seed=seed
+        virt, chunk, noise=noise, trajectories=trajectories, seed=seed,
+        share_prefix=share_prefix if share_prefix is not None else True,
     )
     n_chunks = meta["n_chunks"]
 
@@ -522,12 +625,22 @@ def run_virtual_circuit_streamed(
         if carry is None:
             carry = np.zeros(meta["carry_shape"], np.float32)
             start = 0
-        segment = jax.jit(meta["segment_fn"])
+        if meta["bank_fn"] is not None:
+            # compute the ancestor banks ONCE per process — per-segment
+            # recompute would re-pay the shared prefix nseg times
+            banks = jax.jit(meta["bank_fn"])()
+            segment = jax.jit(meta["segment_fn"])
+        else:
+            banks = None
+            segment = jax.jit(meta["segment_fn"])
         for si in range(start, nseg):
             xs_seg = jax.tree.map(
                 lambda a: a[si * seg:(si + 1) * seg], xs
             )
-            carry = np.asarray(segment(carry, xs_seg))
+            carry = np.asarray(
+                segment(carry, xs_seg) if banks is None
+                else segment(carry, xs_seg, banks)
+            )
             _save_stream_checkpoint(checkpoint_dir, fp, carry, si + 1)
         values = np.asarray(jax.jit(meta["finish_fn"])(carry))
 
@@ -544,6 +657,7 @@ def run_virtual_circuit_streamed(
 def streamed_expectation_z(
     virt: VirtualCircuit, z_clbits, chunk: int = 512,
     noise=None, trajectories: int | None = None, seed: int = 0,
+    share_prefix: bool = True,
 ) -> float:
     """<prod_{c in z_clbits} Z_c> of the reconstructed distribution,
     computed with a SCALAR carry: every data bit is contracted inside the
@@ -566,5 +680,6 @@ def streamed_expectation_z(
     step_fn, xs, meta = make_streamed_knit(
         virt, chunk, z_clbits=frozenset(z_clbits),
         noise=noise, trajectories=trajectories, seed=seed,
+        share_prefix=share_prefix,
     )
     return float(np.asarray(jax.jit(step_fn)(xs)).reshape(()))

@@ -198,6 +198,197 @@ def variant_index_table(
     return out
 
 
+def exec_plan_steps(state, m, steps, slot_mats, pauli_mats=None):
+    """Run a slice of a fragment's lazy execution plan (the step list
+    built by :func:`make_sim_fn`) on a flat real-rep ``[2, 2^m]`` state.
+    ``slot_mats`` maps slot id -> (pre, m4, post) real blocks (list or
+    dict — plans index it by slot id).  Returns ``(state, m)``."""
+    for stp in steps:
+        kind = stp[0]
+        if kind == "ins":
+            pos = stp[1]
+            r = state.reshape(2, 1 << pos, 1 << (m - pos))
+            state = jnp.stack(
+                [r, jnp.zeros_like(r)], axis=2
+            ).reshape(2, 1 << (m + 1))
+            m += 1
+        elif kind == "u":
+            state = apply_matrix(state, stp[1], stp[2], m)
+        elif kind == "pauli":
+            if pauli_mats is not None:
+                state = apply_matrix(state, pauli_mats[stp[1]], stp[2], m)
+        else:
+            pre, m4, post = slot_mats[stp[1]]
+            blk = (
+                pre if kind == "slot_pre"
+                else m4 if kind == "slot_meas" else post
+            )
+            state = apply_matrix(state, blk, stp[2], m)
+    return state, m
+
+
+def finish_row(state, m, active_final, sources):
+    """|psi|^2 + marginalisation onto the written clbits.  Marginalises
+    over the ACTIVE qubits; a source qubit that never saw an op is
+    deterministically |0> — its bit is spliced in as a zero-bit after
+    the reduction."""
+    p = jnp.sum(state * state, axis=0)
+    act_sources = [q for q in sources if q in active_final]
+    row = marginalize_flat(
+        p, m, [active_final.index(q) for q in act_sources]
+    )
+    for j, q in enumerate(sources):
+        if q not in active_final:
+            r = row.reshape(-1, 1 << j)
+            row = jnp.stack([r, jnp.zeros_like(r)], axis=1).reshape(-1)
+    return row
+
+
+def _steps_hbm_bytes(steps, m: int) -> tuple[int, int]:
+    """Minimal HBM bytes to execute ``steps`` from width ``m`` (same
+    counting rules as ops/roofline.fragment_cost).  Returns (bytes, m)."""
+    b = 0
+    for stp in steps:
+        if stp[0] == "ins":
+            b += (1 << m) * 8 + (1 << (m + 1)) * 8
+            m += 1
+        elif stp[0] == "pauli":
+            continue
+        else:
+            b += 2 * (1 << m) * 8
+    return b, m
+
+
+@dataclass
+class SplitPlan:
+    """A shared-prefix split of one fragment's per-variant plan.
+
+    Labels whose variant indices agree on the ``shared`` vgates run the
+    plan's prefix identically — so the prefix is executed once per
+    *ancestor* (one combination of the shared vgates' variants, ``n_anc``
+    total) into a bank of ``[n_anc, 2, 2^m_split]`` states, and the
+    per-label scan gathers its ancestor state and runs only the suffix.
+    This is the tree-sharing the flat scan leaves on the table (PERF.md
+    bounded it at 1.5-2x on the north-star configs) plus, for fragments
+    not touching every vgate, full row deduplication (the flat scan
+    simulates every GLOBAL label).  Reference role: the Aer batch at
+    qvm/run.py:36-42 re-simulates every instantiation from scratch.
+    """
+
+    shared: list            # vgate indices (fragment slot-stream order)
+    astrides: dict          # vgate -> ancestor-index stride (last fastest)
+    n_anc: int
+    split_idx: int          # plan step index where the suffix starts
+    m_split: int            # state width at the split
+    prefix_steps: list
+    suffix_steps: list
+    bank_bytes: int         # n_anc * 2^(m_split+1) * 4
+    est_bytes: int          # modelled HBM bytes with this split
+    est_flat_bytes: int     # modelled HBM bytes without sharing
+
+
+def split_plan(sim_one, prog, specs, global_labels: int,
+               bank_budget_bytes: int = 512 << 20) -> SplitPlan | None:
+    """Choose the best shared-prefix split for one fragment (minimum
+    modelled HBM bytes subject to the ancestor bank fitting
+    ``bank_budget_bytes``).  Returns None when no split beats the flat
+    plan — e.g. slot-free fragments, or a first slot at step 0."""
+    plan = sim_one.run_plan
+    slot_vg = [s.vgate_idx for s in prog.slots]
+    if any(stp[0] == "pauli" for stp in plan):
+        return None  # trajectory noise: states diverge per label
+    # candidate splits: before each newly-seen vgate's first slot step
+    # (stepping back over the segment's preceding "ins" widenings), plus
+    # the all-shared split at the end of the plan
+    cands: list[tuple[int, int, list]] = []  # (split_idx, m_split, shared)
+    seen: list[int] = []
+    m = sim_one.prefix_width
+    for i, stp in enumerate(plan):
+        if stp[0].startswith("slot"):
+            g = slot_vg[stp[1]]
+            if g not in seen:
+                j, mm = i, m
+                while j > 0 and plan[j - 1][0] == "ins":
+                    j -= 1
+                    mm -= 1
+                cands.append((j, mm, list(seen)))
+                seen.append(g)
+        if stp[0] == "ins":
+            m += 1
+    cands.append((len(plan), m, list(seen)))
+
+    finish_bytes = (1 << m) * 8 + (1 << max(0, m - 1)) * 4 + 2 * (1 << m) * 4
+    best = None
+    flat_est = None
+    for split_idx, m_split, shared in cands:
+        n_anc = 1
+        for g in shared:
+            n_anc *= specs[g].num_instantiations
+        bank_bytes = n_anc * (1 << (m_split + 1)) * 4
+        pre_b, _ = _steps_hbm_bytes(plan[:split_idx], sim_one.prefix_width)
+        suf_b, _ = _steps_hbm_bytes(plan[split_idx:], m_split)
+        est = (
+            pre_b * n_anc + bank_bytes                 # build + write bank
+            + (suf_b + finish_bytes) * global_labels   # per-label suffix
+            + (0 if not shared else
+               global_labels * (1 << (m_split + 1)) * 4)  # ancestor gather
+        )
+        if not shared:
+            flat_est = est
+        if shared and bank_bytes > bank_budget_bytes:
+            continue
+        if best is None or est < best[0]:
+            best = (est, split_idx, m_split, shared, n_anc, bank_bytes)
+    if best is None or not best[3]:
+        return None
+    est, split_idx, m_split, shared, n_anc, bank_bytes = best
+    if flat_est is not None and est >= flat_est:
+        return None
+    astrides: dict[int, int] = {}
+    stride = 1
+    for g in reversed(shared):
+        astrides[g] = stride
+        stride *= specs[g].num_instantiations
+    return SplitPlan(
+        shared=shared,
+        astrides=astrides,
+        n_anc=n_anc,
+        split_idx=split_idx,
+        m_split=m_split,
+        prefix_steps=plan[:split_idx],
+        suffix_steps=plan[split_idx:],
+        bank_bytes=int(bank_bytes),
+        est_bytes=int(est),
+        est_flat_bytes=int(flat_est) if flat_est is not None else int(est),
+    )
+
+
+def make_split_fns(sim_one, sp: SplitPlan):
+    """(prefix_one, suffix_one) closures for a :class:`SplitPlan`:
+    ``prefix_one(slot_mats) -> [2, 2^m_split]`` ancestor state;
+    ``suffix_one(state, slot_mats) -> row``.  Both take slot matrices
+    keyed by slot id (dicts are fine) and are vmap/jit-traceable."""
+    prefix_state = sim_one.prefix_state
+    m0 = sim_one.prefix_width
+    active_final = sim_one.active_final
+    sources = sim_one.sources
+
+    def prefix_one(slot_mats):
+        state, m = exec_plan_steps(
+            jnp.asarray(prefix_state), m0, sp.prefix_steps, slot_mats
+        )
+        assert m == sp.m_split
+        return state
+
+    def suffix_one(state, slot_mats):
+        state, m = exec_plan_steps(
+            state, sp.m_split, sp.suffix_steps, slot_mats
+        )
+        return finish_row(state, m, active_final, sources)
+
+    return prefix_one, suffix_one
+
+
 def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
                 build_matrices: bool = True, fuse_qubits: int = 3):
     """Build the per-variant simulation closure for a fragment.
@@ -376,44 +567,10 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
     prefix_state, run_plan = st, plan[first_var:]
 
     def _sim_one(slot_mats, pauli_mats=None):
-        state = jnp.asarray(prefix_state)
-        m = m0
-        for stp in run_plan:
-            kind = stp[0]
-            if kind == "ins":
-                pos = stp[1]
-                r = state.reshape(2, 1 << pos, 1 << (m - pos))
-                state = jnp.stack(
-                    [r, jnp.zeros_like(r)], axis=2
-                ).reshape(2, 1 << (m + 1))
-                m += 1
-            elif kind == "u":
-                state = apply_matrix(state, stp[1], stp[2], m)
-            elif kind == "pauli":
-                if pauli_mats is not None:
-                    state = apply_matrix(
-                        state, pauli_mats[stp[1]], stp[2], m
-                    )
-            else:
-                pre, m4, post = slot_mats[stp[1]]
-                blk = (
-                    pre if kind == "slot_pre"
-                    else m4 if kind == "slot_meas" else post
-                )
-                state = apply_matrix(state, blk, stp[2], m)
-        p = jnp.sum(state * state, axis=0)
-        # marginalise over the ACTIVE qubits; a source qubit that never
-        # saw an op is deterministically |0> — its bit is spliced in as
-        # a zero-bit after the reduction
-        act_sources = [q for q in sources if q in active_final]
-        row = marginalize_flat(
-            p, m, [active_final.index(q) for q in act_sources]
+        state, m = exec_plan_steps(
+            jnp.asarray(prefix_state), m0, run_plan, slot_mats, pauli_mats
         )
-        for j, q in enumerate(sources):
-            if q not in active_final:
-                r = row.reshape(-1, 1 << j)
-                row = jnp.stack([r, jnp.zeros_like(r)], axis=1).reshape(-1)
-        return row
+        return finish_row(state, m, active_final, sources)
 
     _sim_one.noise_sites = noise_sites
     _sim_one.readout_device = readout_device

@@ -1,0 +1,188 @@
+"""Tree-shared (ancestor-bank) streamed engine vs the flat scan.
+
+The shared-prefix engine (ops/variant_engine.split_plan + the bank path
+in ops/streamed.make_streamed_knit) must be a pure execution-plan
+transformation: identical knitted values, marginals, observables, shot
+samples and checkpoints as the flat scan, for every cut topology.
+Reference role: the Aer batch at qvm/run.py:36-42 re-simulates every
+instantiation from scratch; sharing is the TPU-side win on top.
+"""
+import numpy as np
+import pytest
+
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+    Circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
+    Cutter,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
+    genCirc,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
+    make_streamed_knit,
+    run_virtual_circuit_streamed,
+    streamed_expectation_z,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.variant_engine import (
+    make_sim_fn,
+    split_plan,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+    VirtualCircuit,
+)
+
+
+def _cut(circ, cap, parts=2, **kw):
+    cutter = Cutter(circ, maxNPartitions=parts, maxNQubitsPerPartition=cap,
+                    maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5, **kw)
+    assert cutter.solve()
+    return VirtualCircuit(cutter.getResultCircs()[3])
+
+
+def _mixed(n, seed=5):
+    rng = np.random.default_rng(seed)
+    circ = Circuit(n, n)
+    for q in range(n):
+        circ.ry(float(rng.standard_normal()), q)
+    for i in range(n - 1):
+        circ.cx(i, i + 1)
+    circ.cz(0, n - 1)
+    circ.rzz(0.7, 1, n - 2)
+    for q in range(n):
+        circ.measure(q, q)
+    return circ
+
+
+CONFIGS = [
+    ("hwe", 8, 2, 2, 5),      # multiple gate cuts
+    ("aqft", 6, 2, 2, 5),     # gate + wire cuts (reference Aqft_6 config)
+    ("add", 6, 1, 2, 5),      # adder: wire cuts + deferral ancillas
+]
+
+
+@pytest.mark.parametrize("name,n,depth,parts,cap", CONFIGS)
+def test_shared_matches_flat(name, n, depth, parts, cap):
+    virt = _cut(genCirc(name, n, depth), cap, parts)
+    flat = run_virtual_circuit_streamed(virt, chunk=32, share_prefix=False)
+    shared = run_virtual_circuit_streamed(virt, chunk=32, share_prefix=True)
+    assert shared.bit_positions == flat.bit_positions
+    np.testing.assert_allclose(
+        np.asarray(shared.values), np.asarray(flat.values), atol=1e-6
+    )
+    # at least one fragment must actually engage the bank on these configs
+    _, _, meta = make_streamed_knit(virt, 32, share_prefix=True)
+    assert any(s is not None for s in meta["splits"]), meta["splits"]
+
+
+def test_shared_matches_flat_three_partitions():
+    """P=3: fragments touch vgate SUBSETS — the all-shared split
+    deduplicates rows the flat scan recomputes per global label."""
+    virt = _cut(_mixed(9, seed=7), 4, parts=3)
+    flat = run_virtual_circuit_streamed(virt, chunk=16, share_prefix=False)
+    shared = run_virtual_circuit_streamed(virt, chunk=16, share_prefix=True)
+    np.testing.assert_allclose(
+        np.asarray(shared.values), np.asarray(flat.values), atol=1e-6
+    )
+
+
+def test_shots_path_identical_draws():
+    """Same seed -> the shared and flat engines sample the same knitted
+    distribution, so the finite-shot outputs agree."""
+    virt = _cut(_mixed(6), 4)
+    a = run_virtual_circuit_streamed(
+        virt, chunk=16, shots=2000, seed=3, share_prefix=False
+    )
+    b = run_virtual_circuit_streamed(
+        virt, chunk=16, shots=2000, seed=3, share_prefix=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.values), np.asarray(b.values), atol=1e-6
+    )
+
+
+def test_observable_and_marginal_match():
+    virt = _cut(_mixed(6), 4)
+    ez_flat = streamed_expectation_z(virt, [0, 2], share_prefix=False)
+    ez_shared = streamed_expectation_z(virt, [0, 2], share_prefix=True)
+    assert abs(ez_flat - ez_shared) < 1e-6
+
+    import jax
+
+    keep = frozenset([0, 1, 3])
+    outs = []
+    for share in (False, True):
+        step, xs, meta = make_streamed_knit(
+            virt, 16, keep_clbits=keep, share_prefix=share
+        )
+        outs.append(np.asarray(jax.jit(step)(xs)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+
+
+def test_checkpoint_resume_with_sharing(tmp_path):
+    virt = _cut(_mixed(6), 4)
+    want = run_virtual_circuit_streamed(virt, chunk=8, share_prefix=True)
+    # interrupted run: execute only the first segments by monkey-running
+    # the full checkpointed path twice — the second call must resume
+    d = tmp_path / "ck"
+    got = run_virtual_circuit_streamed(
+        virt, chunk=8, checkpoint_dir=d, segment_chunks=2,
+        share_prefix=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.values), np.asarray(want.values), atol=1e-6
+    )
+    # resume from a finished checkpoint: no recompute, same values
+    again = run_virtual_circuit_streamed(
+        virt, chunk=8, checkpoint_dir=d, segment_chunks=2,
+        share_prefix=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(again.values), np.asarray(want.values), atol=1e-6
+    )
+
+
+def test_split_plan_declines_when_flat_is_cheaper():
+    """ghz: a single early cut — nothing worth sharing; the planner must
+    return None rather than pay bank+gather for no prefix."""
+    circ = Circuit(8, 8)
+    circ.h(0)
+    for i in range(7):
+        circ.cx(i, i + 1)
+    for q in range(8):
+        circ.measure(q, q)
+    virt = _cut(circ, 5)
+    specs = [vg.spec for vg in virt.vgates]
+    total = 1
+    for vg in virt.vgates:
+        total *= vg.spec.num_instantiations
+    for reg in virt.fragments:
+        sim_one, _, _, _ = make_sim_fn(virt, reg.name, build_matrices=False)
+        sp = split_plan(sim_one, virt.programs[reg.name], specs, total)
+        assert sp is None
+
+
+def test_split_plan_respects_bank_budget():
+    virt = _cut(genCirc("hwe", 8, 2), 5)
+    specs = [vg.spec for vg in virt.vgates]
+    total = 1
+    for vg in virt.vgates:
+        total *= vg.spec.num_instantiations
+    for reg in virt.fragments:
+        sim_one, _, _, _ = make_sim_fn(virt, reg.name, build_matrices=False)
+        sp = split_plan(
+            virt and sim_one, virt.programs[reg.name], specs, total,
+            bank_budget_bytes=0,
+        )
+        assert sp is None  # a zero budget forbids every bank
+
+
+def test_roofline_share_model_shrinks():
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.roofline import (
+        streamed_step_model,
+    )
+
+    virt = _cut(genCirc("hwe", 8, 2), 5)
+    flat = streamed_step_model(virt)
+    shared = streamed_step_model(virt, share_prefix=True)
+    assert shared.total_bytes < flat.total_bytes
