@@ -54,7 +54,8 @@ CONFIGS = {
 }
 
 
-def run_config(key: str, reps: int, shots: int | None = None) -> dict:
+def run_config(key: str, reps: int, shots: int | None = None,
+               share: bool = True) -> dict:
     import jax
 
     from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
@@ -86,7 +87,19 @@ def run_config(key: str, reps: int, shots: int | None = None) -> dict:
     ]
     out["chunk"] = auto_chunk(virt, chunk)
 
-    step_fn, xs, meta = make_streamed_knit(virt, out["chunk"])
+    out["share_prefix"] = bool(share)
+    step_fn, xs, meta = make_streamed_knit(
+        virt, out["chunk"], share_prefix=share
+    )
+    if share:
+        out["splits"] = [
+            None if s is None else {
+                "shared": s.shared, "n_anc": s.n_anc,
+                "m_split": s.m_split,
+                "bank_mb": round(s.bank_bytes / 1e6, 1),
+                "est_speedup": round(s.est_flat_bytes / s.est_bytes, 2),
+            } for s in meta["splits"]
+        ]
     step = jax.jit(step_fn)
     t0 = time.perf_counter()
     values = np.asarray(step(xs))  # fetch = completion barrier
@@ -149,6 +162,9 @@ def main() -> None:
     ap.add_argument("--shots", type=int, default=None,
                     help="additionally time the on-device project+sample "
                          "serving leg at this shot count")
+    ap.add_argument("--share", choices=["on", "off"], default="on",
+                    help="tree-share plan prefixes across labels "
+                         "(ancestor banks; default on)")
     args = ap.parse_args()
 
     path = pathlib.Path(__file__).resolve().parent.parent / (
@@ -156,7 +172,9 @@ def main() -> None:
     )
     for key in args.configs.split(","):
         print(f"[northstar] {key} ...", flush=True)
-        row = run_config(key.strip(), args.reps, args.shots)
+        row = run_config(
+            key.strip(), args.reps, args.shots, share=args.share == "on"
+        )
         print(f"[northstar] {row}", flush=True)
         # persist after EVERY config — a crash in config N must not lose
         # the measurements of configs 1..N-1

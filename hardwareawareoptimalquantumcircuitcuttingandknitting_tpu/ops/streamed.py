@@ -77,7 +77,7 @@ def make_streamed_knit(
     virt: VirtualCircuit, chunk: int = 512, keep_clbits=None,
     noise=None, trajectories: int | None = None, seed: int = 0,
     z_clbits=None, share_prefix: bool = False,
-    bank_budget_bytes: int = 512 << 20,
+    bank_budget_bytes: int = 512 << 20, fused_slots: bool = True,
 ):
     """Build (step_fn, xs, meta): ``step_fn(xs)`` scans all global label
     chunks and returns the flat knitted quasi-distribution values.
@@ -154,13 +154,15 @@ def make_streamed_knit(
     for fi, name in enumerate(frag_names):
         prog = virt.programs[name]
         nm = models[fi]
+        frag_fused = fused_slots and nm is None
         sim_one, _, positions, _local_count = make_sim_fn(
-            virt, name, noise=nm, build_matrices=False
+            virt, name, noise=nm, build_matrices=False,
+            fused_slots=frag_fused,
         )
         sim_ones[name] = sim_one
         slot_tables.append([
             tuple(jnp.asarray(m) for m in t)
-            for t in _slot_tables(prog, specs)
+            for t in _slot_tables(prog, specs, fused=frag_fused)
         ])
         slot_gcols.append([slot.vgate_idx for slot in prog.slots])
 

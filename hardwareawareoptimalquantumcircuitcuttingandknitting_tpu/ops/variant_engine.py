@@ -110,8 +110,8 @@ class FragmentResult:
 
 
 def _slot_tables(
-    prog: FragmentProgram, specs: list[VGateSpec],
-) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    prog: FragmentProgram, specs: list[VGateSpec], fused: bool = False,
+) -> list[tuple[np.ndarray, ...]]:
     """Per-slot (pre[nI,...], meas4[nI,...], post[nI,...]) real-block
     variant tables — one row per instantiation of the slot's vgate.
 
@@ -120,7 +120,14 @@ def _slot_tables(
     streamed path embeds them as jit constants and gathers per-label
     variant indices on device (host->device traffic and host memory then
     scale with #labels x #vgates x 4 bytes instead of #labels x #slots x
-    ~384 bytes)."""
+    ~384 bytes).
+
+    ``fused=True``: ONE composed block per slot — ``(post x I) @ meas4 @
+    (pre x I)`` on (endpoint qubit, deferral ancilla) for measuring
+    slots, ``post @ pre`` otherwise — returned as 1-tuples.  Matches the
+    single "slot" plan step :func:`make_sim_fn` emits with
+    ``fused_slots=True``: 3 HBM passes per slot become 1 (slot passes
+    carry 20-91% of per-variant traffic on the baseline configs)."""
     out = []
     for slot in prog.slots:
         spec = specs[slot.vgate_idx]
@@ -133,6 +140,19 @@ def _slot_tables(
             meas[:, None, None] * CX[None]
             + (1.0 - meas[:, None, None]) * _I4[None]
         ).astype(COMPLEX)
+        if fused:
+            if slot.ancilla is not None:
+                i2 = np.eye(2, dtype=COMPLEX)
+                comp = np.stack([
+                    np.kron(posts[i], i2) @ m4[i] @ np.kron(pres[i], i2)
+                    for i in range(len(pres))
+                ])
+            else:
+                comp = np.stack([
+                    posts[i] @ pres[i] for i in range(len(pres))
+                ])
+            out.append((_stack_blocks(comp),))
+            continue
         out.append(
             (_stack_blocks(pres), _stack_blocks(m4), _stack_blocks(posts))
         )
@@ -141,16 +161,16 @@ def _slot_tables(
 
 def _slot_matrices(
     prog: FragmentProgram, specs: list[VGateSpec], flat_count: int,
-    strides: dict[int, int], n_inst: dict[int, int],
-) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    strides: dict[int, int], n_inst: dict[int, int], fused: bool = False,
+) -> list[tuple[np.ndarray, ...]]:
     """Per-slot (pre[V,2,2], meas4[V,4,4], post[V,2,2]) gathered per flat
-    variant index."""
+    variant index (1-tuples of composed blocks with ``fused=True``)."""
     out = []
     flat = np.arange(flat_count)
-    tables = _slot_tables(prog, specs)
-    for slot, (pre_t, m4_t, post_t) in zip(prog.slots, tables):
+    tables = _slot_tables(prog, specs, fused=fused)
+    for slot, tabs in zip(prog.slots, tables):
         v_idx = (flat // strides[slot.vgate_idx]) % n_inst[slot.vgate_idx]
-        out.append((pre_t[v_idx], m4_t[v_idx], post_t[v_idx]))
+        out.append(tuple(t[v_idx] for t in tabs))
     return out
 
 
@@ -217,6 +237,9 @@ def exec_plan_steps(state, m, steps, slot_mats, pauli_mats=None):
         elif kind == "pauli":
             if pauli_mats is not None:
                 state = apply_matrix(state, pauli_mats[stp[1]], stp[2], m)
+        elif kind == "slot":
+            # fused endpoint: one composed (post @ meas @ pre) block
+            state = apply_matrix(state, slot_mats[stp[1]][0], stp[2], m)
         else:
             pre, m4, post = slot_mats[stp[1]]
             blk = (
@@ -225,6 +248,39 @@ def exec_plan_steps(state, m, steps, slot_mats, pauli_mats=None):
             )
             state = apply_matrix(state, blk, stp[2], m)
     return state, m
+
+
+def _fuse_slot_ops(prog_ops: list) -> list:
+    """Rewrite each slot's contiguous (slot_pre[, slot_meas], slot_post)
+    triple into ONE ("slot", sid, axes) op — matched by the composed
+    per-slot table of ``_slot_tables(fused=True)``.  axes = (qubit,
+    ancilla) when the slot measures, else (qubit,)."""
+    out = []
+    i = 0
+    while i < len(prog_ops):
+        op = prog_ops[i]
+        if op[0] != "slot_pre":
+            out.append(op)
+            i += 1
+            continue
+        sid = op[1]
+        axes = op[2]
+        j = i + 1
+        if (
+            j < len(prog_ops)
+            and prog_ops[j][0] == "slot_meas"
+            and prog_ops[j][1] == sid
+        ):
+            axes = prog_ops[j][2]
+            j += 1
+        assert (
+            j < len(prog_ops)
+            and prog_ops[j][0] == "slot_post"
+            and prog_ops[j][1] == sid
+        ), f"non-contiguous slot {sid} ops"
+        out.append(("slot", sid, axes))
+        i = j + 1
+    return out
 
 
 def finish_row(state, m, active_final, sources):
@@ -390,8 +446,15 @@ def make_split_fns(sim_one, sp: SplitPlan):
 
 
 def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
-                build_matrices: bool = True, fuse_qubits: int = 3):
+                build_matrices: bool = True, fuse_qubits: int = 3,
+                fused_slots: bool = False):
     """Build the per-variant simulation closure for a fragment.
+
+    ``fused_slots``: exact path only — collapse each slot's
+    (pre, meas, post) steps into ONE composed block step ("slot" kind,
+    tables from ``_slot_tables(fused=True)``): 3 HBM passes per endpoint
+    become 1.  Callers that gather slot tables themselves must pass the
+    same flag to :func:`_slot_tables`.
 
     Returns (sim_one, slot_mats, positions, flat_count) where ``sim_one``
     maps one variant's slot matrices to its probability row (traceable, so
@@ -408,6 +471,9 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
     """
     prog = virt.programs[frag_name]
     specs = [vg.spec for vg in virt.vgates]
+    # the noise path needs the unfused per-step stream (slot_post noise
+    # sites attach to individual endpoint ops)
+    fused_slots = fused_slots and noise is None
 
     strides, n_inst, flat_count = label_strides(specs, prog.touching)
 
@@ -427,7 +493,8 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
         # 3-qubit block fusion: every merged block replaces >= 2 HBM
         # passes with one on the bandwidth-limited engines (the sharded
         # and Pallas paths, whose apply only handles 2q, stay at 2)
-        skeleton, mats = fused_stream(prog.ops, max_qubits=fuse_qubits)
+        source_ops = _fuse_slot_ops(prog.ops) if fused_slots else prog.ops
+        skeleton, mats = fused_stream(source_ops, max_qubits=fuse_qubits)
         prog_ops = []
         bi = 0
         for op in skeleton:
@@ -585,7 +652,9 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
     # callers that gather slot matrices ON DEVICE (streamed / sharded
     # paths) skip the O(flat_count x slots x ~384 B) host gather
     all_mats = (
-        _slot_matrices(prog, specs, flat_count, strides, n_inst)
+        _slot_matrices(
+            prog, specs, flat_count, strides, n_inst, fused=fused_slots
+        )
         if build_matrices else None
     )
     return _sim_one, all_mats, positions, flat_count
@@ -598,7 +667,9 @@ def run_fragment(
 ) -> FragmentResult:
     """Exact probability rows for every variant of one fragment."""
     prog = virt.programs[frag_name]
-    _sim_one, all_mats, positions, flat_count = make_sim_fn(virt, frag_name)
+    _sim_one, all_mats, positions, flat_count = make_sim_fn(
+        virt, frag_name, fused_slots=True
+    )
     width = max(1, 2 ** len(positions))
 
     if not prog.slots:

@@ -41,7 +41,10 @@ def test_fragment_cost_counts_the_real_plan():
     virt = _cut("hwe", 8, 2, 5)
     for reg in virt.fragments:
         fc = fragment_cost(virt, reg.name)
-        sim_one, _, _, V = make_sim_fn(virt, reg.name, build_matrices=False)
+        # fragment_cost models the production plan: fused slot triples
+        sim_one, _, _, V = make_sim_fn(
+            virt, reg.name, build_matrices=False, fused_slots=True
+        )
         assert fc.num_variants == V
         assert fc.steps == len(sim_one.run_plan)
         # every gate/slot pass at most at full width; lazy widths keep the

@@ -177,6 +177,48 @@ def test_split_plan_respects_bank_budget():
         assert sp is None  # a zero budget forbids every bank
 
 
+@pytest.mark.parametrize("name,n,depth,parts,cap", CONFIGS)
+def test_fused_slots_match_unfused(name, n, depth, parts, cap):
+    """One composed (post @ meas @ pre) block per endpoint must reproduce
+    the three-step slot application exactly, with and without prefix
+    sharing."""
+    import jax
+
+    virt = _cut(genCirc(name, n, depth), cap, parts)
+    outs = {}
+    for fused in (False, True):
+        for share in (False, True):
+            step, xs, _ = make_streamed_knit(
+                virt, 32, share_prefix=share, fused_slots=fused
+            )
+            outs[(fused, share)] = np.asarray(jax.jit(step)(xs))
+    base = outs[(False, False)]
+    for key, vals in outs.items():
+        np.testing.assert_allclose(vals, base, atol=1e-6, err_msg=str(key))
+
+
+def test_fused_slots_shrink_the_plan():
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.roofline import (
+        fragment_cost,
+    )
+
+    virt = _cut(genCirc("aqft", 6, 2), 5)
+    for reg in virt.fragments:
+        unfused, _, _, _ = make_sim_fn(virt, reg.name, build_matrices=False)
+        fused, _, _, _ = make_sim_fn(
+            virt, reg.name, build_matrices=False, fused_slots=True
+        )
+        n_slots = len(virt.programs[reg.name].slots)
+        assert sum(
+            1 for s in fused.run_plan if s[0] == "slot"
+        ) == n_slots
+        assert not any(s[0].startswith("slot_") for s in fused.run_plan)
+        assert len(fused.run_plan) < len(unfused.run_plan)
+        # the byte model must see the saving too
+        fc = fragment_cost(virt, reg.name)
+        assert fc.steps == len(fused.run_plan)
+
+
 def test_roofline_share_model_shrinks():
     from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.roofline import (
         streamed_step_model,
