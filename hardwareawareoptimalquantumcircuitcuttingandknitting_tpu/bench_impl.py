@@ -105,7 +105,9 @@ def main() -> None:
     sims = {}
     arg_mats = []
     for name in frag_names:
-        sim_one, slot_mats, positions, flat_count = make_sim_fn(virt, name)
+        sim_one, slot_mats, positions, flat_count = make_sim_fn(
+            virt, name, fused_slots=True
+        )
         sims[name] = (sim_one, positions, flat_count)
         arg_mats.append(slot_mats)
 
