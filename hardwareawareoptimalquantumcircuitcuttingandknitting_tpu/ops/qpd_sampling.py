@@ -207,16 +207,14 @@ def _simulate_label_rows(virt, frag_name, lab):
     slot's variant IS its vgate's label component; no flat-index table)."""
     prog = virt.programs[frag_name]
     sim_one, _, positions, _ = make_sim_fn(
-        virt, frag_name, build_matrices=False
+        virt, frag_name, build_matrices=False, fused_slots=True
     )
-    tables = _slot_tables(prog, [vg.spec for vg in virt.vgates])
+    tables = _slot_tables(
+        prog, [vg.spec for vg in virt.vgates], fused=True
+    )
     mats = [
-        (
-            jnp.asarray(pre)[lab[:, slot.vgate_idx]],
-            jnp.asarray(m4)[lab[:, slot.vgate_idx]],
-            jnp.asarray(post)[lab[:, slot.vgate_idx]],
-        )
-        for slot, (pre, m4, post) in zip(prog.slots, tables)
+        tuple(jnp.asarray(t)[lab[:, slot.vgate_idx]] for t in tabs)
+        for slot, tabs in zip(prog.slots, tables)
     ]
     if mats:
         rows = jax.vmap(sim_one)(mats)

@@ -51,7 +51,7 @@ def make_sharded_step(virt: VirtualCircuit, mesh: Mesh):
     for reg in virt.fragments:
         prog = virt.programs[reg.name]
         sim_one, _, positions, flat_count = make_sim_fn(
-            virt, reg.name, build_matrices=False
+            virt, reg.name, build_matrices=False, fused_slots=True
         )
         strides, n_inst, _fc = label_strides(specs, prog.touching)
         padded = -(-flat_count // dp) * dp
@@ -61,7 +61,7 @@ def make_sharded_step(virt: VirtualCircuit, mesh: Mesh):
         )
         tables = [
             tuple(jnp.asarray(m) for m in t)
-            for t in _slot_tables(prog, specs)
+            for t in _slot_tables(prog, specs, fused=True)
         ]
         slot_cols = [touch_col[s.vgate_idx] for s in prog.slots]
         frag_meta.append(
