@@ -55,7 +55,7 @@ CONFIGS = {
 
 
 def run_config(key: str, reps: int, shots: int | None = None,
-               share: bool = True) -> dict:
+               share: bool = True, bank_mb: int = 512) -> dict:
     import jax
 
     from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
@@ -88,8 +88,10 @@ def run_config(key: str, reps: int, shots: int | None = None,
     out["chunk"] = auto_chunk(virt, chunk)
 
     out["share_prefix"] = bool(share)
+    out["bank_mb_budget"] = bank_mb
     step_fn, xs, meta = make_streamed_knit(
-        virt, out["chunk"], share_prefix=share
+        virt, out["chunk"], share_prefix=share,
+        bank_budget_bytes=bank_mb << 20,
     )
     if share:
         out["splits"] = [
@@ -165,6 +167,8 @@ def main() -> None:
     ap.add_argument("--share", choices=["on", "off"], default="on",
                     help="tree-share plan prefixes across labels "
                          "(ancestor banks; default on)")
+    ap.add_argument("--bank-mb", type=int, default=512,
+                    help="ancestor-bank budget per fragment (MB)")
     args = ap.parse_args()
 
     path = pathlib.Path(__file__).resolve().parent.parent / (
@@ -173,7 +177,8 @@ def main() -> None:
     for key in args.configs.split(","):
         print(f"[northstar] {key} ...", flush=True)
         row = run_config(
-            key.strip(), args.reps, args.shots, share=args.share == "on"
+            key.strip(), args.reps, args.shots, share=args.share == "on",
+            bank_mb=args.bank_mb,
         )
         print(f"[northstar] {row}", flush=True)
         # persist after EVERY config — a crash in config N must not lose

@@ -222,7 +222,71 @@ def _apply_const_slices(state: jnp.ndarray, block: np.ndarray, axes,
     return out.reshape(2, 1 << n)
 
 
-def apply_matrix(state: jnp.ndarray, block, axes, n: int | None = None) -> jnp.ndarray:
+def _apply_masked_slices(state: jnp.ndarray, block, axes, n: int,
+                         mask: np.ndarray) -> jnp.ndarray:
+    """Apply a TRACED k<=3-qubit real block as a slice-combination,
+    skipping terms that a host-known ``mask`` proves are zero.
+
+    The streamed engines gather slot blocks from per-instantiation
+    constant tables on device, so the block values are traced — but the
+    TABLE is host-known, and the union nonzero pattern over all
+    instantiations (25-75% on the QPD endpoint blocks) is a static
+    superset of every gathered block's support.  Masked terms are exact
+    zeros for every variant, so skipping them is exact; the rest lower
+    to strided FMAs with per-variant scalar coefficients — no
+    transpose-dot-transpose (the einsum path moves ~3x the state bytes,
+    PERF.md).  ``mask`` has the block's [2, m, 2, m] shape."""
+    k = len(axes)
+    u = block.reshape((2,) + (2,) * k + (2,) + (2,) * k)
+    um = np.asarray(mask).reshape((2,) + (2,) * k + (2,) + (2,) * k)
+    order = sorted(range(k), key=lambda i: axes[i])
+    if order != list(range(k)):
+        perm = [0] + [1 + p for p in order] + [k + 1] + [
+            k + 2 + p for p in order
+        ]
+        u = jnp.transpose(u, perm)
+        um = np.transpose(um, perm)
+    qs = sorted(axes)
+    shape = [2]
+    prev = -1
+    for q in qs:
+        shape += [1 << (q - prev - 1), 2]
+        prev = q
+    shape.append(1 << (n - 1 - qs[-1]))
+    st = state.reshape(tuple(shape))
+    gap_shape = tuple(shape[i] for i in range(1, 2 * k + 2, 2)) + (
+        shape[-1],
+    )
+
+    def comb(out_bits):
+        acc = None
+        for in_flat in range(1 << (k + 1)):
+            in_bits = tuple(
+                (in_flat >> (k - j)) & 1 for j in range(k + 1)
+            )
+            if not um[out_bits + in_bits]:
+                continue
+            idx = (in_bits[0],)
+            for j in range(k):
+                idx += (slice(None), in_bits[1 + j])
+            t = u[out_bits + in_bits] * st[idx]
+            acc = t if acc is None else acc + t
+        if acc is None:
+            acc = jnp.zeros(gap_shape, state.dtype)
+        return acc
+
+    def build(prefix):
+        j = len(prefix)
+        if j == k + 1:
+            return comb(tuple(prefix))
+        parts = [build(prefix + (b,)) for b in (0, 1)]
+        return jnp.stack(parts, axis=j)
+
+    return build(()).reshape(2, 1 << n)
+
+
+def apply_matrix(state: jnp.ndarray, block, axes, n: int | None = None,
+                 zero_mask: np.ndarray | None = None) -> jnp.ndarray:
     """Apply a 1- or 2-qubit gate (real block from ``to_real_block``, or a
     complex matrix converted on the fly) to a flat real-rep state
     ``[2, 2^n]`` on the given qubit indices.
@@ -244,6 +308,12 @@ def apply_matrix(state: jnp.ndarray, block, axes, n: int | None = None) -> jnp.n
         return apply_diag(state, d[0], d[1], axes, n)
     if isinstance(block, np.ndarray) and len(axes) <= 3:
         return _apply_const_slices(state, block, axes, n)
+    if (
+        zero_mask is not None
+        and not isinstance(block, np.ndarray)
+        and len(axes) <= 3
+    ):
+        return _apply_masked_slices(state, block, axes, n, zero_mask)
     b = jnp.asarray(block)
     if len(axes) == 1:
         q = axes[0]

@@ -218,11 +218,14 @@ def variant_index_table(
     return out
 
 
-def exec_plan_steps(state, m, steps, slot_mats, pauli_mats=None):
+def exec_plan_steps(state, m, steps, slot_mats, pauli_mats=None,
+                    slot_masks=None):
     """Run a slice of a fragment's lazy execution plan (the step list
     built by :func:`make_sim_fn`) on a flat real-rep ``[2, 2^m]`` state.
     ``slot_mats`` maps slot id -> (pre, m4, post) real blocks (list or
-    dict — plans index it by slot id).  Returns ``(state, m)``."""
+    dict — plans index it by slot id).  ``slot_masks`` (slot id -> union
+    nonzero pattern of the slot's fused table) routes fused slot blocks
+    through the masked slice-combine apply.  Returns ``(state, m)``."""
     for stp in steps:
         kind = stp[0]
         if kind == "ins":
@@ -239,7 +242,11 @@ def exec_plan_steps(state, m, steps, slot_mats, pauli_mats=None):
                 state = apply_matrix(state, pauli_mats[stp[1]], stp[2], m)
         elif kind == "slot":
             # fused endpoint: one composed (post @ meas @ pre) block
-            state = apply_matrix(state, slot_mats[stp[1]][0], stp[2], m)
+            state = apply_matrix(
+                state, slot_mats[stp[1]][0], stp[2], m,
+                zero_mask=None if slot_masks is None
+                else slot_masks.get(stp[1]),
+            )
         else:
             pre, m4, post = slot_mats[stp[1]]
             blk = (
@@ -428,17 +435,20 @@ def make_split_fns(sim_one, sp: SplitPlan):
     m0 = sim_one.prefix_width
     active_final = sim_one.active_final
     sources = sim_one.sources
+    slot_masks = getattr(sim_one, "slot_masks", None)
 
     def prefix_one(slot_mats):
         state, m = exec_plan_steps(
-            jnp.asarray(prefix_state), m0, sp.prefix_steps, slot_mats
+            jnp.asarray(prefix_state), m0, sp.prefix_steps, slot_mats,
+            slot_masks=slot_masks,
         )
         assert m == sp.m_split
         return state
 
     def suffix_one(state, slot_mats):
         state, m = exec_plan_steps(
-            state, sp.m_split, sp.suffix_steps, slot_mats
+            state, sp.m_split, sp.suffix_steps, slot_mats,
+            slot_masks=slot_masks,
         )
         return finish_row(state, m, active_final, sources)
 
@@ -633,14 +643,27 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
             st = apply_matrix_host(st, stp[1], stp[2], m0)
     prefix_state, run_plan = st, plan[first_var:]
 
+    # union nonzero pattern of each fused slot table: a host-known static
+    # superset of every gathered block's support (the per-variant values
+    # are traced, the pattern is not) — lets apply_matrix use the masked
+    # slice-combine path instead of the einsum lowering
+    slot_masks = None
+    if fused_slots and prog.slots:
+        slot_masks = {
+            sid: np.any(np.asarray(tabs[0]) != 0, axis=0)
+            for sid, tabs in enumerate(_slot_tables(prog, specs, fused=True))
+        }
+
     def _sim_one(slot_mats, pauli_mats=None):
         state, m = exec_plan_steps(
-            jnp.asarray(prefix_state), m0, run_plan, slot_mats, pauli_mats
+            jnp.asarray(prefix_state), m0, run_plan, slot_mats, pauli_mats,
+            slot_masks=slot_masks,
         )
         return finish_row(state, m, active_final, sources)
 
     _sim_one.noise_sites = noise_sites
     _sim_one.readout_device = readout_device
+    _sim_one.slot_masks = slot_masks
     # the real execution plan, for the analytic performance model
     # (ops/roofline.py): per-variant steps after the shared host prefix,
     # the prefix width, and the final active-qubit set

@@ -117,3 +117,44 @@ def test_host_oracle_matches_device_engine():
         np.testing.assert_allclose(
             np.asarray(dev.values), host.values, atol=1e-6, err_msg=name
         )
+
+
+def test_masked_slice_apply_matches_einsum():
+    """_apply_masked_slices (traced block + host-known union zero mask,
+    the fused-slot fast path) must match the general einsum lowering
+    bit-for-bit.  The mask is a strict SUPERSET of each block's support,
+    exactly like the union-over-variants pattern make_sim_fn computes."""
+    import jax
+    import jax.numpy as jnp
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+        apply_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 5
+    for axes in [(2,), (1, 3), (3, 0), (4, 1, 2)]:
+        k = len(axes)
+        m = 1 << k
+        # a few "variants" sharing a sparsity pattern; union mask is a
+        # superset of any single variant's support
+        support = rng.random((2, m, 2, m)) < 0.5
+        variants = np.stack([
+            rng.normal(size=(2, m, 2, m)).astype(np.float32) * support
+            * (rng.random((2, m, 2, m)) < 0.8)  # per-variant extra zeros
+            for _ in range(3)
+        ])
+        mask = np.any(variants != 0, axis=0)
+        block = variants[1]
+        state = rng.normal(size=(2, 1 << n)).astype(np.float32)
+
+        masked = jax.jit(
+            lambda b, s: apply_matrix(s, b, axes, n, zero_mask=mask)
+        )(jnp.asarray(block), jnp.asarray(state))
+        plain = jax.jit(
+            lambda b, s: apply_matrix(s, b, axes, n)
+        )(jnp.asarray(block), jnp.asarray(state))
+        np.testing.assert_allclose(
+            np.asarray(masked), np.asarray(plain), atol=1e-5,
+            err_msg=f"axes={axes}",
+        )
