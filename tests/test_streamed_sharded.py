@@ -29,7 +29,11 @@ cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=4,
 assert cutter.solve()
 virt = VirtualCircuit(cutter.getResultCircs()[3])
 
-step, xs, meta = make_streamed_knit(virt, chunk=8)
+step, xs, meta = make_streamed_knit(virt, chunk=8, share_prefix=SHARE)
+if SHARE:
+    # the toy circuit must actually engage the ancestor-bank path for
+    # this test to prove dp-composition of tree-sharing
+    assert any(s is not None for s in meta["splits"]), meta["splits"]
 mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
 
 def shard(leaf):
@@ -52,5 +56,14 @@ print("SHARDED-STREAM OK", err)
 
 @pytest.mark.slow
 def test_streamed_dp_sharded_4dev():
-    out = run_cpu_subprocess(_CODE, 4)
+    out = run_cpu_subprocess("SHARE = False\n" + _CODE, 4)
+    assert "SHARDED-STREAM OK" in out
+
+
+@pytest.mark.slow
+def test_streamed_dp_sharded_with_tree_sharing_4dev():
+    """Tree-sharing (ancestor banks) must compose with dp sharding: the
+    banks are built from replicated constants inside the same program and
+    gathered by dp-sharded label indices."""
+    out = run_cpu_subprocess("SHARE = True\n" + _CODE, 4)
     assert "SHARDED-STREAM OK" in out
