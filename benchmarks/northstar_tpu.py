@@ -91,7 +91,7 @@ def run_config(key: str, reps: int, shots: int | None = None,
     out["bank_mb_budget"] = bank_mb
     step_fn, xs, meta = make_streamed_knit(
         virt, out["chunk"], share_prefix=share,
-        bank_budget_bytes=bank_mb << 20,
+        bank_budget_bytes=bank_mb << 20, hoist_banks=share,
     )
     if share:
         out["splits"] = [
@@ -102,14 +102,26 @@ def run_config(key: str, reps: int, shots: int | None = None,
                 "est_speedup": round(s.est_flat_bytes / s.est_bytes, 2),
             } for s in meta["splits"]
         ]
+    # serving shape: ancestor banks are computed ONCE at deploy and
+    # reused by every step (they are pure functions of the plan)
+    banks = None
+    if meta.get("bank_fn") is not None:
+        t0 = time.perf_counter()
+        banks = jax.jit(meta["bank_fn"])()
+        banks = jax.tree.map(lambda a: a.block_until_ready(), banks)
+        # barrier per the axon rules: fetch one scalar per bank leaf
+        for leaf in jax.tree.leaves(banks):
+            if leaf.size:
+                float(leaf.reshape(-1)[0])
+        out["bank_build_s"] = round(time.perf_counter() - t0, 2)
     step = jax.jit(step_fn)
     t0 = time.perf_counter()
-    values = np.asarray(step(xs))  # fetch = completion barrier
+    values = np.asarray(step(xs, banks))  # fetch = completion barrier
     out["first_call_s"] = round(time.perf_counter() - t0, 2)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        values = np.asarray(step(xs))
+        values = np.asarray(step(xs, banks))
         times.append(time.perf_counter() - t0)
     out["steady_step_s"] = round(float(np.median(times)), 3)
 
@@ -128,20 +140,20 @@ def run_config(key: str, reps: int, shots: int | None = None,
             smolin_project_traced,
         )
 
-        def serve(xs):
-            proj = smolin_project_traced(step_fn(xs))
+        def serve(xs, banks):
+            proj = smolin_project_traced(step_fn(xs, banks))
             return sample_indices_device(
                 proj, shots, jax.random.PRNGKey(0)
             )
 
         sjit = jax.jit(serve)
         t0 = time.perf_counter()
-        idx = np.asarray(sjit(xs))
+        idx = np.asarray(sjit(xs, banks))
         out["shots_first_s"] = round(time.perf_counter() - t0, 2)
         stimes = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            idx = np.asarray(sjit(xs))
+            idx = np.asarray(sjit(xs, banks))
             stimes.append(time.perf_counter() - t0)
         out["shots_steady_s"] = round(float(np.median(stimes)), 3)
         out["shots"] = shots

@@ -78,6 +78,7 @@ def make_streamed_knit(
     noise=None, trajectories: int | None = None, seed: int = 0,
     z_clbits=None, share_prefix: bool = False,
     bank_budget_bytes: int = 512 << 20, fused_slots: bool = True,
+    hoist_banks: bool = False,
 ):
     """Build (step_fn, xs, meta): ``step_fn(xs)`` scans all global label
     chunks and returns the flat knitted quasi-distribution values.
@@ -120,6 +121,13 @@ def make_streamed_knit(
     program, no semantic change; fragments where no split wins (or the
     bank exceeds ``bank_budget_bytes``) keep the flat path.  Noisy
     fragments never share (per-label trajectory sites).
+
+    ``hoist_banks``: serving shape — split selection assumes the banks
+    are computed ONCE at deploy (``banks = jit(meta["bank_fn"])()``) and
+    passed to every call as ``step_fn(xs, banks)``, so the one-time
+    build bytes don't count against a split and deeper splits win.
+    ``step_fn(xs)`` without ``banks`` still recomputes them in-program
+    (same values, just slower per call).
     """
     specs = [vg.spec for vg in virt.vgates]
     num_g = len(specs)
@@ -169,7 +177,8 @@ def make_streamed_knit(
         sp = None
         if share_prefix and nm is None:
             sp = split_plan(
-                sim_one, prog, specs, total, bank_budget_bytes
+                sim_one, prog, specs, total, bank_budget_bytes,
+                hoisted=hoist_banks,
             )
         splits.append(
             None if sp is None else (sp,) + make_split_fns(sim_one, sp)
@@ -408,9 +417,9 @@ def make_streamed_knit(
             carry.reshape(-1), src_bits, sorted(src_bits)
         )
 
-    def step_fn(xs):
+    def step_fn(xs, banks=None):
         carry0 = jnp.zeros(shape, dtype=jnp.float32)
-        return finish_fn(segment_fn(carry0, xs))
+        return finish_fn(segment_fn(carry0, xs, banks))
 
     xs = (_chunked(vidx), xs_pauli, _chunked(valid))
     meta = {

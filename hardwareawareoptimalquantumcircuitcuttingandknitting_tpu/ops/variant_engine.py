@@ -348,14 +348,21 @@ class SplitPlan:
     bank_bytes: int         # n_anc * 2^(m_split+1) * 4
     est_bytes: int          # modelled HBM bytes with this split
     est_flat_bytes: int     # modelled HBM bytes without sharing
+    build_bytes: int = 0    # one-time bank-build bytes (prefix + write)
 
 
 def split_plan(sim_one, prog, specs, global_labels: int,
-               bank_budget_bytes: int = 512 << 20) -> SplitPlan | None:
+               bank_budget_bytes: int = 512 << 20,
+               hoisted: bool = False) -> SplitPlan | None:
     """Choose the best shared-prefix split for one fragment (minimum
     modelled HBM bytes subject to the ancestor bank fitting
     ``bank_budget_bytes``).  Returns None when no split beats the flat
-    plan — e.g. slot-free fragments, or a first slot at step 0."""
+    plan — e.g. slot-free fragments, or a first slot at step 0.
+
+    ``hoisted=True`` scores candidates for the SERVING shape (banks
+    computed once at deploy via ``meta["bank_fn"]`` and passed to every
+    ``step_fn(xs, banks)`` call): the one-time build bytes are excluded,
+    so deeper splits win — est_bytes/est_flat_bytes are then per-step."""
     plan = sim_one.run_plan
     slot_vg = [s.vgate_idx for s in prog.slots]
     if any(stp[0] == "pauli" for stp in plan):
@@ -390,21 +397,26 @@ def split_plan(sim_one, prog, specs, global_labels: int,
         bank_bytes = n_anc * (1 << (m_split + 1)) * 4
         pre_b, _ = _steps_hbm_bytes(plan[:split_idx], sim_one.prefix_width)
         suf_b, _ = _steps_hbm_bytes(plan[split_idx:], m_split)
-        est = (
-            pre_b * n_anc + bank_bytes                 # build + write bank
-            + (suf_b + finish_bytes) * global_labels   # per-label suffix
+        build = pre_b * n_anc + bank_bytes             # build + write bank
+        step = (
+            (suf_b + finish_bytes) * global_labels     # per-label suffix
             + (0 if not shared else
                global_labels * (1 << (m_split + 1)) * 4)  # ancestor gather
         )
+        # hoisted serving pays the bank build ONCE at deploy, not per
+        # step — score splits by per-step bytes only (budget still caps)
+        est = step if hoisted else build + step
         if not shared:
             flat_est = est
         if shared and bank_bytes > bank_budget_bytes:
             continue
         if best is None or est < best[0]:
-            best = (est, split_idx, m_split, shared, n_anc, bank_bytes)
+            best = (
+                est, split_idx, m_split, shared, n_anc, bank_bytes, build,
+            )
     if best is None or not best[3]:
         return None
-    est, split_idx, m_split, shared, n_anc, bank_bytes = best
+    est, split_idx, m_split, shared, n_anc, bank_bytes, build = best
     if flat_est is not None and est >= flat_est:
         return None
     astrides: dict[int, int] = {}
@@ -423,6 +435,7 @@ def split_plan(sim_one, prog, specs, global_labels: int,
         bank_bytes=int(bank_bytes),
         est_bytes=int(est),
         est_flat_bytes=int(flat_est) if flat_est is not None else int(est),
+        build_bytes=int(build),
     )
 
 

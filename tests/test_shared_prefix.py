@@ -228,3 +228,33 @@ def test_roofline_share_model_shrinks():
     flat = streamed_step_model(virt)
     shared = streamed_step_model(virt, share_prefix=True)
     assert shared.total_bytes < flat.total_bytes
+    hoisted = streamed_step_model(virt, share_prefix=True, hoist_banks=True)
+    assert hoisted.total_bytes <= shared.total_bytes
+
+
+def test_hoisted_banks_match_in_program_banks():
+    """The serving shape (banks built once via meta["bank_fn"], passed to
+    step_fn(xs, banks)) must reproduce the in-program bank path exactly,
+    and the hoisted split selection must still beat or match the flat
+    scan per step."""
+    import jax
+
+    virt = _cut(genCirc("aqft", 6, 2), 5)
+    step, xs, meta = make_streamed_knit(
+        virt, 32, share_prefix=True, hoist_banks=True
+    )
+    assert any(s is not None for s in meta["splits"])
+    banks = jax.jit(meta["bank_fn"])()
+    hoisted = np.asarray(jax.jit(step)(xs, banks))
+    in_program = np.asarray(jax.jit(step)(xs))
+    np.testing.assert_allclose(hoisted, in_program, atol=1e-6)
+
+    flat_step, flat_xs, _ = make_streamed_knit(virt, 32, share_prefix=False)
+    flat = np.asarray(jax.jit(flat_step)(flat_xs))
+    np.testing.assert_allclose(hoisted, flat, atol=1e-6)
+
+    # hoisted scoring drops the one-time build bytes from est_bytes
+    for sp in meta["splits"]:
+        if sp is not None:
+            assert sp.build_bytes > 0
+            assert sp.est_bytes <= sp.est_flat_bytes
