@@ -55,6 +55,28 @@ def main() -> None:
     sampled, _ = run_virtual_circuit(virt, engine="streamed", shots=20000)
     print(f"20000 shots: fidelity={calculate_fidelity(circ, sampled):.5f}")
 
+    # ---- serve: steady-state step, banks hoisted -------------------------
+    # at deploy, build the tree-sharing ancestor banks ONCE and pass them
+    # to every step — the per-request step pays only gather + suffix
+    # (this is what benchmarks/northstar_tpu.py measures)
+    import jax
+    import numpy as np
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
+        make_streamed_knit,
+    )
+
+    step_fn, xs, meta = make_streamed_knit(
+        virt, chunk=64, share_prefix=True, hoist_banks=True
+    )
+    banks = (jax.jit(meta["bank_fn"])()
+             if meta["bank_fn"] is not None else None)
+    step = jax.jit(step_fn)
+    values = np.asarray(step(xs, banks))   # request 1 (compiles)
+    values = np.asarray(step(xs, banks))   # request 2 (steady state)
+    print(f"hoisted-bank step: sum={float(values.sum()):.6f} "
+          f"splits={[s is not None for s in meta['splits']]}")
+
     # ---- serve: observables (scalar carry, any width) --------------------
     # the reference's GHZ has 2n clbits (measure_all adds a register,
     # helper_functions.py:154-161) — the measured bits are the written
