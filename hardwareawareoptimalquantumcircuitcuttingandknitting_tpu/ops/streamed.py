@@ -44,10 +44,14 @@ from .knit import fold_weights, nearest_probability_distribution
 from .statevector import Distribution
 from .variant_engine import (
     _slot_tables,
+    exec_plan_steps,
+    finish_row,
+    ideal_stage_align,
     label_strides,
     make_sim_fn,
     make_split_fns,
     split_plan,
+    suffix_stages,
     variant_index_table,
 )
 
@@ -180,9 +184,12 @@ def make_streamed_knit(
                 sim_one, prog, specs, total, bank_budget_bytes,
                 hoisted=hoist_banks,
             )
-        splits.append(
-            None if sp is None else (sp,) + make_split_fns(sim_one, sp)
-        )
+        if sp is None:
+            splits.append(None)
+        else:
+            prefix_one, _ = make_split_fns(sim_one, sp)
+            stages, r_anc = suffix_stages(sp, prog, specs, gstride, chunk)
+            splits.append((sp, prefix_one, stages, r_anc))
 
         if nm is None:
             xs_pauli.append(np.zeros((n_chunks, chunk, 0, 0), np.int32))
@@ -263,7 +270,7 @@ def make_streamed_knit(
     def _bank_for_fragment(fi):
         """[n_anc_pad, 2, 2^m_split] ancestor states: one prefix run per
         combination of the shared vgates' variants (chunked lax.scan)."""
-        sp, prefix_one, _ = splits[fi]
+        sp, prefix_one, _, _ = splits[fi]
         per_anc = (1 << (sp.m_split + 1)) * 4
         achunk = int(max(8, min(sp.n_anc, _CHUNK_BYTES_BUDGET // per_anc)))
         n_ac = math.ceil(sp.n_anc / achunk)
@@ -307,23 +314,58 @@ def make_streamed_knit(
     def _rows_for_fragment(fi, name, vidx_chunk, pidx, bank=None):
         sim_one = sim_ones[name]
         if splits[fi] is not None:
-            sp, _, suffix_one = splits[fi]
-            anc = jnp.zeros((chunk,), jnp.int32)
+            # staged suffix: each stage runs once per group of r_out
+            # consecutive labels (suffix_stages — in-chunk tree sharing),
+            # broadcasting representatives down to the next stage's
+            # finer groups.  With every r_out == 1 this is exactly the
+            # per-label suffix path.
+            sp, _, stages, r_anc = splits[fi]
+            masks = getattr(sim_one, "slot_masks", None)
+            reps0 = vidx_chunk[::r_anc]
+            anc = jnp.zeros((chunk // r_anc,), jnp.int32)
             for g in sp.shared:
-                anc = anc + vidx_chunk[:, g] * jnp.int32(sp.astrides[g])
+                anc = anc + reps0[:, g] * jnp.int32(sp.astrides[g])
             states = bank[anc]
-            suffix_sids = sorted({
-                stp[1] for stp in sp.suffix_steps
-                if stp[0].startswith("slot")
-            })
-            mats = {
-                sid: tuple(
-                    t[vidx_chunk[:, slot_gcols[fi][sid]]]
-                    for t in slot_tables[fi][sid]
+            cur = r_anc
+            m_fin = sp.m_split
+            for st in stages:
+                if st.r_out != cur:
+                    k = cur // st.r_out
+                    s0 = states.shape
+                    states = jnp.broadcast_to(
+                        states[:, None], (s0[0], k) + s0[1:]
+                    ).reshape((s0[0] * k,) + s0[1:])
+                    cur = st.r_out
+                reps = vidx_chunk[::cur]
+                mats = {
+                    sid: tuple(
+                        t[reps[:, slot_gcols[fi][sid]]]
+                        for t in slot_tables[fi][sid]
+                    )
+                    for sid in st.sids
+                }
+
+                def seg_fn(s, mm, _steps=st.steps, _m=st.m_in):
+                    return exec_plan_steps(
+                        s, _m, _steps, mm, slot_masks=masks
+                    )[0]
+
+                states = jax.vmap(seg_fn)(states, mats)
+                m_fin = st.m_in + sum(
+                    1 for stp in st.steps if stp[0] == "ins"
                 )
-                for sid in suffix_sids
-            }
-            return jax.vmap(suffix_one)(states, mats)
+            if cur != 1:
+                s0 = states.shape
+                states = jnp.broadcast_to(
+                    states[:, None], (s0[0], cur) + s0[1:]
+                ).reshape((s0[0] * cur,) + s0[1:])
+
+            def fin(s, _m=m_fin):
+                return finish_row(
+                    s, _m, sim_one.active_final, sim_one.sources
+                )
+
+            return jax.vmap(fin)(states)
         # device-side gather: per-label variant index -> slot matrices
         mats = [
             tuple(t[vidx_chunk[:, g]] for t in tabs)
@@ -434,7 +476,20 @@ def make_streamed_knit(
         "finish_fn": finish_fn,
         "bank_fn": _compute_banks if any_split else None,
         "splits": [s[0] if s is not None else None for s in splits],
+        "stages": [s[2] if s is not None else None for s in splits],
     }
+    # the chunk multiple at which in-chunk suffix staging engages fully
+    # (lcm over fragments of the stride-valid coarsest group size);
+    # callers re-build with chunk rounded down to a multiple of this —
+    # see run_virtual_circuit_streamed and benchmarks/northstar_tpu.py
+    align = 1
+    for fi, s in enumerate(splits):
+        if s is not None:
+            a = ideal_stage_align(
+                s[0], virt.programs[frag_names[fi]], specs, gstride
+            )
+            align = align * a // math.gcd(align, a)
+    meta["stage_align"] = align
     return step_fn, xs, meta
 
 
@@ -590,6 +645,18 @@ def run_virtual_circuit_streamed(
         virt, chunk, noise=noise, trajectories=trajectories, seed=seed,
         share_prefix=share_prefix if share_prefix is not None else True,
     )
+    # engage in-chunk suffix staging fully: round the chunk down to the
+    # stage alignment and rebuild once (host-only work; same values).
+    # Only when the chunk comfortably exceeds the alignment — shrinking
+    # a small chunk costs more scan overhead than staging saves.
+    al = meta["stage_align"]
+    if al > 1 and chunk % al and chunk >= 4 * al:
+        chunk = (chunk // al) * al
+        step_fn, xs, meta = make_streamed_knit(
+            virt, chunk, noise=noise, trajectories=trajectories,
+            seed=seed,
+            share_prefix=share_prefix if share_prefix is not None else True,
+        )
     n_chunks = meta["n_chunks"]
 
     if checkpoint_dir is None and shots is not None:
@@ -693,4 +760,11 @@ def streamed_expectation_z(
         noise=noise, trajectories=trajectories, seed=seed,
         share_prefix=share_prefix,
     )
+    al = meta["stage_align"]
+    if al > 1 and chunk % al and chunk >= 4 * al:
+        step_fn, xs, meta = make_streamed_knit(
+            virt, (chunk // al) * al, z_clbits=frozenset(z_clbits),
+            noise=noise, trajectories=trajectories, seed=seed,
+            share_prefix=share_prefix,
+        )
     return float(np.asarray(jax.jit(step_fn)(xs)).reshape(()))

@@ -439,6 +439,117 @@ def split_plan(sim_one, prog, specs, global_labels: int,
     )
 
 
+@dataclass
+class SuffixStage:
+    """One group-deduplicated segment of a SplitPlan's suffix.
+
+    ``steps`` run once per group of ``r_out`` consecutive labels (the
+    states entering the NEXT stage are broadcast from group
+    representatives).  ``sids`` are the slot ids whose matrices this
+    stage gathers — at representative rows ``vidx[::r_out]``."""
+
+    steps: list
+    m_in: int
+    r_out: int
+    sids: list
+
+
+def suffix_stages(sp: SplitPlan, prog, specs, gstride: dict,
+                  chunk: int) -> tuple[list, int]:
+    """Partition ``sp.suffix_steps`` into in-chunk deduplicated stages.
+
+    The global label enumeration is mixed-radix (last vgate fastest,
+    :func:`label_strides`), so labels agreeing on every vgate except a
+    trailing-stride set are CONSECUTIVE: within an aligned block of R
+    labels, vgate column g is constant iff ``R | gstride[g]``.  Each
+    suffix vgate opens a stage; the stage's segment is executed once per
+    group of ``r_out`` labels (r_out = the largest trailing-product
+    group size that divides ``chunk`` and every dependency's stride),
+    then broadcast to the next stage's finer groups.  This captures the
+    deeper tree-sharing a bigger ancestor bank would buy (PERF.md's
+    "multi-level tree sharing" lever) with ZERO extra bank memory — the
+    sup-25 3 GB deep-bank probe regressed on bank paging
+    (northstar_tpu.json); in-chunk groups live only inside the scan
+    body.  Degrades gracefully: an unaligned ``chunk`` drives every
+    r_out to 1, which is exactly the previous per-label suffix path.
+
+    Returns ``(stages, r_anc)`` where ``r_anc`` is the ancestor-gather
+    group size (bank rows are fetched once per r_anc labels).
+    Reference role: the Aer batch at qvm/run.py:36-42 re-simulates every
+    instantiation from scratch — no sharing at any level.
+    """
+    slot_vg = [s.vgate_idx for s in prog.slots]
+    # stage boundaries: before each newly-seen vgate's first slot,
+    # stepping back over the segment's preceding "ins" widenings (the
+    # same candidate rule split_plan uses, so index 0 is a boundary)
+    bounds: list[tuple[int, int, int]] = []  # (step_idx, m_in, vgate)
+    seen = list(sp.shared)
+    m = sp.m_split
+    for i, stp in enumerate(sp.suffix_steps):
+        if stp[0].startswith("slot") and slot_vg[stp[1]] not in seen:
+            j, mm = i, m
+            while j > 0 and sp.suffix_steps[j - 1][0] == "ins":
+                j -= 1
+                mm -= 1
+            bounds.append((j, mm, slot_vg[stp[1]]))
+            seen.append(slot_vg[stp[1]])
+        if stp[0] == "ins":
+            m += 1
+    if not bounds or bounds[0][0] != 0:
+        # no suffix slots (all-shared split): one per-label stage
+        return (
+            [SuffixStage(list(sp.suffix_steps), sp.m_split, 1, [])], 1,
+        )
+
+    suffix_vgs = [g for (_, _, g) in bounds]
+    # natural group-size ladder: r_t = prod insts of vgates introduced
+    # AFTER stage t (trailing block of the mixed radix)
+    ladder = [1]
+    for g in reversed(suffix_vgs[1:]):
+        ladder.append(ladder[-1] * specs[g].num_instantiations)
+    ladder.reverse()  # ladder[t] = natural r_out of stage t
+    r_first = ladder[0] * specs[suffix_vgs[0]].num_instantiations
+
+    def _valid(r: int, deps) -> bool:
+        return (
+            r >= 1 and chunk % r == 0
+            and all(gstride[g] % r == 0 for g in deps)
+        )
+
+    stages: list[SuffixStage] = []
+    deps = list(sp.shared)
+    # effective r_out must be computed fine-to-coarse so every stage's
+    # groups refine the previous stage's (r_out divides the previous)
+    r_eff = [1] * len(bounds)
+    for t in range(len(bounds) - 1, -1, -1):
+        d = deps + suffix_vgs[: t + 1]
+        nat = ladder[t]
+        r_eff[t] = nat if _valid(nat, d) else (
+            r_eff[t + 1] if t + 1 < len(bounds) else 1
+        )
+    for t, (j, mm, _g) in enumerate(bounds):
+        j_next = bounds[t + 1][0] if t + 1 < len(bounds) else len(
+            sp.suffix_steps
+        )
+        seg = list(sp.suffix_steps[j:j_next])
+        sids = sorted({
+            stp[1] for stp in seg if stp[0].startswith("slot")
+        })
+        stages.append(SuffixStage(seg, mm, r_eff[t], sids))
+    r_anc = r_first if _valid(r_first, sp.shared) else r_eff[0]
+    return stages, r_anc
+
+
+def ideal_stage_align(sp: SplitPlan, prog, specs, gstride: dict) -> int:
+    """The chunk multiple at which :func:`suffix_stages` engages fully
+    for this fragment (the stride-valid coarsest group size, ignoring
+    chunk divisibility).  Callers round their chunk down to a common
+    multiple — see ``meta["stage_align"]`` in make_streamed_knit."""
+    # chunk=0 sentinel: 0 % r == 0 for every r, so only strides bind
+    stages, r_anc = suffix_stages(sp, prog, specs, gstride, 0)
+    return max([r_anc] + [st.r_out for st in stages])
+
+
 def make_split_fns(sim_one, sp: SplitPlan):
     """(prefix_one, suffix_one) closures for a :class:`SplitPlan`:
     ``prefix_one(slot_mats) -> [2, 2^m_split]`` ancestor state;

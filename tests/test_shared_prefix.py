@@ -258,3 +258,58 @@ def test_hoisted_banks_match_in_program_banks():
         if sp is not None:
             assert sp.build_bytes > 0
             assert sp.est_bytes <= sp.est_flat_bytes
+
+
+def test_staged_suffix_multi_stage_matches_flat():
+    """In-chunk suffix staging (variant_engine.suffix_stages): with a
+    bank budget that forces a shallow split, the suffix carries several
+    vgates and an aligned chunk engages a multi-level group ladder —
+    the deeper tree-sharing the sup-25 3 GB deep-bank probe showed banks
+    cannot buy (northstar_tpu.json: bank paging).  Values must match the
+    flat scan exactly at every alignment, including unaligned chunks
+    (which must degrade to the per-label ladder, not error)."""
+    import jax
+
+    virt = _cut(genCirc("hwe", 10, 3), 6)
+    assert len(virt.vgates) >= 3
+    flat_step, flat_xs, _ = make_streamed_knit(virt, 36, share_prefix=False)
+    flat = np.asarray(jax.jit(flat_step)(flat_xs))
+
+    engaged_multi = False
+    for chunk in (36, 72, 32):
+        step, xs, meta = make_streamed_knit(
+            virt, chunk, share_prefix=True, bank_budget_bytes=1 << 14,
+            hoist_banks=True,
+        )
+        got = np.asarray(jax.jit(step)(xs))
+        np.testing.assert_allclose(got, flat, atol=1e-6,
+                                   err_msg=f"chunk={chunk}")
+        # hoisted-bank call path too
+        banks = jax.jit(meta["bank_fn"])()
+        got2 = np.asarray(jax.jit(step)(xs, banks))
+        np.testing.assert_allclose(got2, flat, atol=1e-6)
+        for st in meta["stages"]:
+            if st is not None and chunk % meta["stage_align"] == 0:
+                if any(t.r_out > 1 for t in st):
+                    engaged_multi = True
+        if chunk == 32:
+            # unaligned: every group degrades to per-label (r_out == 1)
+            for st in meta["stages"]:
+                if st is not None:
+                    assert all(t.r_out == 1 for t in st)
+    assert engaged_multi, "aligned chunks never engaged a >1 group ladder"
+
+
+def test_stage_align_rebuild_in_run_streamed():
+    """run_virtual_circuit_streamed rounds a large unaligned chunk down
+    to meta["stage_align"] and must return identical values."""
+    virt = _cut(genCirc("hwe", 8, 2), 5)
+    _, _, meta = make_streamed_knit(virt, 32, share_prefix=True)
+    al = meta["stage_align"]
+    assert al > 1  # ancestor-gather dedup is available on this config
+    a = run_virtual_circuit_streamed(virt, chunk=4 * al + 1,
+                                     share_prefix=True)
+    b = run_virtual_circuit_streamed(virt, chunk=32, share_prefix=False)
+    np.testing.assert_allclose(
+        np.asarray(a.values), np.asarray(b.values), atol=1e-6
+    )
