@@ -93,6 +93,19 @@ def run_config(key: str, reps: int, shots: int | None = None,
         virt, out["chunk"], share_prefix=share,
         bank_budget_bytes=bank_mb << 20, hoist_banks=share,
     )
+    # engage in-chunk suffix staging fully (see ops/streamed.py): round
+    # the chunk down to the stage alignment and rebuild once
+    al = meta["stage_align"]
+    if al > 1 and out["chunk"] % al and out["chunk"] >= 4 * al:
+        out["chunk"] = (out["chunk"] // al) * al
+        step_fn, xs, meta = make_streamed_knit(
+            virt, out["chunk"], share_prefix=share,
+            bank_budget_bytes=bank_mb << 20, hoist_banks=share,
+        )
+    out["stage_ladders"] = [
+        None if st is None else [t.r_out for t in st]
+        for st in meta["stages"]
+    ]
     if share:
         out["splits"] = [
             None if s is None else {

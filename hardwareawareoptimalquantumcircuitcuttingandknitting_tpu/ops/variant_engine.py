@@ -496,9 +496,14 @@ def suffix_stages(sp: SplitPlan, prog, specs, gstride: dict,
         if stp[0] == "ins":
             m += 1
     if not bounds or bounds[0][0] != 0:
-        # no suffix slots (all-shared split): one per-label stage
+        # no suffix slot introduces a NEW vgate (all-shared split, or a
+        # shared vgate's second endpoint sits in the suffix): one
+        # per-label stage gathering whatever slots the suffix carries
+        sids = sorted({
+            stp[1] for stp in sp.suffix_steps if stp[0].startswith("slot")
+        })
         return (
-            [SuffixStage(list(sp.suffix_steps), sp.m_split, 1, [])], 1,
+            [SuffixStage(list(sp.suffix_steps), sp.m_split, 1, sids)], 1,
         )
 
     suffix_vgs = [g for (_, _, g) in bounds]
