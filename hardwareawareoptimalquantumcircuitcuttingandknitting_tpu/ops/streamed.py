@@ -126,6 +126,18 @@ def make_streamed_knit(
     bank exceeds ``bank_budget_bytes``) keep the flat path.  Noisy
     fragments never share (per-label trajectory sites).
 
+    On top of the bank, the suffix itself is STAGED in-chunk
+    (:func:`~.variant_engine.suffix_stages`): because the global label
+    order is mixed-radix, consecutive labels share every vgate except a
+    trailing set, so each suffix vgate's segment runs once per group of
+    ``r_out`` labels and is broadcast to the next stage's finer groups —
+    the multi-level tree sharing a deeper bank would buy, without the
+    bank memory (the sup-25 3 GB deep-bank probe regressed on paging).
+    Staging fully engages when ``chunk`` is a multiple of
+    ``meta["stage_align"]`` and degrades exactly to the per-label path
+    otherwise; ``run_virtual_circuit_streamed`` rounds large chunks down
+    automatically.
+
     ``hoist_banks``: serving shape — split selection assumes the banks
     are computed ONCE at deploy (``banks = jit(meta["bank_fn"])()``) and
     passed to every call as ``step_fn(xs, banks)``, so the one-time
