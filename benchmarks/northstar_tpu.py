@@ -93,15 +93,8 @@ def run_config(key: str, reps: int, shots: int | None = None,
         virt, out["chunk"], share_prefix=share,
         bank_budget_bytes=bank_mb << 20, hoist_banks=share,
     )
-    # engage in-chunk suffix staging fully (see ops/streamed.py): round
-    # the chunk down to the stage alignment and rebuild once
-    al = meta["stage_align"]
-    if al > 1 and out["chunk"] % al and out["chunk"] >= 4 * al:
-        out["chunk"] = (out["chunk"] // al) * al
-        step_fn, xs, meta = make_streamed_knit(
-            virt, out["chunk"], share_prefix=share,
-            bank_budget_bytes=bank_mb << 20, hoist_banks=share,
-        )
+    # staging is NOT forced by shrinking the chunk — measured neutral on
+    # the v5e (staged_ab_probe.json); ladders record what engaged anyway
     out["stage_ladders"] = [
         None if st is None else [t.r_out for t in st]
         for st in meta["stages"]

@@ -135,8 +135,12 @@ def make_streamed_knit(
     bank memory (the sup-25 3 GB deep-bank probe regressed on paging).
     Staging fully engages when ``chunk`` is a multiple of
     ``meta["stage_align"]`` and degrades exactly to the per-label path
-    otherwise; ``run_virtual_circuit_streamed`` rounds large chunks down
-    automatically.
+    otherwise.  Measured on the v5e it is BANDWIDTH-NEUTRAL (interleaved
+    A/B, staged_ab_probe.json: sup-25 step 5.43 s vs 5.37 s): the bytes
+    saved in the mid-segments are offset by lower sustained HBM
+    bandwidth at the smaller per-stage batch, so chunks are not
+    auto-aligned — the mechanism stays for bytes-limited backends and
+    for the ancestor-gather dedup it gives aligned chunks for free.
 
     ``hoist_banks``: serving shape — split selection assumes the banks
     are computed ONCE at deploy (``banks = jit(meta["bank_fn"])()``) and
@@ -657,18 +661,12 @@ def run_virtual_circuit_streamed(
         virt, chunk, noise=noise, trajectories=trajectories, seed=seed,
         share_prefix=share_prefix if share_prefix is not None else True,
     )
-    # engage in-chunk suffix staging fully: round the chunk down to the
-    # stage alignment and rebuild once (host-only work; same values).
-    # Only when the chunk comfortably exceeds the alignment — shrinking
-    # a small chunk costs more scan overhead than staging saves.
-    al = meta["stage_align"]
-    if al > 1 and chunk % al and chunk >= 4 * al:
-        chunk = (chunk // al) * al
-        step_fn, xs, meta = make_streamed_knit(
-            virt, chunk, noise=noise, trajectories=trajectories,
-            seed=seed,
-            share_prefix=share_prefix if share_prefix is not None else True,
-        )
+    # NOTE: the chunk is NOT auto-rounded to meta["stage_align"].  The
+    # staged suffix engages when the caller's chunk is already aligned;
+    # the interleaved A/B on the v5e (staged_ab_probe.json: sup-25
+    # 5.43 s vs 5.37 s scalar-fetch steady) showed byte dedup is offset
+    # by lower sustained bandwidth at the smaller mid-segment batch, so
+    # shrinking a chunk to force alignment buys nothing on this device.
     n_chunks = meta["n_chunks"]
 
     if checkpoint_dir is None and shots is not None:
@@ -772,11 +770,4 @@ def streamed_expectation_z(
         noise=noise, trajectories=trajectories, seed=seed,
         share_prefix=share_prefix,
     )
-    al = meta["stage_align"]
-    if al > 1 and chunk % al and chunk >= 4 * al:
-        step_fn, xs, meta = make_streamed_knit(
-            virt, (chunk // al) * al, z_clbits=frozenset(z_clbits),
-            noise=noise, trajectories=trajectories, seed=seed,
-            share_prefix=share_prefix,
-        )
     return float(np.asarray(jax.jit(step_fn)(xs)).reshape(()))

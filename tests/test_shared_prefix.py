@@ -300,14 +300,16 @@ def test_staged_suffix_multi_stage_matches_flat():
     assert engaged_multi, "aligned chunks never engaged a >1 group ladder"
 
 
-def test_stage_align_rebuild_in_run_streamed():
-    """run_virtual_circuit_streamed rounds a large unaligned chunk down
-    to meta["stage_align"] and must return identical values."""
+def test_stage_aligned_chunk_in_run_streamed():
+    """An explicitly aligned chunk engages the ancestor-gather dedup in
+    run_virtual_circuit_streamed and returns identical values.  (Chunks
+    are NOT auto-aligned: the v5e A/B measured staging bandwidth-neutral,
+    staged_ab_probe.json.)"""
     virt = _cut(genCirc("hwe", 8, 2), 5)
     _, _, meta = make_streamed_knit(virt, 32, share_prefix=True)
     al = meta["stage_align"]
     assert al > 1  # ancestor-gather dedup is available on this config
-    a = run_virtual_circuit_streamed(virt, chunk=4 * al + 1,
+    a = run_virtual_circuit_streamed(virt, chunk=4 * al,
                                      share_prefix=True)
     b = run_virtual_circuit_streamed(virt, chunk=32, share_prefix=False)
     np.testing.assert_allclose(
