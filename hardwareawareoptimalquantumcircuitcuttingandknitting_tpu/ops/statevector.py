@@ -150,8 +150,10 @@ def apply_diag(state: jnp.ndarray, dr: np.ndarray, di: np.ndarray,
     shape.append(1 << (n - 1 - qs[-1]))
     st = state.reshape((2,) + tuple(shape))
     re, im = st[0], st[1]
-    drb = jnp.asarray(_diag_broadcast(dr, axes))
-    dib = jnp.asarray(_diag_broadcast(di, axes))
+    # match the state dtype so a bf16 serving state is not silently
+    # promoted back to f32 by f32 gate constants
+    drb = jnp.asarray(_diag_broadcast(dr, axes), dtype=state.dtype)
+    dib = jnp.asarray(_diag_broadcast(di, axes), dtype=state.dtype)
     out = jnp.stack([drb * re - dib * im, dib * re + drb * im])
     return out.reshape(2, 1 << n)
 
@@ -314,7 +316,7 @@ def apply_matrix(state: jnp.ndarray, block, axes, n: int | None = None,
         and len(axes) <= 3
     ):
         return _apply_masked_slices(state, block, axes, n, zero_mask)
-    b = jnp.asarray(block)
+    b = jnp.asarray(block, dtype=state.dtype)
     if len(axes) == 1:
         q = axes[0]
         st = state.reshape(2, 1 << q, 2, 1 << (n - 1 - q))

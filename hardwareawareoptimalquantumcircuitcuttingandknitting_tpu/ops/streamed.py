@@ -82,7 +82,7 @@ def make_streamed_knit(
     noise=None, trajectories: int | None = None, seed: int = 0,
     z_clbits=None, share_prefix: bool = False,
     bank_budget_bytes: int = 512 << 20, fused_slots: bool = True,
-    hoist_banks: bool = False,
+    hoist_banks: bool = False, dtype=None,
 ):
     """Build (step_fn, xs, meta): ``step_fn(xs)`` scans all global label
     chunks and returns the flat knitted quasi-distribution values.
@@ -149,6 +149,9 @@ def make_streamed_knit(
     ``step_fn(xs)`` without ``banks`` still recomputes them in-program
     (same values, just slower per call).
     """
+    dtype = jnp.float32 if dtype is None else dtype
+    if dtype != jnp.float32:
+        assert noise is None, "bf16 serving mode is exact-path only"
     specs = [vg.spec for vg in virt.vgates]
     num_g = len(specs)
     gstride, n_inst, total = label_strides(specs, range(num_g))
@@ -185,11 +188,11 @@ def make_streamed_knit(
         frag_fused = fused_slots and nm is None
         sim_one, _, positions, _local_count = make_sim_fn(
             virt, name, noise=nm, build_matrices=False,
-            fused_slots=frag_fused,
+            fused_slots=frag_fused, dtype=dtype,
         )
         sim_ones[name] = sim_one
         slot_tables.append([
-            tuple(jnp.asarray(m) for m in t)
+            tuple(jnp.asarray(m, dtype=dtype) for m in t)
             for t in _slot_tables(prog, specs, fused=frag_fused)
         ])
         slot_gcols.append([slot.vgate_idx for slot in prog.slots])
@@ -620,6 +623,7 @@ def run_virtual_circuit_streamed(
     checkpoint_dir=None,
     segment_chunks: int | None = None,
     share_prefix: bool | None = None,
+    dtype=None,
 ) -> Distribution:
     """End-to-end streamed execution on the default device.  ``chunk`` is
     capped by :func:`auto_chunk` to bound device memory.
@@ -645,6 +649,13 @@ def run_virtual_circuit_streamed(
     :func:`make_streamed_knit`).  Default (None) = on; per-fragment the
     split only engages where the byte model says it wins, and noisy
     fragments always run flat.
+
+    ``dtype``: statevector storage dtype.  ``jnp.bfloat16`` is the
+    quantized serving mode — every state pass (and the ancestor banks)
+    moves half the HBM bytes while probabilities, folds and the knit
+    stay f32.  Per-amplitude rounding is ~2^-8 per pass; use with
+    ``shots`` where sampling noise dominates (the exact-fidelity
+    contract is the f32 default).  Exact path only.
     """
     models = _resolve_noise(virt, noise)
     traj_eff = max(
@@ -660,6 +671,7 @@ def run_virtual_circuit_streamed(
     step_fn, xs, meta = make_streamed_knit(
         virt, chunk, noise=noise, trajectories=trajectories, seed=seed,
         share_prefix=share_prefix if share_prefix is not None else True,
+        dtype=dtype,
     )
     # NOTE: the chunk is NOT auto-rounded to meta["stage_align"].  The
     # staged suffix engages when the caller's chunk is already aligned;

@@ -294,8 +294,10 @@ def finish_row(state, m, active_final, sources):
     """|psi|^2 + marginalisation onto the written clbits.  Marginalises
     over the ACTIVE qubits; a source qubit that never saw an op is
     deterministically |0> — its bit is spliced in as a zero-bit after
-    the reduction."""
-    p = jnp.sum(state * state, axis=0)
+    the reduction.  Probabilities accumulate in f32 even for a bf16
+    serving state (the convert fuses into the square)."""
+    s32 = state.astype(jnp.float32)
+    p = jnp.sum(s32 * s32, axis=0)
     act_sources = [q for q in sources if q in active_final]
     row = marginalize_flat(
         p, m, [active_final.index(q) for q in act_sources]
@@ -566,10 +568,12 @@ def make_split_fns(sim_one, sp: SplitPlan):
     sources = sim_one.sources
     slot_masks = getattr(sim_one, "slot_masks", None)
 
+    dtype = getattr(sim_one, "dtype", jnp.float32)
+
     def prefix_one(slot_mats):
         state, m = exec_plan_steps(
-            jnp.asarray(prefix_state), m0, sp.prefix_steps, slot_mats,
-            slot_masks=slot_masks,
+            jnp.asarray(prefix_state, dtype=dtype), m0, sp.prefix_steps,
+            slot_mats, slot_masks=slot_masks,
         )
         assert m == sp.m_split
         return state
@@ -586,7 +590,7 @@ def make_split_fns(sim_one, sp: SplitPlan):
 
 def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
                 build_matrices: bool = True, fuse_qubits: int = 3,
-                fused_slots: bool = False):
+                fused_slots: bool = False, dtype=None):
     """Build the per-variant simulation closure for a fragment.
 
     ``fused_slots``: exact path only — collapse each slot's
@@ -607,6 +611,13 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
     additionally applies one sampled-Pauli matrix per physical gate site
     (trajectory depolarising; see ops/noise.py).  ``sim_one.noise_sites``
     lists (site_index -> depolarising probability).
+
+    ``dtype``: statevector storage dtype (default f32).  ``bfloat16`` is
+    the quantized SERVING mode: every state pass moves half the HBM
+    bytes; gate constants follow the state dtype (apply_matrix) and
+    probabilities still accumulate in f32 (finish_row).  Exact path
+    only — per-amplitude rounding is ~2^-8 per pass, suited to
+    shot-serving where shot noise dominates (see PERF.md).
     """
     prog = virt.programs[frag_name]
     specs = [vg.spec for vg in virt.vgates]
@@ -783,13 +794,18 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
             for sid, tabs in enumerate(_slot_tables(prog, specs, fused=True))
         }
 
+    _dtype = jnp.float32 if dtype is None else dtype
+    if _dtype != jnp.float32:
+        assert noise is None, "bf16 serving mode is exact-path only"
+
     def _sim_one(slot_mats, pauli_mats=None):
         state, m = exec_plan_steps(
-            jnp.asarray(prefix_state), m0, run_plan, slot_mats, pauli_mats,
-            slot_masks=slot_masks,
+            jnp.asarray(prefix_state, dtype=_dtype), m0, run_plan,
+            slot_mats, pauli_mats, slot_masks=slot_masks,
         )
         return finish_row(state, m, active_final, sources)
 
+    _sim_one.dtype = _dtype
     _sim_one.noise_sites = noise_sites
     _sim_one.readout_device = readout_device
     _sim_one.slot_masks = slot_masks

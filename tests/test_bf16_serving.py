@@ -1,0 +1,91 @@
+"""Quantized (bfloat16) serving mode of the streamed engine.
+
+``dtype=jnp.bfloat16`` stores the statevector (and ancestor banks) in
+bf16 — half the HBM bytes per pass on the bandwidth-bound serving step —
+while gate constants follow the state dtype and probabilities, folds and
+the knit accumulate in f32.  The contract: per-amplitude rounding is
+~2^-8 per pass, so the knitted distribution must sit within a small
+total-variation of the f32 result — far below finite-shot noise, which
+is the regime this mode serves (the reference runs everything at
+20000 shots, qvm/run.py:24).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
+    Cutter,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
+    genCirc,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
+    make_streamed_knit,
+    run_virtual_circuit_streamed,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+    VirtualCircuit,
+)
+
+
+def _cut(circ, cap, parts=2):
+    cutter = Cutter(circ, maxNPartitions=parts, maxNQubitsPerPartition=cap,
+                    maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
+    assert cutter.solve()
+    return VirtualCircuit(cutter.getResultCircs()[3])
+
+
+CONFIGS = [
+    ("hwe", 8, 2, 5),   # multiple gate cuts
+    ("aqft", 6, 2, 5),  # gate + wire cuts
+    ("add", 6, 1, 5),   # wire cuts + deferral ancillas
+]
+
+
+@pytest.mark.parametrize("name,n,depth,cap", CONFIGS)
+def test_bf16_close_to_f32(name, n, depth, cap):
+    virt = _cut(genCirc(name, n, depth), cap)
+    f32 = run_virtual_circuit_streamed(virt, chunk=32)
+    b16 = run_virtual_circuit_streamed(virt, chunk=32, dtype=jnp.bfloat16)
+    assert b16.bit_positions == f32.bit_positions
+    tv = 0.5 * float(
+        np.abs(np.asarray(f32.values) - np.asarray(b16.values)).sum()
+    )
+    assert tv < 5e-3, tv  # far below 20k-shot sampling noise
+    # the knitted output itself stays f32 (only the state storage is bf16)
+    assert np.asarray(b16.values).dtype == np.float32
+
+
+def test_bf16_banks_and_shots():
+    virt = _cut(genCirc("hwe", 8, 2), 5)
+    step, xs, meta = make_streamed_knit(
+        virt, 32, share_prefix=True, hoist_banks=True, dtype=jnp.bfloat16
+    )
+    assert meta["bank_fn"] is not None
+    banks = jax.jit(meta["bank_fn"])()
+    for leaf in jax.tree.leaves(banks):
+        if leaf.size:
+            assert leaf.dtype == jnp.bfloat16  # half the bank bytes
+    got = np.asarray(jax.jit(step)(xs, banks))
+    f32 = run_virtual_circuit_streamed(virt, chunk=32)
+    assert np.abs(got - np.asarray(f32.values)).max() < 5e-3
+
+    # finite-shot serving: same draws as f32 up to the rounding-induced
+    # distribution shift — just assert a valid sample comes back
+    shot = run_virtual_circuit_streamed(
+        virt, chunk=32, shots=2000, dtype=jnp.bfloat16
+    )
+    assert abs(float(np.asarray(shot.values).sum()) - 1.0) < 1e-5
+
+
+def test_bf16_rejects_noise():
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        NoiseModel,
+    )
+
+    virt = _cut(genCirc("hwe", 8, 2), 5)
+    with pytest.raises(AssertionError):
+        make_streamed_knit(
+            virt, 32, noise=NoiseModel(), dtype=jnp.bfloat16
+        )
