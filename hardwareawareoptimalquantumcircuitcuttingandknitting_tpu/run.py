@@ -77,6 +77,7 @@ def run_virtual_circuit(
     checkpoint_dir=None,
     mesh=None,
     max_local_qubits: int | None = None,
+    dtype=None,
 ) -> tuple[Distribution, RunTimeInfo]:
     """``engine``: "auto" (batched unrolled programs, switching to the
     streamed scan above ``AUTO_STREAM_LABELS`` global labels), "xla"
@@ -108,6 +109,13 @@ def run_virtual_circuit(
     knitted marginal; ``checkpoint_dir`` checkpoints the scan carry per
     segment (resume mid-scan); noisy execution goes through
     ``ops.noise.run_noisy_virtual_circuit(engine="streamed")``.
+
+    ``dtype`` (engine="streamed"): ``jnp.bfloat16`` selects the
+    quantized serving mode — statevector passes and ancestor banks at
+    half the HBM bytes (measured 2.3x on the sup-25 serving step,
+    bf16_ab_probe.json) with ~2^-8-per-pass rounding; pair with
+    ``shots`` where sampling noise dominates.  Exact-parity work stays
+    on the f32 default.
     """
     from .utils.profiling import Tracer
 
@@ -165,6 +173,7 @@ def run_virtual_circuit(
             dist = run_virtual_circuit_streamed(
                 virt, chunk=chunk_size, project=project,
                 shots=shots, seed=seed, checkpoint_dir=checkpoint_dir,
+                dtype=dtype,
             )
         return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
     frag_sizes = tuple(p.num_data_qubits for p in virt.programs.values())
