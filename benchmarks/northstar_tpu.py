@@ -55,7 +55,8 @@ CONFIGS = {
 
 
 def run_config(key: str, reps: int, shots: int | None = None,
-               share: bool = True, bank_mb: int = 512) -> dict:
+               share: bool = True, bank_mb: int = 512,
+               dtype: str = "f32") -> dict:
     import jax
 
     from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
@@ -87,11 +88,15 @@ def run_config(key: str, reps: int, shots: int | None = None,
     ]
     out["chunk"] = auto_chunk(virt, chunk)
 
+    import jax.numpy as jnp
+
+    _dt = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype]
     out["share_prefix"] = bool(share)
     out["bank_mb_budget"] = bank_mb
+    out["dtype"] = dtype
     step_fn, xs, meta = make_streamed_knit(
         virt, out["chunk"], share_prefix=share,
-        bank_budget_bytes=bank_mb << 20, hoist_banks=share,
+        bank_budget_bytes=bank_mb << 20, hoist_banks=share, dtype=_dt,
     )
     # staging is NOT forced by shrinking the chunk — measured neutral on
     # the v5e (staged_ab_probe.json); ladders record what engaged anyway
@@ -187,6 +192,8 @@ def main() -> None:
                          "(ancestor banks; default on)")
     ap.add_argument("--bank-mb", type=int, default=512,
                     help="ancestor-bank budget per fragment (MB)")
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                    help="state dtype: bf16 = quantized serving mode")
     args = ap.parse_args()
 
     path = pathlib.Path(__file__).resolve().parent.parent / (
@@ -196,16 +203,22 @@ def main() -> None:
         print(f"[northstar] {key} ...", flush=True)
         row = run_config(
             key.strip(), args.reps, args.shots, share=args.share == "on",
-            bank_mb=args.bank_mb,
+            bank_mb=args.bank_mb, dtype=args.dtype,
         )
         print(f"[northstar] {row}", flush=True)
         # persist after EVERY config — a crash in config N must not lose
-        # the measurements of configs 1..N-1
+        # the measurements of configs 1..N-1.  Replacement is keyed by
+        # (config, bank budget, dtype); annotated probe rows are kept.
+        def _key(r):
+            return (
+                r["config"], r.get("bank_mb_budget"), r.get("dtype", "f32"),
+            )
+
         existing = []
         if path.exists():
             existing = [
                 r for r in json.loads(path.read_text())
-                if r["config"] != row["config"]
+                if _key(r) != _key(row) or "note" in r
             ]
         path.write_text(json.dumps(existing + [row], indent=2))
     print(f"[northstar] wrote {path}")

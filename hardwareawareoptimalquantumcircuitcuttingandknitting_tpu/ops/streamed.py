@@ -757,7 +757,7 @@ def run_virtual_circuit_streamed(
 def streamed_expectation_z(
     virt: VirtualCircuit, z_clbits, chunk: int = 512,
     noise=None, trajectories: int | None = None, seed: int = 0,
-    share_prefix: bool = True,
+    share_prefix: bool = True, dtype=None,
 ) -> float:
     """<prod_{c in z_clbits} Z_c> of the reconstructed distribution,
     computed with a SCALAR carry: every data bit is contracted inside the
@@ -780,6 +780,6 @@ def streamed_expectation_z(
     step_fn, xs, meta = make_streamed_knit(
         virt, chunk, z_clbits=frozenset(z_clbits),
         noise=noise, trajectories=trajectories, seed=seed,
-        share_prefix=share_prefix,
+        share_prefix=share_prefix, dtype=dtype,
     )
     return float(np.asarray(jax.jit(step_fn)(xs)).reshape(()))
