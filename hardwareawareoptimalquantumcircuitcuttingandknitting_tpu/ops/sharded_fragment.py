@@ -58,6 +58,7 @@ def make_sharded_fragment_fn(
     mesh: Mesh,
     dp_axis: str = "dp",
     amp_axis: str = "amp",
+    dtype=None,
 ):
     """Build the co-sharded variant-fan-out program for one fragment.
 
@@ -65,6 +66,12 @@ def make_sharded_fragment_fn(
     ``in_shardings=shardings``) yields the ``[V_padded, 2^m]`` probability
     rows, dp-sharded on the variant axis and replicated over ``amp``.
     ``meta`` carries (positions, flat_count) for FragmentResult assembly.
+
+    ``dtype``: ``jnp.bfloat16`` is the quantized serving mode — local
+    state blocks AND the ``ppermute`` partner exchanges over ICI move
+    half the bytes; the clbit marginal still accumulates in f32
+    (ShardCtx.marginal upcasts).  Same accuracy contract as the
+    streamed engine's bf16 mode (tests/test_bf16_serving.py).
     """
     prog = virt.programs[frag_name]
     specs = [vg.spec for vg in virt.vgates]
@@ -147,12 +154,14 @@ def make_sharded_fragment_fn(
     vidx = variant_index_table(
         prog.touching, strides, n_inst, padded, clamp_to=flat_count
     )
+    _dt = jnp.float32 if dtype is None else dtype
     tables = [
-        tuple(jnp.asarray(m) for m in t) for t in _slot_tables(prog, specs)
+        tuple(jnp.asarray(m, dtype=_dt) for m in t)
+        for t in _slot_tables(prog, specs)
     ]
     slot_cols = [touch_col[slot.vgate_idx] for slot in prog.slots]
 
-    state0 = np.zeros((2, 1 << n), dtype=np.float32)
+    state0 = np.zeros((2, 1 << n), dtype=_dt)
     state0[0, 0] = 1.0
 
     n_slots = len(prog.slots)
@@ -187,12 +196,12 @@ def make_sharded_fragment_fn(
 
 def run_fragment_sharded(
     virt: VirtualCircuit, frag_name: str, mesh: Mesh,
-    dp_axis: str = "dp", amp_axis: str = "amp",
+    dp_axis: str = "dp", amp_axis: str = "amp", dtype=None,
 ) -> FragmentResult:
     """Execute one fragment's full variant fan-out co-sharded over
     ``mesh`` and return its (host) FragmentResult."""
     fn, args, shardings, meta = make_sharded_fragment_fn(
-        virt, frag_name, mesh, dp_axis, amp_axis
+        virt, frag_name, mesh, dp_axis, amp_axis, dtype=dtype
     )
     jitted = jax.jit(fn, in_shardings=shardings)
     device_args = [jax.device_put(a, s) for a, s in zip(args, shardings)]
@@ -230,6 +239,7 @@ def run_all_fragments_sharded(
     max_local_qubits: int | None = None,
     mesh: Mesh | None = None,
     devices=None,
+    dtype=None,
 ) -> list[FragmentResult]:
     """Run every fragment co-sharded.  With ``mesh=None``, each fragment
     gets its own (dp, amp) split from :func:`fragment_mesh` — amplitude
@@ -240,5 +250,5 @@ def run_all_fragments_sharded(
         m = mesh if mesh is not None else fragment_mesh(
             prog.num_sim_qubits, max_local_qubits, devices
         )
-        out.append(run_fragment_sharded(virt, reg.name, m))
+        out.append(run_fragment_sharded(virt, reg.name, m, dtype=dtype))
     return out

@@ -109,7 +109,7 @@ class ShardCtx:
         return apply_matrix(state, block, local_axes, self.n - self.k)
 
     def _gate_1q_global(self, state, block, q, my_bits):
-        b = jnp.asarray(block)
+        b = jnp.asarray(block, dtype=state.dtype)
         myb = my_bits[q]
         partner = self._partner(state, self._mask(q))
         c_keep = b[:, myb, :, myb]
@@ -122,7 +122,9 @@ class ShardCtx:
     def _gate_2q_mixed(self, state, block, axes, my_bits):
         """One global qubit g, one local qubit l."""
         (g, l) = axes
-        b6 = jnp.asarray(block).reshape(2, 2, 2, 2, 2, 2)
+        b6 = jnp.asarray(block, dtype=state.dtype).reshape(
+            2, 2, 2, 2, 2, 2
+        )
         if g >= self.k:  # gate order (local, global) -> swap operand axes
             g, l = l, g
             b6 = jnp.transpose(b6, (0, 2, 1, 3, 5, 4))
@@ -139,7 +141,9 @@ class ShardCtx:
     def _gate_2q_global(self, state, block, axes, my_bits):
         """Both qubits global: two ppermute hops, 4-way mix."""
         (g1, g2) = axes
-        b6 = jnp.asarray(block).reshape(2, 2, 2, 2, 2, 2)
+        b6 = jnp.asarray(block, dtype=state.dtype).reshape(
+            2, 2, 2, 2, 2, 2
+        )
         my1, my2 = my_bits[g1], my_bits[g2]
         p2 = self._partner(state, self._mask(g2))
         # stacked[j2] = block whose g2 bit is j2
@@ -159,7 +163,9 @@ class ShardCtx:
         """Per-shard: |amp|^2, local marginal, scatter to global slots,
         psum -> full [2^len(keep_axes)] marginal (replicated)."""
         idx = lax.axis_index(self.axis_name)
-        probs = jnp.sum(local_state * local_state, axis=0)
+        # probabilities accumulate in f32 even for a bf16 serving state
+        s32 = local_state.astype(jnp.float32)
+        probs = jnp.sum(s32 * s32, axis=0)
 
         kept_local = [q for q in keep_axes if q >= self.k]
         kept_global = [q for q in keep_axes if q < self.k]

@@ -28,19 +28,28 @@ AUTO_STREAM_LABELS = 16384
 
 def _run_fragments(
     virt: VirtualCircuit, chunk_size: int, engine: str,
-    mesh=None, max_local_qubits=None,
+    mesh=None, max_local_qubits=None, dtype=None,
 ):
     # "auto" takes the XLA path: Mosaic kernel compiles through the
     # tunneled TPU backend are minutes-slow and high-variance (measured:
     # 17 s for small lane counts, unbounded at sup-20/25 scale), so the
     # Pallas engine is strictly opt-in (engine="pallas").
+    if engine in ("xla", "auto", "pallas") and dtype is not None:
+        import jax.numpy as jnp
+
+        if dtype != jnp.float32:
+            raise ValueError(
+                "dtype= (bf16 serving) is supported by the streamed and "
+                f"sharded engines, not engine={engine!r}"
+            )
     if engine in ("xla", "auto"):
         return run_all_fragments(virt, chunk_size)
     if engine == "sharded":
         from .ops.sharded_fragment import run_all_fragments_sharded
 
         return run_all_fragments_sharded(
-            virt, max_local_qubits=max_local_qubits, mesh=mesh
+            virt, max_local_qubits=max_local_qubits, mesh=mesh,
+            dtype=dtype,
         )
     from .ops.pallas_sv import run_fragment_pallas
 
@@ -110,7 +119,7 @@ def run_virtual_circuit(
     segment (resume mid-scan); noisy execution goes through
     ``ops.noise.run_noisy_virtual_circuit(engine="streamed")``.
 
-    ``dtype`` (engine="streamed"): ``jnp.bfloat16`` selects the
+    ``dtype`` (engine="streamed"/"sharded"): ``jnp.bfloat16`` selects the
     quantized serving mode — statevector passes and ancestor banks at
     half the HBM bytes (measured 2.3x on the sup-25 serving step,
     bf16_ab_probe.json) with ~2^-8-per-pass rounding; pair with
@@ -126,6 +135,14 @@ def run_virtual_circuit(
     log = get_logger(__name__)
     tracer = tracer or Tracer()
     if engine == "sampled":
+        if dtype is not None:
+            import jax.numpy as jnp
+
+            if dtype != jnp.float32:
+                raise ValueError(
+                    "dtype= (bf16 serving) is supported by the streamed "
+                    "and sharded engines, not engine='sampled'"
+                )
         # Monte-Carlo QPD sampling: only the sampled labels' instances
         # run (ops/qpd_sampling.py).  ``shots`` is the QPD sample budget
         # (default: the plan's kappa / 0.05^2 Hoeffding budget).
@@ -217,6 +234,7 @@ def run_virtual_circuit(
                 results = _run_fragments(
                     virt, chunk_size, engine,
                     mesh=mesh, max_local_qubits=max_local_qubits,
+                    dtype=dtype,
                 )
             if checkpoint_dir is not None:
                 from .utils.checkpoint import (

@@ -89,3 +89,50 @@ def test_bf16_rejects_noise():
         make_streamed_knit(
             virt, 32, noise=NoiseModel(), dtype=jnp.bfloat16
         )
+
+
+def test_bf16_sharded_fragment_close_to_f32():
+    """bf16 on the co-sharded (dp x amp) engine: ppermute exchanges and
+    local blocks at half the bytes; marginals accumulate f32.  Values
+    must sit within bf16 rounding of the f32 run (4 virtual devices)."""
+    import textwrap
+
+    from conftest import run_cpu_subprocess
+
+    code = textwrap.dedent(
+        """
+        import numpy as np, jax, jax.numpy as jnp
+        from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import Circuit
+        from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import Cutter
+        from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import VirtualCircuit
+        from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.sharded_fragment import (
+            fragment_mesh, run_fragment_sharded,
+        )
+
+        n = 8
+        circ = Circuit(n, n)
+        circ.h(0)
+        for i in range(n - 1):
+            circ.cx(i, i + 1)
+        for q in range(n):
+            circ.rz(0.1 * (q + 1), q)
+        for q in range(n):
+            circ.measure(q, q)
+        cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=5,
+                        maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
+        assert cutter.solve()
+        virt = VirtualCircuit(cutter.getResultCircs()[3])
+        name = virt.fragments[0].name
+        nq = virt.programs[name].num_sim_qubits
+        mesh = fragment_mesh(nq, max_local_qubits=nq - 1,
+                             devices=jax.devices()[:4])
+        assert mesh.shape["amp"] >= 2  # the amp axis really engages
+        f32 = run_fragment_sharded(virt, name, mesh)
+        b16 = run_fragment_sharded(virt, name, mesh, dtype=jnp.bfloat16)
+        err = np.abs(f32.values - b16.values).max()
+        assert err < 5e-3, err
+        print("SHARDED_BF16_OK", err)
+        """
+    )
+    out = run_cpu_subprocess(code, 4, timeout=900)
+    assert "SHARDED_BF16_OK" in out
