@@ -108,3 +108,45 @@ def test_random_circuit_streamed_matches_batched(circ, cap):
     np.testing.assert_allclose(
         np.asarray(streamed.values), np.asarray(batched.values), atol=5e-6
     )
+
+
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(circ=circuits(), cap=st.integers(3, 4))
+def test_random_circuit_staged_suffix_matches_flat(circ, cap):
+    """In-chunk staged suffix dedup (variant_engine.suffix_stages) must be
+    a pure execution-plan transformation on ANY cut topology: a tight
+    bank budget forces a shallow split (multi-vgate suffix), an aligned
+    chunk engages the group ladder, and the values must equal the flat
+    scan's."""
+    import jax
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
+        make_streamed_knit,
+    )
+
+    cutter = Cutter(
+        circ, maxNPartitions=2, maxNQubitsPerPartition=cap,
+        maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5,
+    )
+    if not cutter.solve():
+        return
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    flat_step, flat_xs, _ = make_streamed_knit(virt, 24, share_prefix=False)
+    flat = np.asarray(jax.jit(flat_step)(flat_xs))
+    _, _, meta0 = make_streamed_knit(
+        virt, 24, share_prefix=True, bank_budget_bytes=1 << 12,
+    )
+    chunk = max(meta0["stage_align"], 8)
+    step, xs, meta = make_streamed_knit(
+        virt, chunk, share_prefix=True, bank_budget_bytes=1 << 12,
+        hoist_banks=True,
+    )
+    got = np.asarray(jax.jit(step)(xs))
+    np.testing.assert_allclose(got, flat, atol=5e-6)
+    if meta["bank_fn"] is not None:
+        banks = jax.jit(meta["bank_fn"])()
+        got2 = np.asarray(jax.jit(step)(xs, banks))
+        np.testing.assert_allclose(got2, flat, atol=5e-6)
