@@ -77,6 +77,23 @@ def main() -> None:
     print(f"hoisted-bank step: sum={float(values.sum()):.6f} "
           f"splits={[s is not None for s in meta['splits']]}")
 
+    # ---- serve: bf16 quantized mode (shot-serving deployments) ----------
+    # dtype=jnp.bfloat16 halves state/bank HBM bytes — measured 2.7-3x on
+    # sup-20-class serving steps (bf16_ab_probe.json) at ~2e-4 exact-
+    # fidelity cost, invisible under 20k-shot noise.  Keep f32 for
+    # exact-parity work.
+    import jax.numpy as jnp
+
+    b16_step, b16_xs, b16_meta = make_streamed_knit(
+        virt, chunk=64, share_prefix=True, hoist_banks=True,
+        dtype=jnp.bfloat16,
+    )
+    b16_banks = (jax.jit(b16_meta["bank_fn"])()
+                 if b16_meta["bank_fn"] is not None else None)
+    b16_values = np.asarray(jax.jit(b16_step)(b16_xs, b16_banks))
+    drift = float(np.abs(b16_values - values).max())
+    print(f"bf16 step: max |bf16 - f32| = {drift:.2e}")
+
     # ---- serve: observables (scalar carry, any width) --------------------
     # the reference's GHZ has 2n clbits (measure_all adds a register,
     # helper_functions.py:154-161) — the measured bits are the written
