@@ -2,9 +2,10 @@
 
 Interleaved in one process with scalar fetches (tunnel compile/fetch
 variance, verify SKILL.md).  Each arm builds its own hoisted banks (the
-bank dtype follows the state dtype).  Also records the total-variation
-distance of the bf16 knitted distribution from f32 — the accuracy price
-of halving state HBM bytes.
+bank dtype follows the state dtype).  ``tv_vs_f32`` records the
+total-variation distance of the bf16 knitted distribution from f32,
+computed ON DEVICE (one scalar fetch) — the accuracy price of halving
+state HBM bytes.
 
 Usage: python benchmarks/bf16_ab_probe.py [--config sup25] [--reps 4]
 Writes bf16_ab_probe.json.
@@ -100,17 +101,29 @@ def main() -> None:
         t0 = time.perf_counter()
         np.asarray(sv(xs, banks))
         out[f"{key}_shots_first_s"] = round(time.perf_counter() - t0, 2)
-        arms[key] = (f, sv, xs, banks)
+        arms[key] = (f, sv, xs, banks, step)
         print(f"[ab] {key} built: bank {out[f'{key}_bank_build_s']}s "
               f"first {out[f'{key}_first_s']}s "
               f"shots_first {out[f'{key}_shots_first_s']}s "
               f"sum {out[f'{key}_sum']}", flush=True)
 
+    # accuracy price, on device: TV(f32, bf16) as one scalar fetch
+    s32, sb16 = arms["f32"][4], arms["bf16"][4]
+
+    def tvfn(xs, b32, b16):
+        return 0.5 * jnp.sum(jnp.abs(s32(xs, b32) - sb16(xs, b16)))
+
+    out["tv_vs_f32"] = float(jax.jit(tvfn)(
+        arms["f32"][2], arms["f32"][3], arms["bf16"][3]
+    ))
+    print(f"[ab] total-variation bf16 vs f32: {out['tv_vs_f32']:.3e}",
+          flush=True)
+
     times = {k: {"step": [], "shots": []} for k in arms}
     for rep in range(args.reps):
         order = ("f32", "bf16") if rep % 2 == 0 else ("bf16", "f32")
         for key in order:
-            f, sv, xs, banks = arms[key]
+            f, sv, xs, banks = arms[key][:4]
             t0 = time.perf_counter()
             float(f(xs, banks))
             times[key]["step"].append(time.perf_counter() - t0)

@@ -175,7 +175,7 @@ def make_streamed_knit(
     width_bits = []    # per fragment: #written bits before folding
     fold_plans = []    # per fragment: list of (bit_offset | None)
     data_positions = []
-    splits = []        # per fragment: None | (SplitPlan, prefix_one, suffix_one)
+    splits = []  # per fragment: None | (SplitPlan, prefix_one, stages, r_anc)
 
     def _chunked(a: np.ndarray) -> np.ndarray:
         return np.ascontiguousarray(
@@ -202,6 +202,7 @@ def make_streamed_knit(
             sp = split_plan(
                 sim_one, prog, specs, total, bank_budget_bytes,
                 hoisted=hoist_banks,
+                state_bytes=np.dtype(dtype).itemsize,
             )
         if sp is None:
             splits.append(None)
@@ -290,7 +291,7 @@ def make_streamed_knit(
         """[n_anc_pad, 2, 2^m_split] ancestor states: one prefix run per
         combination of the shared vgates' variants (chunked lax.scan)."""
         sp, prefix_one, _, _ = splits[fi]
-        per_anc = (1 << (sp.m_split + 1)) * 4
+        per_anc = (1 << (sp.m_split + 1)) * np.dtype(dtype).itemsize
         achunk = int(max(8, min(sp.n_anc, _CHUNK_BYTES_BUDGET // per_anc)))
         n_ac = math.ceil(sp.n_anc / achunk)
         n_pad = n_ac * achunk
@@ -498,9 +499,10 @@ def make_streamed_knit(
         "stages": [s[2] if s is not None else None for s in splits],
     }
     # the chunk multiple at which in-chunk suffix staging engages fully
-    # (lcm over fragments of the stride-valid coarsest group size);
-    # callers re-build with chunk rounded down to a multiple of this —
-    # see run_virtual_circuit_streamed and benchmarks/northstar_tpu.py
+    # (lcm over fragments of the stride-valid coarsest group size).
+    # Informational: chunks are NOT auto-aligned — the v5e A/B measured
+    # staging bandwidth-neutral (staged_ab_probe.json); a caller on a
+    # bytes-limited backend can pass an aligned chunk to engage it
     align = 1
     for fi, s in enumerate(splits):
         if s is not None:
@@ -551,7 +553,7 @@ _STREAM_CKPT = "stream_carry.npz"
 
 
 def _stream_fingerprint(virt, chunk, segment_chunks, models, trajectories,
-                        seed) -> str:
+                        seed, dtype=None) -> str:
     import hashlib
 
     from ..utils.checkpoint import checkpoint_fingerprint
@@ -559,7 +561,7 @@ def _stream_fingerprint(virt, chunk, segment_chunks, models, trajectories,
     import numpy as _np
 
     h = hashlib.sha256()
-    h.update(checkpoint_fingerprint(virt).encode())
+    h.update(checkpoint_fingerprint(virt, dtype=dtype).encode())
     h.update(f"|chunk={chunk}|seg={segment_chunks}|seed={seed}".encode())
     for nm in models:
         if nm is None:
@@ -717,7 +719,7 @@ def run_virtual_circuit_streamed(
                 xs,
             )
         fp = _stream_fingerprint(
-            virt, chunk, seg, models, trajectories, seed
+            virt, chunk, seg, models, trajectories, seed, dtype=dtype
         )
         carry, start = _load_stream_checkpoint(
             checkpoint_dir, fp, meta["carry_shape"]

@@ -355,7 +355,7 @@ class SplitPlan:
 
 def split_plan(sim_one, prog, specs, global_labels: int,
                bank_budget_bytes: int = 512 << 20,
-               hoisted: bool = False) -> SplitPlan | None:
+               hoisted: bool = False, state_bytes: int = 4) -> SplitPlan | None:
     """Choose the best shared-prefix split for one fragment (minimum
     modelled HBM bytes subject to the ancestor bank fitting
     ``bank_budget_bytes``).  Returns None when no split beats the flat
@@ -364,7 +364,11 @@ def split_plan(sim_one, prog, specs, global_labels: int,
     ``hoisted=True`` scores candidates for the SERVING shape (banks
     computed once at deploy via ``meta["bank_fn"]`` and passed to every
     ``step_fn(xs, banks)`` call): the one-time build bytes are excluded,
-    so deeper splits win — est_bytes/est_flat_bytes are then per-step."""
+    so deeper splits win — est_bytes/est_flat_bytes are then per-step.
+
+    ``state_bytes``: per-element size of the state storage (4 for f32,
+    2 for the bf16 serving mode) — sizes the bank against the budget, so
+    a bf16 run is allowed the deeper banks that actually fit."""
     plan = sim_one.run_plan
     slot_vg = [s.vgate_idx for s in prog.slots]
     if any(stp[0] == "pauli" for stp in plan):
@@ -396,7 +400,7 @@ def split_plan(sim_one, prog, specs, global_labels: int,
         n_anc = 1
         for g in shared:
             n_anc *= specs[g].num_instantiations
-        bank_bytes = n_anc * (1 << (m_split + 1)) * 4
+        bank_bytes = n_anc * (1 << (m_split + 1)) * state_bytes
         pre_b, _ = _steps_hbm_bytes(plan[:split_idx], sim_one.prefix_width)
         suf_b, _ = _steps_hbm_bytes(plan[split_idx:], m_split)
         build = pre_b * n_anc + bank_bytes             # build + write bank
@@ -550,8 +554,10 @@ def suffix_stages(sp: SplitPlan, prog, specs, gstride: dict,
 def ideal_stage_align(sp: SplitPlan, prog, specs, gstride: dict) -> int:
     """The chunk multiple at which :func:`suffix_stages` engages fully
     for this fragment (the stride-valid coarsest group size, ignoring
-    chunk divisibility).  Callers round their chunk down to a common
-    multiple — see ``meta["stage_align"]`` in make_streamed_knit."""
+    chunk divisibility).  Surfaced as ``meta["stage_align"]`` by
+    make_streamed_knit; informational — chunks are not auto-aligned
+    (staging measured bandwidth-neutral on the v5e, PERF.md), callers
+    pass an aligned chunk themselves to engage it."""
     # chunk=0 sentinel: 0 % r == 0 for every r, so only strides bind
     stages, r_anc = suffix_stages(sp, prog, specs, gstride, 0)
     return max([r_anc] + [st.r_out for st in stages])

@@ -170,10 +170,17 @@ def run_virtual_circuit(
                 dist = nearest_probability_distribution(dist)
         return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
     if engine == "auto":
+        import jax.numpy as jnp
+
         labels = 1
         for vg in virt.vgates:
             labels *= vg.spec.num_instantiations
-        if labels > AUTO_STREAM_LABELS:
+        if dtype is not None and dtype != jnp.float32:
+            # bf16 serving is a streamed/sharded capability — route it
+            # there unconditionally so the same call works at any size
+            log.info("auto engine: dtype=bf16 -> streamed scan")
+            engine = "streamed"
+        elif labels > AUTO_STREAM_LABELS:
             log.info(
                 f"auto engine: {labels} global labels > "
                 f"{AUTO_STREAM_LABELS} -> streamed scan"
@@ -213,7 +220,9 @@ def run_virtual_circuit(
             with tracer.phase("load_checkpoint"):
                 results = load_fragment_results(
                     checkpoint_dir,
-                    expect_fingerprint=checkpoint_fingerprint(virt),
+                    expect_fingerprint=checkpoint_fingerprint(
+                        virt, dtype=dtype
+                    ),
                 )
             if results is None:
                 log.warning(
@@ -245,7 +254,9 @@ def run_virtual_circuit(
                 with tracer.phase("save_checkpoint"):
                     save_fragment_results(
                         results, checkpoint_dir,
-                        fingerprint=checkpoint_fingerprint(virt),
+                        fingerprint=checkpoint_fingerprint(
+                            virt, dtype=dtype
+                        ),
                     )
 
         if shots is not None:

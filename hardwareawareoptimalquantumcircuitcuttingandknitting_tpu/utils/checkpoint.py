@@ -21,15 +21,24 @@ from ..ops.variant_engine import FragmentResult
 _MANIFEST = "fragment_results.json"
 
 
-def checkpoint_fingerprint(virt) -> str:
+def checkpoint_fingerprint(virt, dtype=None) -> str:
     """Identity of a virtual circuit's results: fragment names, variant
     layout (touching order matters — it is the variant-axis order), clbit
     layout, AND the gate content itself (op kinds, axes and matrices), so
     a re-parameterised same-structure ansatz gets a different fingerprint.
-    Saved with checkpoints so resume refuses stale results."""
+    Saved with checkpoints so resume refuses stale results.
+
+    ``dtype``: the engine's state-storage dtype.  bf16 (quantized
+    serving) results carry ~2^-8 rounding, so an exact f32 run must
+    never resume them (and vice versa) — the dtype is part of the
+    identity."""
     import hashlib
 
     h = hashlib.sha256()
+    if dtype is not None and np.dtype(dtype) != np.float32:
+        # non-default storage dtype joins the identity; f32 fingerprints
+        # stay byte-identical to pre-bf16 checkpoints
+        h.update(f"dtype={np.dtype(dtype).name}|".encode())
     h.update(str(virt.num_clbits).encode())
     for reg in virt.fragments:
         prog = virt.programs[reg.name]

@@ -136,3 +136,40 @@ def test_bf16_sharded_fragment_close_to_f32():
     )
     out = run_cpu_subprocess(code, 4, timeout=900)
     assert "SHARDED_BF16_OK" in out
+
+
+def test_bf16_checkpoints_do_not_cross_resume(tmp_path):
+    """A bf16 run's checkpoint must never be resumed by an f32 run (or
+    vice versa): the storage dtype is part of the checkpoint identity —
+    otherwise a bf16-rounded partial carry would silently contaminate
+    the exact-parity contract."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.utils.checkpoint import (
+        checkpoint_fingerprint,
+    )
+
+    virt = _cut(genCirc("hwe", 8, 2), 5)
+    assert checkpoint_fingerprint(virt) == checkpoint_fingerprint(
+        virt, dtype=jnp.float32
+    )
+    assert checkpoint_fingerprint(virt) != checkpoint_fingerprint(
+        virt, dtype=jnp.bfloat16
+    )
+
+    # end-to-end: interleave checkpointed bf16 and f32 runs in one dir;
+    # each must produce its own result, not the other's carry
+    d = tmp_path / "ck"
+    b16 = run_virtual_circuit_streamed(
+        virt, chunk=8, checkpoint_dir=d, segment_chunks=2,
+        dtype=jnp.bfloat16,
+    )
+    f32 = run_virtual_circuit_streamed(
+        virt, chunk=8, checkpoint_dir=d, segment_chunks=2,
+    )
+    want = run_virtual_circuit_streamed(virt, chunk=8)
+    np.testing.assert_allclose(
+        np.asarray(f32.values), np.asarray(want.values), atol=1e-6
+    )
+    tv = 0.5 * float(
+        np.abs(np.asarray(b16.values) - np.asarray(want.values)).sum()
+    )
+    assert tv < 5e-3
