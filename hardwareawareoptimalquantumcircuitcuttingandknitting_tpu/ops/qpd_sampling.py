@@ -201,19 +201,25 @@ def _marginalize_rows(t, positions, keep_clbits):
     return t, positions
 
 
-def _simulate_label_rows(virt, frag_name, lab):
+def _simulate_label_rows(virt, frag_name, lab, dtype=None):
     """[L, 2^k] probability rows for a fragment at each unique label —
     slot tables gathered by the label's per-vgate variant index (the
-    slot's variant IS its vgate's label component; no flat-index table)."""
+    slot's variant IS its vgate's label component; no flat-index table).
+    ``dtype``: bf16 quantized serving (rows still come out f32 —
+    finish_row accumulates probabilities in f32)."""
     prog = virt.programs[frag_name]
     sim_one, _, positions, _ = make_sim_fn(
-        virt, frag_name, build_matrices=False, fused_slots=True
+        virt, frag_name, build_matrices=False, fused_slots=True,
+        dtype=dtype,
     )
     tables = _slot_tables(
         prog, [vg.spec for vg in virt.vgates], fused=True
     )
     mats = [
-        tuple(jnp.asarray(t)[lab[:, slot.vgate_idx]] for t in tabs)
+        tuple(
+            jnp.asarray(t, dtype=dtype)[lab[:, slot.vgate_idx]]
+            for t in tabs
+        )
         for slot, tabs in zip(prog.slots, tables)
     ]
     if mats:
@@ -230,6 +236,7 @@ def _estimate(
     mass: np.ndarray,
     keep_clbits=None,
     second_moment: bool = False,
+    dtype=None,
 ):
     """Core estimator: ``sum_l mass[l] * gamma_total * signed_knit(l)``.
 
@@ -249,7 +256,9 @@ def _estimate(
     frag_rows = []
     frag_positions = []
     for reg in virt.fragments:
-        rows, positions = _simulate_label_rows(virt, reg.name, lab)
+        rows, positions = _simulate_label_rows(
+            virt, reg.name, lab, dtype=dtype
+        )
         rows, positions = _fold_rows_per_label(
             virt, reg.name, rows, lab, positions
         )
@@ -295,6 +304,7 @@ def sampled_knit(
     seed: int = 0,
     keep_clbits=None,
     with_stderr: bool = False,
+    dtype=None,
 ):
     """Unbiased Monte-Carlo estimate of the knitted distribution from
     ``num_samples`` QPD samples — only the sampled labels' instances are
@@ -310,7 +320,8 @@ def sampled_knit(
     uniq, counts = sample_label_counts(virt, num_samples, seed)
     mass = counts.astype(np.float64) / num_samples
     if not with_stderr:
-        return _estimate(virt, uniq, mass, keep_clbits)
-    est, m2 = _estimate(virt, uniq, mass, keep_clbits, second_moment=True)
+        return _estimate(virt, uniq, mass, keep_clbits, dtype=dtype)
+    est, m2 = _estimate(virt, uniq, mass, keep_clbits, second_moment=True,
+                        dtype=dtype)
     var = np.maximum(m2 - np.asarray(est.values) ** 2, 0.0)
     return est, np.sqrt(var / num_samples)

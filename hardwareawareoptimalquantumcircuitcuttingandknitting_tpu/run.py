@@ -39,8 +39,8 @@ def _run_fragments(
 
         if dtype != jnp.float32:
             raise ValueError(
-                "dtype= (bf16 serving) is supported by the streamed and "
-                f"sharded engines, not engine={engine!r}"
+                "dtype= (bf16 serving) is supported by the streamed, "
+                f"sharded and sampled engines, not engine={engine!r}"
             )
     if engine in ("xla", "auto"):
         return run_all_fragments(virt, chunk_size)
@@ -119,7 +119,8 @@ def run_virtual_circuit(
     segment (resume mid-scan); noisy execution goes through
     ``ops.noise.run_noisy_virtual_circuit(engine="streamed")``.
 
-    ``dtype`` (engine="streamed"/"sharded"): ``jnp.bfloat16`` selects the
+    ``dtype`` (engine="streamed"/"sharded"/"sampled"): ``jnp.bfloat16``
+    selects the
     quantized serving mode — statevector passes and ancestor banks at
     half the HBM bytes (measured 2.3x on the sup-25 serving step,
     bf16_ab_probe.json) with ~2^-8-per-pass rounding; pair with
@@ -135,14 +136,6 @@ def run_virtual_circuit(
     log = get_logger(__name__)
     tracer = tracer or Tracer()
     if engine == "sampled":
-        if dtype is not None:
-            import jax.numpy as jnp
-
-            if dtype != jnp.float32:
-                raise ValueError(
-                    "dtype= (bf16 serving) is supported by the streamed "
-                    "and sharded engines, not engine='sampled'"
-                )
         # Monte-Carlo QPD sampling: only the sampled labels' instances
         # run (ops/qpd_sampling.py).  ``shots`` is the QPD sample budget
         # (default: the plan's kappa / 0.05^2 Hoeffding budget).
@@ -165,7 +158,7 @@ def run_virtual_circuit(
                 )
         now = time.perf_counter()
         with tracer.phase("qpd_sample_knit", samples=budget):
-            dist = sampled_knit(virt, budget, seed=seed)
+            dist = sampled_knit(virt, budget, seed=seed, dtype=dtype)
             if project:
                 dist = nearest_probability_distribution(dist)
         return dist, RunTimeInfo(time.perf_counter() - now, 0.0)

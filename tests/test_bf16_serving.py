@@ -173,3 +173,19 @@ def test_bf16_checkpoints_do_not_cross_resume(tmp_path):
         np.abs(np.asarray(b16.values) - np.asarray(want.values)).sum()
     )
     assert tv < 5e-3
+
+
+def test_bf16_sampled_engine_close_to_f32():
+    """bf16 on the Monte-Carlo QPD sampling engine: identical label
+    draws (sampling happens on host), sim at half the bytes; the
+    estimate must sit within bf16 rounding of the f32 estimate."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        sampled_knit,
+    )
+
+    virt = _cut(genCirc("hwe", 8, 2), 5)
+    f32 = sampled_knit(virt, 2000, seed=7)
+    b16 = sampled_knit(virt, 2000, seed=7, dtype=jnp.bfloat16)
+    assert b16.bit_positions == f32.bit_positions
+    err = np.abs(np.asarray(f32.values) - np.asarray(b16.values)).max()
+    assert err < 5e-3, err
