@@ -77,11 +77,22 @@ def _sample_pauli_indices(rng, site_probs, count: int, traj: int) -> np.ndarray:
     return np.where(u < p, which, 0).astype(np.int32)
 
 
+def default_bank_budget(dtype=None) -> int:
+    """Per-fragment ancestor-bank budget: 512 MB for f32; 1 GB for the
+    bf16 serving mode — a bf16 bank holds twice the ancestors per byte,
+    and the measured v5e break-point moved with it (the f32 1.8 GB
+    4-level sup-25 bank paged and regressed; the 906 MB bf16 one stays
+    resident and wins 1.15x — northstar_tpu.json)."""
+    if dtype is not None and np.dtype(dtype).itemsize == 2:
+        return 1024 << 20
+    return 512 << 20
+
+
 def make_streamed_knit(
     virt: VirtualCircuit, chunk: int = 512, keep_clbits=None,
     noise=None, trajectories: int | None = None, seed: int = 0,
     z_clbits=None, share_prefix: bool = False,
-    bank_budget_bytes: int = 512 << 20, fused_slots: bool = True,
+    bank_budget_bytes: int | None = None, fused_slots: bool = True,
     hoist_banks: bool = False, dtype=None,
 ):
     """Build (step_fn, xs, meta): ``step_fn(xs)`` scans all global label
@@ -152,6 +163,8 @@ def make_streamed_knit(
     dtype = jnp.float32 if dtype is None else dtype
     if dtype != jnp.float32:
         assert noise is None, "bf16 serving mode is exact-path only"
+    if bank_budget_bytes is None:
+        bank_budget_bytes = default_bank_budget(dtype)
     specs = [vg.spec for vg in virt.vgates]
     num_g = len(specs)
     gstride, n_inst, total = label_strides(specs, range(num_g))

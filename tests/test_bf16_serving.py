@@ -189,3 +189,13 @@ def test_bf16_sampled_engine_close_to_f32():
     assert b16.bit_positions == f32.bit_positions
     err = np.abs(np.asarray(f32.values) - np.asarray(b16.values)).max()
     assert err < 5e-3, err
+
+
+def test_default_bank_budget_scales_with_dtype():
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
+        default_bank_budget,
+    )
+
+    assert default_bank_budget() == 512 << 20
+    assert default_bank_budget(jnp.float32) == 512 << 20
+    assert default_bank_budget(jnp.bfloat16) == 1024 << 20
