@@ -55,7 +55,7 @@ CONFIGS = {
 
 
 def run_config(key: str, reps: int, shots: int | None = None,
-               share: bool = True, bank_mb: int = 512,
+               share: bool = True, bank_mb: int | None = None,
                dtype: str = "f32") -> dict:
     import jax
 
@@ -90,7 +90,13 @@ def run_config(key: str, reps: int, shots: int | None = None,
 
     import jax.numpy as jnp
 
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
+        default_bank_budget,
+    )
+
     _dt = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype]
+    if bank_mb is None:
+        bank_mb = default_bank_budget(_dt) >> 20
     out["share_prefix"] = bool(share)
     out["bank_mb_budget"] = bank_mb
     out["dtype"] = dtype
@@ -190,8 +196,9 @@ def main() -> None:
     ap.add_argument("--share", choices=["on", "off"], default="on",
                     help="tree-share plan prefixes across labels "
                          "(ancestor banks; default on)")
-    ap.add_argument("--bank-mb", type=int, default=512,
-                    help="ancestor-bank budget per fragment (MB)")
+    ap.add_argument("--bank-mb", type=int, default=None,
+                    help="ancestor-bank budget per fragment (MB); default "
+                         "scales with --dtype (512 f32 / 1024 bf16)")
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
                     help="state dtype: bf16 = quantized serving mode")
     args = ap.parse_args()
