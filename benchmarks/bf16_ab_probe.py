@@ -72,10 +72,16 @@ def main() -> None:
         "config": args.config, "chunk": chunk,
         "device": jax.devices()[0].device_kind, "shots": args.shots,
     }
+    # PIN the bank budget across arms: default_bank_budget scales with
+    # dtype, which would conflate the dtype comparison with a deeper
+    # bank (the deep-bank gain is measured separately, BENCH_TABLE_TPU)
+    bank_budget = 512 << 20
+    out["bank_mb"] = bank_budget >> 20
     arms = {}
     for key, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         step, xs, meta = make_streamed_knit(
             virt, chunk, share_prefix=True, hoist_banks=True, dtype=dt,
+            bank_budget_bytes=bank_budget,
         )
         t0 = time.perf_counter()
         banks = None
