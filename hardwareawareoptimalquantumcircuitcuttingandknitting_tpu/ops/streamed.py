@@ -531,7 +531,11 @@ def make_streamed_knit(
 # XLA keeps ~10 gate intermediates live at once; measured on v5e
 # (15.75 GB usable): chunk=1024 at 2^18 sim qubits (2 GB/buffer) OOMs at
 # 20 GB, chunk=512 (1 GB/buffer) runs fine — 512 MB/buffer leaves 2x
-# headroom.
+# headroom.  The budget deliberately sizes elements at f32 even for the
+# bf16 serving mode: a bf16 sup-25 probe at chunk 512 (the bf16-sized
+# cap) measured 2.82 s vs 2.33 s at the f32-sized chunk 256 — larger
+# scan batches hurt past the bandwidth saturation point, so the
+# conservative cap is also the faster one.
 _CHUNK_BYTES_BUDGET = 512 * 1024 * 1024
 
 
