@@ -93,7 +93,7 @@ def make_streamed_knit(
     noise=None, trajectories: int | None = None, seed: int = 0,
     z_clbits=None, share_prefix: bool = False,
     bank_budget_bytes: int | None = None, fused_slots: bool = True,
-    hoist_banks: bool = False, dtype=None,
+    hoist_banks: bool = False, dtype=None, trunc_eps: float = 0.0,
 ):
     """Build (step_fn, xs, meta): ``step_fn(xs)`` scans all global label
     chunks and returns the flat knitted quasi-distribution values.
@@ -153,6 +153,14 @@ def make_streamed_knit(
     auto-aligned — the mechanism stays for bytes-limited backends and
     for the ancestor-gather dedup it gives aligned chunks for free.
 
+    ``trunc_eps``: certified approximate knitting (arXiv:2212.01270
+    role): drop the lowest-|coefficient-product| global labels while
+    their summed contribution bound stays <= trunc_eps — the result
+    moves at most ``meta["dropped_mass"]`` (<= trunc_eps) in L1 from
+    exact.  Pays off on parametrized cut gates (rzz/cp, cos/sin-skewed
+    products); uniform cuts (cx/cz/wire) keep every label until eps
+    reaches their common weight.  Exact path only.
+
     ``hoist_banks``: serving shape — split selection assumes the banks
     are computed ONCE at deploy (``banks = jit(meta["bank_fn"])()``) and
     passed to every call as ``step_fn(xs, banks)``, so the one-time
@@ -168,12 +176,30 @@ def make_streamed_knit(
     specs = [vg.spec for vg in virt.vgates]
     num_g = len(specs)
     gstride, n_inst, total = label_strides(specs, range(num_g))
-    n_chunks = max(1, math.ceil(total / chunk))
+
+    # certified truncation (approximate circuit cutting, arXiv:2212.01270):
+    # drop the smallest-|coefficient-product| labels while their summed
+    # bound stays <= trunc_eps — the knitted distribution moves by at
+    # most trunc_eps in L1.  Parametrized cut gates (rzz/cp) have
+    # sharply skewed products; uniform-coefficient cuts (cx/cz/move)
+    # drop nothing until eps reaches their common weight.
+    kept = None
+    dropped_mass = 0.0
+    if trunc_eps > 0.0:
+        assert noise is None, "truncation is exact-path only"
+        from .variant_engine import truncate_labels
+
+        kept, dropped_mass = truncate_labels(
+            specs, gstride, n_inst, total, trunc_eps
+        )
+    n_labels = total if kept is None else len(kept)
+    n_chunks = max(1, math.ceil(n_labels / chunk))
     padded = n_chunks * chunk
 
-    labels = np.arange(padded)
-    valid = (labels < total).astype(np.float32)
-    vidx = variant_index_table(range(num_g), gstride, n_inst, padded)
+    valid = (np.arange(padded) < n_labels).astype(np.float32)
+    vidx = variant_index_table(
+        range(num_g), gstride, n_inst, padded, labels=kept
+    )
 
     models = _resolve_noise(virt, noise)
     rng = np.random.default_rng(seed)
@@ -221,7 +247,13 @@ def make_streamed_knit(
             splits.append(None)
         else:
             prefix_one, _ = make_split_fns(sim_one, sp)
-            stages, r_anc = suffix_stages(sp, prog, specs, gstride, chunk)
+            # a truncated label set is not a canonical mixed-radix block
+            # sequence, so group ladders are invalid there: chunk=-1
+            # fails every r>1 divisibility check and degrades staging to
+            # the per-label path (r_anc included)
+            stages, r_anc = suffix_stages(
+                sp, prog, specs, gstride, chunk if kept is None else -1
+            )
             splits.append((sp, prefix_one, stages, r_anc))
 
         if nm is None:
@@ -502,6 +534,8 @@ def make_streamed_knit(
             p for pos_list in data_positions for p in pos_list
         ),
         "global_labels": total,
+        "kept_labels": n_labels,
+        "dropped_mass": dropped_mass,
         "n_chunks": n_chunks,
         "chunk": chunk,
         "carry_shape": shape,
@@ -570,7 +604,7 @@ _STREAM_CKPT = "stream_carry.npz"
 
 
 def _stream_fingerprint(virt, chunk, segment_chunks, models, trajectories,
-                        seed, dtype=None) -> str:
+                        seed, dtype=None, trunc_eps: float = 0.0) -> str:
     import hashlib
 
     from ..utils.checkpoint import checkpoint_fingerprint
@@ -580,6 +614,10 @@ def _stream_fingerprint(virt, chunk, segment_chunks, models, trajectories,
     h = hashlib.sha256()
     h.update(checkpoint_fingerprint(virt, dtype=dtype).encode())
     h.update(f"|chunk={chunk}|seg={segment_chunks}|seed={seed}".encode())
+    if trunc_eps:
+        # a truncated run's carry covers a different label subset — it
+        # must never be resumed by an exact (or differently-truncated) run
+        h.update(f"|trunc_eps={trunc_eps!r}".encode())
     for nm in models:
         if nm is None:
             h.update(b"none")
@@ -643,6 +681,7 @@ def run_virtual_circuit_streamed(
     segment_chunks: int | None = None,
     share_prefix: bool | None = None,
     dtype=None,
+    trunc_eps: float = 0.0,
 ) -> Distribution:
     """End-to-end streamed execution on the default device.  ``chunk`` is
     capped by :func:`auto_chunk` to bound device memory.
@@ -690,7 +729,7 @@ def run_virtual_circuit_streamed(
     step_fn, xs, meta = make_streamed_knit(
         virt, chunk, noise=noise, trajectories=trajectories, seed=seed,
         share_prefix=share_prefix if share_prefix is not None else True,
-        dtype=dtype,
+        dtype=dtype, trunc_eps=trunc_eps,
     )
     # NOTE: the chunk is NOT auto-rounded to meta["stage_align"].  The
     # staged suffix engages when the caller's chunk is already aligned;
@@ -736,7 +775,8 @@ def run_virtual_circuit_streamed(
                 xs,
             )
         fp = _stream_fingerprint(
-            virt, chunk, seg, models, trajectories, seed, dtype=dtype
+            virt, chunk, seg, models, trajectories, seed, dtype=dtype,
+            trunc_eps=trunc_eps,
         )
         carry, start = _load_stream_checkpoint(
             checkpoint_dir, fp, meta["carry_shape"]

@@ -197,6 +197,7 @@ def label_strides(
 def variant_index_table(
     order, strides: dict[int, int], n_inst: dict[int, int],
     padded: int, clamp_to: int | None = None,
+    labels: np.ndarray | None = None,
 ) -> np.ndarray:
     """[padded, max(1, len(order))] int32 per-label variant indices:
     column i holds ``(label // strides[order[i]]) % n_inst[order[i]]``.
@@ -206,9 +207,19 @@ def variant_index_table(
     133-137) for every engine that gathers slot tables on device
     (streamed scan, sharded-fragment, dp x tp knit step).  ``clamp_to``
     clamps padding labels to the last real one (equivalent to repeating
-    the final variant row).  Host arithmetic runs in int64, the stored
-    column is a small int32."""
-    labels = np.arange(padded)
+    the final variant row).  ``labels``: explicit label ids instead of
+    ``arange(padded)`` — the truncated-label path (rows beyond its
+    length repeat the last id; masked by the caller's validity).  Host
+    arithmetic runs in int64, the stored column is a small int32."""
+    if labels is None:
+        labels = np.arange(padded)
+    else:
+        labels = np.asarray(labels, dtype=np.int64)
+        if len(labels) < padded:
+            pad_val = labels[-1] if len(labels) else 0
+            labels = np.concatenate(
+                [labels, np.full(padded - len(labels), pad_val)]
+            )
     if clamp_to is not None:
         labels = np.minimum(labels, clamp_to - 1)
     order = list(order)
@@ -216,6 +227,39 @@ def variant_index_table(
     for i, g in enumerate(order):
         out[:, i] = labels // strides[g] % n_inst[g]
     return out
+
+
+def label_weight_bounds(specs, gstride: dict, n_inst: dict,
+                        total: int) -> np.ndarray:
+    """[total] certified per-label contribution bounds: the L1 change of
+    the knitted distribution from dropping label ``l`` is at most
+    ``prod_g max_b |coef_g[v_g(l), b]|`` — each fragment's conditional
+    rows carry unit mass, so the per-vgate fold is bounded by its
+    largest-|coefficient| outcome.  Basis of the certified truncation
+    mode (approximate circuit cutting, arXiv:2212.01270): parametrized
+    cut gates (rzz/cp — virt/tables.py cos/sin coefficients) make this
+    product sharply skewed, so most labels carry negligible weight."""
+    w = np.ones(total, dtype=np.float64)
+    lab = np.arange(total, dtype=np.int64)
+    for g, spec in enumerate(specs):
+        wg = np.max(np.abs(np.asarray(spec.coef, np.float64)), axis=1)
+        w *= wg[(lab // gstride[g]) % n_inst[g]]
+    return w
+
+
+def truncate_labels(specs, gstride: dict, n_inst: dict, total: int,
+                    eps: float) -> tuple[np.ndarray, float]:
+    """(kept label ids ascending, certified dropped L1 mass): drop the
+    smallest-bound labels while their cumulative bound stays <= eps.
+    At least one label is always kept."""
+    w = label_weight_bounds(specs, gstride, n_inst, total)
+    order = np.argsort(w, kind="stable")
+    csum = np.cumsum(w[order])
+    n_drop = int(np.searchsorted(csum, eps, side="right"))
+    n_drop = min(n_drop, total - 1)
+    kept = np.sort(order[n_drop:])
+    dropped = float(csum[n_drop - 1]) if n_drop else 0.0
+    return kept, dropped
 
 
 def exec_plan_steps(state, m, steps, slot_mats, pauli_mats=None,

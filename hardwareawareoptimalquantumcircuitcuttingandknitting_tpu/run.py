@@ -87,6 +87,7 @@ def run_virtual_circuit(
     mesh=None,
     max_local_qubits: int | None = None,
     dtype=None,
+    trunc_eps: float = 0.0,
 ) -> tuple[Distribution, RunTimeInfo]:
     """``engine``: "auto" (batched unrolled programs, switching to the
     streamed scan above ``AUTO_STREAM_LABELS`` global labels), "xla"
@@ -119,6 +120,11 @@ def run_virtual_circuit(
     segment (resume mid-scan); noisy execution goes through
     ``ops.noise.run_noisy_virtual_circuit(engine="streamed")``.
 
+    ``trunc_eps`` (engine="streamed"): certified approximate knitting —
+    drop the lowest-|coefficient-product| labels while their summed L1
+    bound stays <= trunc_eps (arXiv:2212.01270 role; pays off on
+    rzz/cp cuts whose cos/sin products are sharply skewed).
+
     ``dtype`` (engine="streamed"/"sharded"/"sampled"): ``jnp.bfloat16``
     selects the
     quantized serving mode — statevector passes and ancestor banks at
@@ -135,6 +141,11 @@ def run_virtual_circuit(
         raise ValueError(f"unknown engine {engine!r}")
     log = get_logger(__name__)
     tracer = tracer or Tracer()
+    if trunc_eps and engine not in ("auto", "streamed"):
+        raise ValueError(
+            "trunc_eps (certified truncation) is a streamed-engine "
+            f"feature, not engine={engine!r}"
+        )
     if engine == "sampled":
         # Monte-Carlo QPD sampling: only the sampled labels' instances
         # run (ops/qpd_sampling.py).  ``shots`` is the QPD sample budget
@@ -168,10 +179,11 @@ def run_virtual_circuit(
         labels = 1
         for vg in virt.vgates:
             labels *= vg.spec.num_instantiations
-        if dtype is not None and dtype != jnp.float32:
-            # bf16 serving is a streamed/sharded capability — route it
-            # there unconditionally so the same call works at any size
-            log.info("auto engine: dtype=bf16 -> streamed scan")
+        if trunc_eps or (dtype is not None and dtype != jnp.float32):
+            # bf16 serving / certified truncation are streamed
+            # capabilities — route unconditionally so the same call
+            # works at any size
+            log.info("auto engine: dtype/trunc_eps -> streamed scan")
             engine = "streamed"
         elif labels > AUTO_STREAM_LABELS:
             log.info(
@@ -190,7 +202,7 @@ def run_virtual_circuit(
             dist = run_virtual_circuit_streamed(
                 virt, chunk=chunk_size, project=project,
                 shots=shots, seed=seed, checkpoint_dir=checkpoint_dir,
-                dtype=dtype,
+                dtype=dtype, trunc_eps=trunc_eps,
             )
         return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
     frag_sizes = tuple(p.num_data_qubits for p in virt.programs.values())
