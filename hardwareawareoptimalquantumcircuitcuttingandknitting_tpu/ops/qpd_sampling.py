@@ -129,6 +129,88 @@ def sample_label_counts(
     return uniq, counts
 
 
+def stratified_split(virt: VirtualCircuit, head_labels: int):
+    """Split the label grid for the stratified estimator: the up-to-
+    ``head_labels`` heaviest labels (by sampling-magnitude product
+    ``prod_g m_g(v_g)``) are enumerated EXACTLY; only the tail is
+    sampled, from its conditional distribution with 1-norm
+    ``gamma_tail`` — the estimator variance drops from ``gamma_total^2``
+    to ``gamma_tail^2`` (control-variate/stratification role of
+    CV4Quantum, arXiv:2502.08735, PAPERS.md; skewed rzz/cp products make
+    gamma_tail << gamma_total).
+
+    Head membership is purely weight-based (``w > threshold``, ties
+    excluded) so a sampled label's side is decidable from its own
+    weight.  Returns ``None`` when no strict-majority head exists
+    (uniform cuts: every weight equal) or head_labels <= 0; else
+    ``(head_rows [H, G] int32, head_mass [H], threshold, gamma_head,
+    gamma_tail)``.  Requires the flat grid to fit host memory
+    (total <= 2^22; beyond that the plain estimator applies)."""
+    from .variant_engine import label_strides, label_weight_bounds
+
+    specs = [vg.spec for vg in virt.vgates]
+    if head_labels <= 0 or not specs:
+        return None
+    gstride, n_inst, total = label_strides(specs, range(len(specs)))
+    if total > (1 << 22):
+        raise ValueError(
+            f"stratified head needs the flat label grid on host "
+            f"({total} labels > 2^22); use the plain sampled estimator"
+        )
+    w = label_weight_bounds(specs, gstride, n_inst, total)
+    ws = np.sort(w)[::-1]
+    t = float(ws[min(head_labels, total) - 1])
+    head_ids = np.nonzero(w > t)[0]
+    if len(head_ids) == 0:
+        return None
+    gamma_head = float(w[head_ids].sum())
+    gamma_tail = float(w.sum() - gamma_head)
+    rows = np.stack([
+        ((head_ids // gstride[g]) % n_inst[g]).astype(np.int32)
+        for g in range(len(specs))
+    ], axis=1)
+    return rows, w[head_ids], t, gamma_head, gamma_tail
+
+
+def _sample_tail_counts(
+    virt: VirtualCircuit, num_samples: int, threshold: float,
+    seed: int = 0, chunk: int = 1 << 20,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(unique tail labels [L, G], counts [L]): rejection-sample the
+    product distribution, keeping draws whose magnitude product is
+    <= threshold (the tail side of :func:`stratified_split`) until
+    ``num_samples`` are accepted.  Acceptance rate is
+    gamma_tail / gamma_total, so drawing cost stays
+    gamma_tail * gamma_total / eps^2 — below the plain estimator's
+    gamma_total^2 / eps^2 whenever a head exists."""
+    mags = [_variant_magnitudes(vg.spec) for vg in virt.vgates]
+    acc: dict[tuple, int] = {}
+    rng_seed = seed
+    done = 0
+    while done < num_samples:
+        take = min(chunk, max(1024, num_samples - done))
+        labels = sample_labels(virt, take, seed=rng_seed)
+        rng_seed += 1
+        w = np.ones(len(labels), np.float64)
+        for g, m in enumerate(mags):
+            w *= m[labels[:, g]]
+        labels = labels[w <= threshold]
+        if len(labels) == 0:
+            continue
+        labels = labels[: num_samples - done]
+        uniq, counts = np.unique(labels, axis=0, return_counts=True)
+        for row, c in zip(uniq, counts):
+            key = tuple(int(v) for v in row)
+            acc[key] = acc.get(key, 0) + int(c)
+        done += len(labels)
+    uniq = np.array(sorted(acc), np.int32).reshape(
+        len(acc), len(virt.vgates)
+    )
+    counts = np.array([acc[tuple(int(v) for v in r)] for r in uniq],
+                      np.int64)
+    return uniq, counts
+
+
 def _sign_weights(virt: VirtualCircuit, frag_name: str) -> list[np.ndarray]:
     """fold_weights with each owner-side coefficient normalised by its
     variant's sampling magnitude ``max_b |coef[v, b]|`` (the same ``m``
@@ -237,6 +319,7 @@ def _estimate(
     keep_clbits=None,
     second_moment: bool = False,
     dtype=None,
+    gamma_override: float | None = None,
 ):
     """Core estimator: ``sum_l mass[l] * gamma_total * signed_knit(l)``.
 
@@ -250,8 +333,16 @@ def _estimate(
     per-sample weighted value ``gamma * signed_knit``; the per-label
     square factors over the disjoint fragment bit groups, so it is the
     same einsum over squared rows) — the ingredient for standard
-    errors."""
-    gamma_total = sampling_overhead(virt)["gamma_total"]
+    errors.
+
+    ``gamma_override``: per-sample weight scale replacing gamma_total —
+    the stratified tail samples from the CONDITIONAL distribution over
+    tail labels, whose normalisation is gamma_tail (see
+    :func:`stratified_split`)."""
+    gamma_total = (
+        sampling_overhead(virt)["gamma_total"]
+        if gamma_override is None else float(gamma_override)
+    )
     lab = jnp.asarray(labels, jnp.int32)
     frag_rows = []
     frag_positions = []
@@ -305,6 +396,7 @@ def sampled_knit(
     keep_clbits=None,
     with_stderr: bool = False,
     dtype=None,
+    head_labels: int = 0,
 ):
     """Unbiased Monte-Carlo estimate of the knitted distribution from
     ``num_samples`` QPD samples — only the sampled labels' instances are
@@ -316,12 +408,48 @@ def sampled_knit(
     distribution.  ``with_stderr``: additionally return the per-outcome
     standard error of the estimate, ``sqrt((E[X^2] - E[X]^2) /
     num_samples)`` from the sample's own moments.
+
+    ``head_labels``: stratified estimator — enumerate the up-to-that-
+    many heaviest labels exactly and spend the whole sample budget on
+    the tail (:func:`stratified_split`): stderr scale drops from
+    gamma_total to gamma_tail.  No-op on uniform-coefficient cut sets.
     """
-    uniq, counts = sample_label_counts(virt, num_samples, seed)
+    split = stratified_split(virt, head_labels) if head_labels else None
+    if split is None:
+        uniq, counts = sample_label_counts(virt, num_samples, seed)
+        mass = counts.astype(np.float64) / num_samples
+        if not with_stderr:
+            return _estimate(virt, uniq, mass, keep_clbits, dtype=dtype)
+        est, m2 = _estimate(virt, uniq, mass, keep_clbits,
+                            second_moment=True, dtype=dtype)
+        var = np.maximum(m2 - np.asarray(est.values) ** 2, 0.0)
+        return est, np.sqrt(var / num_samples)
+
+    head_rows, head_w, thresh, gamma_head, gamma_tail = split
+    gamma_total = sampling_overhead(virt)["gamma_total"]
+    head = _estimate(
+        virt, head_rows, head_w / gamma_total, keep_clbits, dtype=dtype,
+    )
+    if gamma_tail <= 0.0:
+        # the head IS the whole grid: the estimate is exact
+        return (head, np.zeros_like(np.asarray(head.values))) \
+            if with_stderr else head
+    uniq, counts = _sample_tail_counts(virt, num_samples, thresh, seed)
     mass = counts.astype(np.float64) / num_samples
     if not with_stderr:
-        return _estimate(virt, uniq, mass, keep_clbits, dtype=dtype)
-    est, m2 = _estimate(virt, uniq, mass, keep_clbits, second_moment=True,
-                        dtype=dtype)
-    var = np.maximum(m2 - np.asarray(est.values) ** 2, 0.0)
+        tail = _estimate(virt, uniq, mass, keep_clbits, dtype=dtype,
+                         gamma_override=gamma_tail)
+        return Distribution(
+            np.asarray(head.values) + np.asarray(tail.values),
+            head.bit_positions, virt.num_clbits,
+        )
+    tail, m2 = _estimate(virt, uniq, mass, keep_clbits,
+                         second_moment=True, dtype=dtype,
+                         gamma_override=gamma_tail)
+    # only the tail carries variance (the head is enumerated exactly)
+    var = np.maximum(m2 - np.asarray(tail.values) ** 2, 0.0)
+    est = Distribution(
+        np.asarray(head.values) + np.asarray(tail.values),
+        head.bit_positions, virt.num_clbits,
+    )
     return est, np.sqrt(var / num_samples)

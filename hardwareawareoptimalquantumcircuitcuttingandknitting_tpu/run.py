@@ -88,6 +88,7 @@ def run_virtual_circuit(
     max_local_qubits: int | None = None,
     dtype=None,
     trunc_eps: float = 0.0,
+    head_labels: int = 0,
 ) -> tuple[Distribution, RunTimeInfo]:
     """``engine``: "auto" (batched unrolled programs, switching to the
     streamed scan above ``AUTO_STREAM_LABELS`` global labels), "xla"
@@ -119,6 +120,11 @@ def run_virtual_circuit(
     knitted marginal; ``checkpoint_dir`` checkpoints the scan carry per
     segment (resume mid-scan); noisy execution goes through
     ``ops.noise.run_noisy_virtual_circuit(engine="streamed")``.
+
+    ``head_labels`` (engine="sampled"): stratified estimator — the
+    heaviest labels are enumerated exactly and the whole sample budget
+    goes to the tail; stderr scale drops from gamma_total to gamma_tail
+    (ops/qpd_sampling.stratified_split).  No-op on uniform cut sets.
 
     ``trunc_eps`` (engine="streamed"): certified approximate knitting —
     drop the lowest-|coefficient-product| labels while their summed L1
@@ -169,7 +175,8 @@ def run_virtual_circuit(
                 )
         now = time.perf_counter()
         with tracer.phase("qpd_sample_knit", samples=budget):
-            dist = sampled_knit(virt, budget, seed=seed, dtype=dtype)
+            dist = sampled_knit(virt, budget, seed=seed, dtype=dtype,
+                                head_labels=head_labels)
             if project:
                 dist = nearest_probability_distribution(dist)
         return dist, RunTimeInfo(time.perf_counter() - now, 0.0)

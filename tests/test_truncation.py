@@ -125,3 +125,91 @@ def test_trunc_through_run_virtual_circuit():
 
     with pytest.raises(ValueError):
         run_virtual_circuit(virt, engine="xla", trunc_eps=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Stratified QPD sampling (exact head + sampled tail)
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_split_accounting():
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        sampling_overhead,
+        stratified_split,
+    )
+
+    virt = _cut(_skewed(), 4)
+    split = stratified_split(virt, 64)
+    assert split is not None
+    rows, head_w, t, g_head, g_tail = split
+    assert len(rows) <= 64 and np.all(head_w > t)
+    over = sampling_overhead(virt)
+    assert np.isclose(g_head + g_tail, over["gamma_total"])
+
+    # uniform cuts: no strict-majority head exists
+    uni = _cut(genCirc("hwe", 8, 2), 5)
+    assert stratified_split(uni, 64) is None
+
+
+def test_stratified_beats_plain_on_skewed_cuts():
+    """Same budget, skewed cp cuts: the stratified estimator's error and
+    reported stderr must beat the plain estimator's (gamma_tail <<
+    gamma_total)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        sampled_knit,
+    )
+
+    virt = _cut(_skewed(), 4)
+    exact = run_virtual_circuit_streamed(virt, chunk=32, project=False)
+    n = 400
+    plain_err, strat_err, plain_se, strat_se = [], [], [], []
+    for seed in (0, 1, 2):
+        p, pse = sampled_knit(virt, n, seed=seed, with_stderr=True)
+        s, sse = sampled_knit(virt, n, seed=seed, with_stderr=True,
+                              head_labels=128)
+        assert s.bit_positions == exact.bit_positions
+        plain_err.append(
+            np.abs(np.asarray(p.values) - np.asarray(exact.values)).sum()
+        )
+        strat_err.append(
+            np.abs(np.asarray(s.values) - np.asarray(exact.values)).sum()
+        )
+        plain_se.append(float(np.mean(pse)))
+        strat_se.append(float(np.mean(sse)))
+    assert np.mean(strat_err) < np.mean(plain_err), (strat_err, plain_err)
+    assert np.mean(strat_se) < np.mean(plain_se), (strat_se, plain_se)
+
+
+def test_stratified_full_head_is_exact():
+    """A head budget >= the whole (distinct-weight part of the) grid with
+    an empty tail reproduces the exact knit with zero stderr."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        sampled_knit,
+        stratified_split,
+    )
+
+    virt = _cut(_skewed(), 4)
+    specs = [vg.spec for vg in virt.vgates]
+    _, _, total = label_strides(specs, range(len(specs)))
+    split = stratified_split(virt, total)
+    if split is None or split[4] > 0:
+        pytest.skip("grid has weight ties at the minimum; no empty tail")
+    est, se = sampled_knit(virt, 10, head_labels=total, with_stderr=True)
+    exact = run_virtual_circuit_streamed(virt, chunk=32, project=False)
+    np.testing.assert_allclose(
+        np.asarray(est.values), np.asarray(exact.values), atol=1e-6
+    )
+    assert np.all(se == 0.0)
+
+
+def test_stratified_uniform_falls_back_to_plain():
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        sampled_knit,
+    )
+
+    virt = _cut(genCirc("hwe", 8, 2), 5)
+    a = sampled_knit(virt, 300, seed=5)
+    b = sampled_knit(virt, 300, seed=5, head_labels=64)
+    np.testing.assert_allclose(
+        np.asarray(a.values), np.asarray(b.values), atol=1e-7
+    )
