@@ -107,7 +107,11 @@ def run_config(tag, circ_name, n, depth, P, Q, ref_s, max_instances,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="BENCH_TABLE.md")
+    # default output is a scratch file: BENCH_TABLE.md is CURATED (the
+    # generated table plus hand-written TPU/serving sections) — a sweep
+    # once clobbered it silently.  Pass --out BENCH_TABLE.md explicitly
+    # only when regenerating the table section on purpose.
+    ap.add_argument("--out", default="bench_table_sweep.md")
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--max-instances", type=int, default=20000)
     ap.add_argument("--streamed", action="store_true",

@@ -101,23 +101,44 @@ def sample_label_counts(
     num_samples: int,
     seed: int = 0,
     chunk: int = 1 << 20,
+    accept=None,
+    max_draws: int = 1 << 27,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(unique_labels [L, G], counts [L]) for ``num_samples`` draws,
-    accumulated chunk-by-chunk — peak memory is O(chunk + unique), not
-    O(num_samples), so budgets far beyond the unique-label count cost
-    nothing extra."""
+    """(unique_labels [L, G], counts [L]) for ``num_samples`` accepted
+    draws, accumulated chunk-by-chunk — peak memory is O(chunk + unique),
+    not O(num_samples), so budgets far beyond the unique-label count cost
+    nothing extra.
+
+    ``accept``: optional vectorised predicate ``[n, G] -> bool mask``
+    (rejection sampling — the stratified tail).  ``max_draws`` bounds the
+    total draws so a vanishing acceptance rate fails loudly instead of
+    hanging."""
     acc: dict[tuple, int] = {}
     rng_seed = seed
     done = 0
+    drawn = 0
     while done < num_samples:
-        take = min(chunk, num_samples - done)
+        take = min(chunk, max(1024, num_samples - done))
+        if drawn + take > max_draws:
+            raise ValueError(
+                f"rejection sampling exceeded {max_draws} draws with "
+                f"{done}/{num_samples} accepted — the acceptance rate is "
+                "too small for this budget (shrink head_labels or the "
+                "sample budget: a tiny gamma_tail needs few samples)"
+            )
         labels = sample_labels(virt, take, seed=rng_seed)
+        rng_seed += 1  # fresh stream per chunk
+        drawn += take
+        if accept is not None:
+            labels = labels[accept(labels)]
+            if len(labels) == 0:
+                continue
+        labels = labels[: num_samples - done]
         uniq, counts = np.unique(labels, axis=0, return_counts=True)
         for row, c in zip(uniq, counts):
             key = tuple(int(v) for v in row)
             acc[key] = acc.get(key, 0) + int(c)
-        done += take
-        rng_seed += 1  # fresh stream per chunk
+        done += len(labels)
     if not acc:
         return (np.zeros((0, len(virt.vgates)), np.int32),
                 np.zeros(0, np.int64))
@@ -142,10 +163,12 @@ def stratified_split(virt: VirtualCircuit, head_labels: int):
     Head membership is purely weight-based (``w > threshold``, ties
     excluded) so a sampled label's side is decidable from its own
     weight.  Returns ``None`` when no strict-majority head exists
-    (uniform cuts: every weight equal) or head_labels <= 0; else
+    (uniform cuts: every weight equal), head_labels <= 0, or the flat
+    grid exceeds host memory (total > 2^22 — exactly the regime the
+    plain estimator serves; a warning is logged); else
     ``(head_rows [H, G] int32, head_mass [H], threshold, gamma_head,
-    gamma_tail)``.  Requires the flat grid to fit host memory
-    (total <= 2^22; beyond that the plain estimator applies)."""
+    gamma_tail)``."""
+    from ..utils.logger import get_logger
     from .variant_engine import label_strides, label_weight_bounds
 
     specs = [vg.spec for vg in virt.vgates]
@@ -153,13 +176,18 @@ def stratified_split(virt: VirtualCircuit, head_labels: int):
         return None
     gstride, n_inst, total = label_strides(specs, range(len(specs)))
     if total > (1 << 22):
-        raise ValueError(
-            f"stratified head needs the flat label grid on host "
-            f"({total} labels > 2^22); use the plain sampled estimator"
+        get_logger(__name__).warning(
+            f"stratified head disabled: the flat label grid "
+            f"({total} labels) exceeds 2^22; using the plain estimator"
         )
+        return None
     w = label_weight_bounds(specs, gstride, n_inst, total)
     ws = np.sort(w)[::-1]
-    t = float(ws[min(head_labels, total) - 1])
+    # threshold at the (head_labels+1)-th largest weight so the head
+    # holds UP TO head_labels entries (strictly-greater keeps membership
+    # decidable from a sample's own weight; ties at the threshold go to
+    # the tail).  head_labels >= total admits the whole grid.
+    t = float(ws[head_labels]) if head_labels < total else -1.0
     head_ids = np.nonzero(w > t)[0]
     if len(head_ids) == 0:
         return None
@@ -174,7 +202,7 @@ def stratified_split(virt: VirtualCircuit, head_labels: int):
 
 def _sample_tail_counts(
     virt: VirtualCircuit, num_samples: int, threshold: float,
-    seed: int = 0, chunk: int = 1 << 20,
+    seed: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(unique tail labels [L, G], counts [L]): rejection-sample the
     product distribution, keeping draws whose magnitude product is
@@ -182,33 +210,17 @@ def _sample_tail_counts(
     ``num_samples`` are accepted.  Acceptance rate is
     gamma_tail / gamma_total, so drawing cost stays
     gamma_tail * gamma_total / eps^2 — below the plain estimator's
-    gamma_total^2 / eps^2 whenever a head exists."""
+    gamma_total^2 / eps^2 whenever a head exists (draws are capped by
+    sample_label_counts' max_draws, which fails loudly)."""
     mags = [_variant_magnitudes(vg.spec) for vg in virt.vgates]
-    acc: dict[tuple, int] = {}
-    rng_seed = seed
-    done = 0
-    while done < num_samples:
-        take = min(chunk, max(1024, num_samples - done))
-        labels = sample_labels(virt, take, seed=rng_seed)
-        rng_seed += 1
+
+    def accept(labels):
         w = np.ones(len(labels), np.float64)
         for g, m in enumerate(mags):
             w *= m[labels[:, g]]
-        labels = labels[w <= threshold]
-        if len(labels) == 0:
-            continue
-        labels = labels[: num_samples - done]
-        uniq, counts = np.unique(labels, axis=0, return_counts=True)
-        for row, c in zip(uniq, counts):
-            key = tuple(int(v) for v in row)
-            acc[key] = acc.get(key, 0) + int(c)
-        done += len(labels)
-    uniq = np.array(sorted(acc), np.int32).reshape(
-        len(acc), len(virt.vgates)
-    )
-    counts = np.array([acc[tuple(int(v) for v in r)] for r in uniq],
-                      np.int64)
-    return uniq, counts
+        return w <= threshold
+
+    return sample_label_counts(virt, num_samples, seed, accept=accept)
 
 
 def _sign_weights(virt: VirtualCircuit, frag_name: str) -> list[np.ndarray]:
@@ -426,9 +438,10 @@ def sampled_knit(
         return est, np.sqrt(var / num_samples)
 
     head_rows, head_w, thresh, gamma_head, gamma_tail = split
-    gamma_total = sampling_overhead(virt)["gamma_total"]
+    # head masses ARE the final per-label weights (gamma_override=1)
     head = _estimate(
-        virt, head_rows, head_w / gamma_total, keep_clbits, dtype=dtype,
+        virt, head_rows, head_w, keep_clbits, dtype=dtype,
+        gamma_override=1.0,
     )
     if gamma_tail <= 0.0:
         # the head IS the whole grid: the estimate is exact

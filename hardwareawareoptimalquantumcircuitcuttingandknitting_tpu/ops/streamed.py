@@ -238,8 +238,11 @@ def make_streamed_knit(
 
         sp = None
         if share_prefix and nm is None:
+            # size the split against the labels that actually run
+            # (truncation shrinks the per-step work the non-hoisted
+            # build-vs-step trade is scored on)
             sp = split_plan(
-                sim_one, prog, specs, total, bank_budget_bytes,
+                sim_one, prog, specs, n_labels, bank_budget_bytes,
                 hoisted=hoist_banks,
                 state_bytes=np.dtype(dtype).itemsize,
             )
@@ -550,13 +553,16 @@ def make_streamed_knit(
     # Informational: chunks are NOT auto-aligned — the v5e A/B measured
     # staging bandwidth-neutral (staged_ab_probe.json); a caller on a
     # bytes-limited backend can pass an aligned chunk to engage it
+    # truncated label sets are never canonical blocks, so no chunk can
+    # engage staging there — advertise 1, not the untruncated ideal
     align = 1
-    for fi, s in enumerate(splits):
-        if s is not None:
-            a = ideal_stage_align(
-                s[0], virt.programs[frag_names[fi]], specs, gstride
-            )
-            align = align * a // math.gcd(align, a)
+    if kept is None:
+        for fi, s in enumerate(splits):
+            if s is not None:
+                a = ideal_stage_align(
+                    s[0], virt.programs[frag_names[fi]], specs, gstride
+                )
+                align = align * a // math.gcd(align, a)
     meta["stage_align"] = align
     return step_fn, xs, meta
 

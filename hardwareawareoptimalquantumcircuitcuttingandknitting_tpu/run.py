@@ -152,6 +152,11 @@ def run_virtual_circuit(
             "trunc_eps (certified truncation) is a streamed-engine "
             f"feature, not engine={engine!r}"
         )
+    if head_labels and engine != "sampled":
+        raise ValueError(
+            "head_labels (stratified estimation) is a sampled-engine "
+            f"feature, not engine={engine!r}"
+        )
     if engine == "sampled":
         # Monte-Carlo QPD sampling: only the sampled labels' instances
         # run (ops/qpd_sampling.py).  ``shots`` is the QPD sample budget

@@ -146,9 +146,14 @@ def test_stratified_split_accounting():
     over = sampling_overhead(virt)
     assert np.isclose(g_head + g_tail, over["gamma_total"])
 
-    # uniform cuts: no strict-majority head exists
+    # uniform cuts below the grid size: no strict-majority head exists
     uni = _cut(genCirc("hwe", 8, 2), 5)
-    assert stratified_split(uni, 64) is None
+    specs = [vg.spec for vg in uni.vgates]
+    total_u = int(np.prod([s.num_instantiations for s in specs]))
+    assert stratified_split(uni, total_u - 1) is None
+    # head budget >= the whole grid: exact enumeration, empty tail
+    full = stratified_split(uni, total_u)
+    assert full is not None and len(full[0]) == total_u and full[4] == 0.0
 
 
 def test_stratified_beats_plain_on_skewed_cuts():
@@ -209,7 +214,26 @@ def test_stratified_uniform_falls_back_to_plain():
 
     virt = _cut(genCirc("hwe", 8, 2), 5)
     a = sampled_knit(virt, 300, seed=5)
-    b = sampled_knit(virt, 300, seed=5, head_labels=64)
+    b = sampled_knit(virt, 300, seed=5, head_labels=8)  # < grid size
     np.testing.assert_allclose(
         np.asarray(a.values), np.asarray(b.values), atol=1e-7
     )
+
+
+def test_stratified_head_one_and_engine_validation():
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        stratified_split,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.run import (
+        run_virtual_circuit,
+    )
+
+    virt = _cut(_skewed(), 4)
+    # a budget below the top tie-block size yields no head (ties go to
+    # the tail, keeping membership weight-decidable)...
+    assert stratified_split(virt, 8) is None
+    # ...a budget above it yields a real, within-budget head
+    split = stratified_split(virt, 64)
+    assert split is not None and 1 <= len(split[0]) <= 64
+    with pytest.raises(ValueError):
+        run_virtual_circuit(virt, engine="streamed", head_labels=8)
