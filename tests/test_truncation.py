@@ -237,3 +237,26 @@ def test_stratified_head_one_and_engine_validation():
     assert split is not None and 1 <= len(split[0]) <= 64
     with pytest.raises(ValueError):
         run_virtual_circuit(virt, engine="streamed", head_labels=8)
+
+
+def test_trunc_composes_with_shots_and_marginal():
+    """Truncation must compose with on-device shot sampling and the
+    marginal knit (the serving combinations)."""
+    virt = _cut(_skewed(), 4)
+    shot = run_virtual_circuit_streamed(
+        virt, chunk=32, shots=2000, trunc_eps=1e-3, seed=2
+    )
+    assert abs(float(np.asarray(shot.values).sum()) - 1.0) < 1e-5
+
+    import jax
+
+    keep = frozenset([0, 1])
+    exact_step, exact_xs, _ = make_streamed_knit(
+        virt, 32, keep_clbits=keep
+    )
+    exact = np.asarray(jax.jit(exact_step)(exact_xs))
+    step, xs, meta = make_streamed_knit(
+        virt, 32, keep_clbits=keep, trunc_eps=1e-3
+    )
+    got = np.asarray(jax.jit(step)(xs))
+    assert np.abs(got - exact).sum() <= meta["dropped_mass"] + 1e-5
