@@ -35,13 +35,18 @@ from ..ops.variant_engine import (
 from ..virt.virtual_circuit import VirtualCircuit
 
 
-def make_sharded_step(virt: VirtualCircuit, mesh: Mesh):
+def make_sharded_step(virt: VirtualCircuit, mesh: Mesh, dtype=None):
     """Build (step_fn, example_args).  ``step_fn(*frag_vidx)`` — one
     ``[padded, n_touching]`` int32 variant-index array per fragment —
     returns the knitted quasi-distribution values; jit it with the
     returned shardings for multi-chip execution:
 
         jitted = jax.jit(step_fn, in_shardings=shardings)
+
+    ``dtype``: ``jnp.bfloat16`` is the quantized serving mode — the
+    per-variant statevectors at half the HBM bytes (probability rows
+    and the knit stay f32; same contract as the streamed engine,
+    tests/test_bf16_serving.py).
     """
     dp = mesh.shape["dp"]
     specs = [vg.spec for vg in virt.vgates]
@@ -51,7 +56,8 @@ def make_sharded_step(virt: VirtualCircuit, mesh: Mesh):
     for reg in virt.fragments:
         prog = virt.programs[reg.name]
         sim_one, _, positions, flat_count = make_sim_fn(
-            virt, reg.name, build_matrices=False, fused_slots=True
+            virt, reg.name, build_matrices=False, fused_slots=True,
+            dtype=dtype,
         )
         strides, n_inst, _fc = label_strides(specs, prog.touching)
         padded = -(-flat_count // dp) * dp
@@ -60,7 +66,7 @@ def make_sharded_step(virt: VirtualCircuit, mesh: Mesh):
             prog.touching, strides, n_inst, padded, clamp_to=flat_count
         )
         tables = [
-            tuple(jnp.asarray(m) for m in t)
+            tuple(jnp.asarray(m, dtype=dtype) for m in t)
             for t in _slot_tables(prog, specs, fused=True)
         ]
         slot_cols = [touch_col[s.vgate_idx] for s in prog.slots]

@@ -199,3 +199,24 @@ def test_default_bank_budget_scales_with_dtype():
     assert default_bank_budget() == 512 << 20
     assert default_bank_budget(jnp.float32) == 512 << 20
     assert default_bank_budget(jnp.bfloat16) == 1024 << 20
+
+
+def test_bf16_dp_tp_knit_step_close_to_f32():
+    """bf16 on the dp x tp knit step (parallel/sharded.py) on a 1-device
+    mesh: the step must stay within bf16 rounding of f32."""
+    from jax.sharding import Mesh
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.parallel.sharded import (
+        make_sharded_step,
+    )
+
+    virt = _cut(genCirc("hwe", 8, 2), 5)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "tp"))
+    outs = {}
+    for key, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+        step, args, shardings, _pos = make_sharded_step(virt, mesh, dtype=dt)
+        jitted = jax.jit(step, in_shardings=shardings)
+        outs[key] = np.asarray(jitted(*[
+            jax.device_put(a, s) for a, s in zip(args, shardings)
+        ]))
+    assert np.abs(outs["bf16"] - outs["f32"]).max() < 5e-3
