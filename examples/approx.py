@@ -95,11 +95,13 @@ def main() -> None:
           + (f", head gamma={split[3]:.2f} tail gamma={split[4]:.2f}"
              if split else " (no head: uniform weights)"))
     for head in (0, 64, 256):
-        est, se = sampled_knit(virt, 1000, seed=1, with_stderr=True,
-                               head_labels=head)
-        fid = hellinger_fidelity(ideal, est)
-        print(f"sampled n=1000 head_labels={head:>4}: "
-              f"fidelity={fid:.4f}  mean stderr={float(np.mean(se)):.2e}")
+        for method in ("iid", "lhs"):
+            est, se = sampled_knit(virt, 1000, seed=1, with_stderr=True,
+                                   head_labels=head, method=method)
+            fid = hellinger_fidelity(ideal, est)
+            print(f"sampled n=1000 head_labels={head:>4} {method}: "
+                  f"fidelity={fid:.4f}  mean stderr="
+                  f"{float(np.mean(se)):.2e}")
 
 
 if __name__ == "__main__":

@@ -78,19 +78,48 @@ def sampling_overhead(virt: VirtualCircuit, eps: float | None = None):
     return out
 
 
+def _systematic_column(p: np.ndarray, n: int, rng) -> np.ndarray:
+    """``n`` variant ids whose counts are the systematic-resampling
+    allocation of ``n * p`` (each count is floor or ceil of ``n * p[v]``,
+    exact in expectation over the uniform offset), independently
+    permuted.  After the permutation every single row is marginally
+    distributed exactly as ``p`` — the building block of the balanced
+    (Latin-hypercube) label sampler."""
+    edges = np.cumsum(p)
+    edges[-1] = 1.0  # guard fp drift so searchsorted stays in range
+    pos = (np.arange(n) + rng.random()) / n
+    ids = np.searchsorted(edges, pos, side="right").astype(np.int32)
+    return rng.permutation(ids)
+
+
 def sample_labels(
-    virt: VirtualCircuit, num_samples: int, seed: int = 0
+    virt: VirtualCircuit, num_samples: int, seed: int = 0,
+    method: str = "iid",
 ) -> np.ndarray:
     """[num_samples, n_vgates] int32 variant indices, drawn independently
-    per cut with ``P(v) = max_b |coef[v, b]| / gamma``."""
+    per cut with ``P(v) = max_b |coef[v, b]| / gamma``.
+
+    ``method="lhs"``: balanced (Latin-hypercube) sampling — each cut's
+    column is a systematic-resampling allocation of its variant
+    distribution, independently permuted.  Rows stay exchangeable with
+    the exact per-row marginal (the estimator remains unbiased), but
+    each cut's EMPIRICAL variant counts are pinned to within 1 of
+    ``n * p`` — the per-cut main-effect component of the estimator
+    variance vanishes (O(gamma/n) instead of O(gamma/sqrt(n)) on
+    single-cut plans; classic LHS variance decomposition)."""
+    if method not in ("iid", "lhs"):
+        raise ValueError(f"unknown sampling method {method!r}")
     rng = np.random.default_rng(seed)
     cols = []
     for vg in virt.vgates:
         m = _variant_magnitudes(vg.spec)
-        cols.append(
-            rng.choice(len(m), size=num_samples, p=m / m.sum())
-            .astype(np.int32)
-        )
+        p = m / m.sum()
+        if method == "lhs":
+            cols.append(_systematic_column(p, num_samples, rng))
+        else:
+            cols.append(
+                rng.choice(len(m), size=num_samples, p=p).astype(np.int32)
+            )
     if not cols:
         return np.zeros((num_samples, 0), np.int32)
     return np.stack(cols, axis=1)
@@ -103,6 +132,7 @@ def sample_label_counts(
     chunk: int = 1 << 20,
     accept=None,
     max_draws: int = 1 << 27,
+    method: str = "iid",
 ) -> tuple[np.ndarray, np.ndarray]:
     """(unique_labels [L, G], counts [L]) for ``num_samples`` accepted
     draws, accumulated chunk-by-chunk — peak memory is O(chunk + unique),
@@ -112,13 +142,21 @@ def sample_label_counts(
     ``accept``: optional vectorised predicate ``[n, G] -> bool mask``
     (rejection sampling — the stratified tail).  ``max_draws`` bounds the
     total draws so a vanishing acceptance rate fails loudly instead of
-    hanging."""
+    hanging.
+
+    ``method="lhs"`` balances each cut's variant counts per chunk (see
+    :func:`sample_labels`); rows stay exchangeable, so rejection
+    filtering and truncation to the remaining budget keep the accepted
+    rows marginally distributed as the (conditional) target."""
     acc: dict[tuple, int] = {}
     rng_seed = seed
     done = 0
     drawn = 0
     while done < num_samples:
-        take = min(chunk, max(1024, num_samples - done))
+        # the 1024 floor amortises rejection-sampling misses; without a
+        # predicate draw exactly the remainder (keeps LHS balance whole)
+        want = num_samples - done
+        take = min(chunk, want if accept is None else max(1024, want))
         if drawn + take > max_draws:
             raise ValueError(
                 f"rejection sampling exceeded {max_draws} draws with "
@@ -126,7 +164,7 @@ def sample_label_counts(
                 "too small for this budget (shrink head_labels or the "
                 "sample budget: a tiny gamma_tail needs few samples)"
             )
-        labels = sample_labels(virt, take, seed=rng_seed)
+        labels = sample_labels(virt, take, seed=rng_seed, method=method)
         rng_seed += 1  # fresh stream per chunk
         drawn += take
         if accept is not None:
@@ -202,7 +240,7 @@ def stratified_split(virt: VirtualCircuit, head_labels: int):
 
 def _sample_tail_counts(
     virt: VirtualCircuit, num_samples: int, threshold: float,
-    seed: int = 0,
+    seed: int = 0, method: str = "iid",
 ) -> tuple[np.ndarray, np.ndarray]:
     """(unique tail labels [L, G], counts [L]): rejection-sample the
     product distribution, keeping draws whose magnitude product is
@@ -220,7 +258,8 @@ def _sample_tail_counts(
             w *= m[labels[:, g]]
         return w <= threshold
 
-    return sample_label_counts(virt, num_samples, seed, accept=accept)
+    return sample_label_counts(virt, num_samples, seed, accept=accept,
+                               method=method)
 
 
 def _sign_weights(virt: VirtualCircuit, frag_name: str) -> list[np.ndarray]:
@@ -409,6 +448,7 @@ def sampled_knit(
     with_stderr: bool = False,
     dtype=None,
     head_labels: int = 0,
+    method: str = "iid",
 ):
     """Unbiased Monte-Carlo estimate of the knitted distribution from
     ``num_samples`` QPD samples — only the sampled labels' instances are
@@ -425,10 +465,17 @@ def sampled_knit(
     many heaviest labels exactly and spend the whole sample budget on
     the tail (:func:`stratified_split`): stderr scale drops from
     gamma_total to gamma_tail.  No-op on uniform-coefficient cut sets.
-    """
+
+    ``method="lhs"``: balanced (Latin-hypercube) label sampling — pins
+    each cut's empirical variant counts to their expectation (see
+    :func:`sample_labels`); composes with ``head_labels`` (the tail is
+    drawn balanced, then rejection-filtered).  The ``with_stderr``
+    estimate keeps the iid formula, which upper-bounds the true LHS
+    variance (conservative)."""
     split = stratified_split(virt, head_labels) if head_labels else None
     if split is None:
-        uniq, counts = sample_label_counts(virt, num_samples, seed)
+        uniq, counts = sample_label_counts(virt, num_samples, seed,
+                                           method=method)
         mass = counts.astype(np.float64) / num_samples
         if not with_stderr:
             return _estimate(virt, uniq, mass, keep_clbits, dtype=dtype)
@@ -447,7 +494,8 @@ def sampled_knit(
         # the head IS the whole grid: the estimate is exact
         return (head, np.zeros_like(np.asarray(head.values))) \
             if with_stderr else head
-    uniq, counts = _sample_tail_counts(virt, num_samples, thresh, seed)
+    uniq, counts = _sample_tail_counts(virt, num_samples, thresh, seed,
+                                       method=method)
     mass = counts.astype(np.float64) / num_samples
     if not with_stderr:
         tail = _estimate(virt, uniq, mass, keep_clbits, dtype=dtype,

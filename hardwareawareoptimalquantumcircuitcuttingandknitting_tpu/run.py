@@ -89,6 +89,7 @@ def run_virtual_circuit(
     dtype=None,
     trunc_eps: float = 0.0,
     head_labels: int = 0,
+    sample_method: str = "iid",
 ) -> tuple[Distribution, RunTimeInfo]:
     """``engine``: "auto" (batched unrolled programs, switching to the
     streamed scan above ``AUTO_STREAM_LABELS`` global labels), "xla"
@@ -126,6 +127,11 @@ def run_virtual_circuit(
     goes to the tail; stderr scale drops from gamma_total to gamma_tail
     (ops/qpd_sampling.stratified_split).  No-op on uniform cut sets.
 
+    ``sample_method`` (engine="sampled"): "iid" (default) or "lhs" —
+    balanced (Latin-hypercube) label sampling pins each cut's empirical
+    variant counts to their expectation, killing the per-cut main-effect
+    variance at no extra cost (ops/qpd_sampling.sample_labels).
+
     ``trunc_eps`` (engine="streamed"): certified approximate knitting —
     drop the lowest-|coefficient-product| labels while their summed L1
     bound stays <= trunc_eps (arXiv:2212.01270 role; pays off on
@@ -157,6 +163,11 @@ def run_virtual_circuit(
             "head_labels (stratified estimation) is a sampled-engine "
             f"feature, not engine={engine!r}"
         )
+    if sample_method != "iid" and engine != "sampled":
+        raise ValueError(
+            "sample_method (QPD label sampling) is a sampled-engine "
+            f"feature, not engine={engine!r}"
+        )
     if engine == "sampled":
         # Monte-Carlo QPD sampling: only the sampled labels' instances
         # run (ops/qpd_sampling.py).  ``shots`` is the QPD sample budget
@@ -181,7 +192,8 @@ def run_virtual_circuit(
         now = time.perf_counter()
         with tracer.phase("qpd_sample_knit", samples=budget):
             dist = sampled_knit(virt, budget, seed=seed, dtype=dtype,
-                                head_labels=head_labels)
+                                head_labels=head_labels,
+                                method=sample_method)
             if project:
                 dist = nearest_probability_distribution(dist)
         return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
