@@ -610,7 +610,8 @@ _STREAM_CKPT = "stream_carry.npz"
 
 
 def _stream_fingerprint(virt, chunk, segment_chunks, models, trajectories,
-                        seed, dtype=None, trunc_eps: float = 0.0) -> str:
+                        seed, dtype=None, trunc_eps: float = 0.0,
+                        keep_clbits=None) -> str:
     import hashlib
 
     from ..utils.checkpoint import checkpoint_fingerprint
@@ -624,6 +625,10 @@ def _stream_fingerprint(virt, chunk, segment_chunks, models, trajectories,
         # a truncated run's carry covers a different label subset — it
         # must never be resumed by an exact (or differently-truncated) run
         h.update(f"|trunc_eps={trunc_eps!r}".encode())
+    if keep_clbits is not None:
+        # a marginal run's carry has marginal width/layout — never resume
+        # across different keep sets (or from/into a full-width run)
+        h.update(f"|keep={sorted(keep_clbits)}".encode())
     for nm in models:
         if nm is None:
             h.update(b"none")
@@ -688,6 +693,7 @@ def run_virtual_circuit_streamed(
     share_prefix: bool | None = None,
     dtype=None,
     trunc_eps: float = 0.0,
+    keep_clbits=None,
 ) -> Distribution:
     """End-to-end streamed execution on the default device.  ``chunk`` is
     capped by :func:`auto_chunk` to bound device memory.
@@ -720,6 +726,11 @@ def run_virtual_circuit_streamed(
     stay f32.  Per-amplitude rounding is ~2^-8 per pass; use with
     ``shots`` where sampling noise dominates (the exact-fidelity
     contract is the f32 default).  Exact path only.
+
+    ``keep_clbits``: marginal knit (see :func:`make_streamed_knit`) —
+    the carry, the fetch, and any ``shots`` sampling all live on the
+    marginal; the full 2^n distribution never exists anywhere (the
+    30+ qubit serving mode, e.g. benchmarks/syc32_demo.py).
     """
     models = _resolve_noise(virt, noise)
     traj_eff = max(
@@ -733,7 +744,8 @@ def run_virtual_circuit_streamed(
         virt, chunk, traj_eff, noisy=any(m is not None for m in models)
     )
     step_fn, xs, meta = make_streamed_knit(
-        virt, chunk, noise=noise, trajectories=trajectories, seed=seed,
+        virt, chunk, keep_clbits=keep_clbits,
+        noise=noise, trajectories=trajectories, seed=seed,
         share_prefix=share_prefix if share_prefix is not None else True,
         dtype=dtype, trunc_eps=trunc_eps,
     )
@@ -782,7 +794,7 @@ def run_virtual_circuit_streamed(
             )
         fp = _stream_fingerprint(
             virt, chunk, seg, models, trajectories, seed, dtype=dtype,
-            trunc_eps=trunc_eps,
+            trunc_eps=trunc_eps, keep_clbits=keep_clbits,
         )
         carry, start = _load_stream_checkpoint(
             checkpoint_dir, fp, meta["carry_shape"]

@@ -90,6 +90,7 @@ def run_virtual_circuit(
     trunc_eps: float = 0.0,
     head_labels: int = 0,
     sample_method: str = "iid",
+    keep_clbits=None,
 ) -> tuple[Distribution, RunTimeInfo]:
     """``engine``: "auto" (batched unrolled programs, switching to the
     streamed scan above ``AUTO_STREAM_LABELS`` global labels), "xla"
@@ -131,6 +132,13 @@ def run_virtual_circuit(
     balanced (Latin-hypercube) label sampling pins each cut's empirical
     variant counts to their expectation, killing the per-cut main-effect
     variance at no extra cost (ops/qpd_sampling.sample_labels).
+
+    ``keep_clbits`` (any engine): marginal knit — return the
+    distribution over just this clbit set, summing the rest out inside
+    the knit (streamed: inside the scan body, so the full 2^n vector
+    never exists anywhere — the 30+ qubit mode, ops/streamed.py).
+    ``shots`` then samples the marginal.  The returned Distribution's
+    ``bit_positions`` are the kept clbits.
 
     ``trunc_eps`` (engine="streamed"): certified approximate knitting —
     drop the lowest-|coefficient-product| labels while their summed L1
@@ -193,7 +201,8 @@ def run_virtual_circuit(
         with tracer.phase("qpd_sample_knit", samples=budget):
             dist = sampled_knit(virt, budget, seed=seed, dtype=dtype,
                                 head_labels=head_labels,
-                                method=sample_method)
+                                method=sample_method,
+                                keep_clbits=keep_clbits)
             if project:
                 dist = nearest_probability_distribution(dist)
         return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
@@ -226,7 +235,7 @@ def run_virtual_circuit(
             dist = run_virtual_circuit_streamed(
                 virt, chunk=chunk_size, project=project,
                 shots=shots, seed=seed, checkpoint_dir=checkpoint_dir,
-                dtype=dtype, trunc_eps=trunc_eps,
+                dtype=dtype, trunc_eps=trunc_eps, keep_clbits=keep_clbits,
             )
         return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
     frag_sizes = tuple(p.num_data_qubits for p in virt.programs.values())
@@ -298,7 +307,7 @@ def run_virtual_circuit(
         log.info("Knitting...")
         now = time.perf_counter()
         with tracer.phase("knit"):
-            dist = knit(virt, results)
+            dist = knit(virt, results, keep_clbits=keep_clbits)
         knit_time = time.perf_counter() - now
     finally:
         tracer.stop_device_trace()

@@ -79,3 +79,50 @@ def test_marginal_streamed_matches_batched():
     np.testing.assert_allclose(
         streamed, np.asarray(batched.values), atol=2e-6
     )
+
+
+def test_run_virtual_circuit_keep_clbits_all_engines(tmp_path):
+    """keep_clbits is a first-class run_virtual_circuit knob on every
+    engine; each engine's marginal must equal the marginalised full
+    knit."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.run import (
+        run_virtual_circuit,
+    )
+
+    virt = _cut_circuit()
+    keep = {0, 5}
+    full, _ = run_virtual_circuit(virt, project=False)
+    want = _marginalize_full(full.values, full.bit_positions, sorted(keep))
+
+    for engine in ("xla", "streamed", "sharded"):
+        marg, _ = run_virtual_circuit(virt, engine=engine, project=False,
+                                      keep_clbits=keep)
+        assert marg.bit_positions == sorted(keep), engine
+        np.testing.assert_allclose(
+            np.asarray(marg.values, np.float64), want, atol=2e-5,
+            err_msg=engine,
+        )
+
+    est, _ = run_virtual_circuit(virt, engine="sampled", shots=30000,
+                                 seed=3, keep_clbits=keep,
+                                 sample_method="lhs")
+    assert est.bit_positions == sorted(keep)
+    np.testing.assert_allclose(np.asarray(est.values), want, atol=0.05)
+
+    # shots sample the marginal (streamed: on-device projection+sampling)
+    shot, _ = run_virtual_circuit(virt, engine="streamed", shots=40000,
+                                  seed=5, keep_clbits=keep)
+    assert shot.bit_positions == sorted(keep)
+    np.testing.assert_allclose(np.asarray(shot.values), want, atol=0.03)
+
+    # a marginal run's checkpoint must never be resumed by a different
+    # keep set (or a full-width run)
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
+        _stream_fingerprint,
+    )
+
+    fps = {
+        _stream_fingerprint(virt, 16, 4, [None], None, 0, keep_clbits=kc)
+        for kc in (None, frozenset({0, 5}), frozenset({1, 4}))
+    }
+    assert len(fps) == 3
