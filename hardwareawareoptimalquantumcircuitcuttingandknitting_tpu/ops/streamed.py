@@ -69,12 +69,20 @@ def _resolve_noise(virt: VirtualCircuit, noise):
 def _sample_pauli_indices(rng, site_probs, count: int, traj: int) -> np.ndarray:
     """[count, traj, n_sites] int32: 0 = identity, 1..3 = sampled Pauli
     with per-site depolarising probability (ops/noise._sample_paulis
-    semantics, streamed as indices to keep the xs small)."""
+    semantics, streamed as indices to keep the xs small).  The traj
+    axis is BALANCED per (label, site) — systematic allocation +
+    independent permutation (ops/noise._pauli_idx): unbiased per
+    trajectory, per-site main-effect variance removed from the
+    trajectory mean."""
+    from .noise import _pauli_idx
+
     s = len(site_probs)
-    u = rng.random((count, traj, s))
-    which = rng.integers(1, 4, size=(count, traj, s))
-    p = np.asarray(site_probs, dtype=np.float64)[None, None, :]
-    return np.where(u < p, which, 0).astype(np.int32)
+    if s == 0:
+        return np.zeros((count, traj, 0), np.int32)
+    return np.stack([
+        _pauli_idx(rng, float(p), (count, traj), balance_axis=1)
+        for p in site_probs
+    ], axis=2)
 
 
 def default_bank_budget(dtype=None) -> int:

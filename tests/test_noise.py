@@ -338,3 +338,45 @@ def test_deferral_ops_noise_free_without_coupling():
     np.testing.assert_allclose(vals[0], 0.0, atol=1e-6)
     np.testing.assert_allclose(vals[3], 0.0, atol=1e-6)
     np.testing.assert_allclose(vals[1] + vals[2], 1.0, atol=1e-5)
+
+
+def test_balanced_pauli_allocation():
+    """Trajectory Pauli draws are balanced: per (row, site) the number
+    of inserted Paulis along the trajectory axis is floor/ceil of its
+    expectation, the marginal insertion rate stays exactly p (unbiased),
+    and X/Y/Z are drawn with equal conditional mass."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        _pauli_idx,
+    )
+
+    rng = np.random.default_rng(3)
+    for p in (0.01, 0.1, 0.4):
+        ids = _pauli_idx(rng, p, (400, 16), balance_axis=1)
+        nz = (ids != 0).sum(axis=1)
+        exp = 16 * p
+        assert nz.min() >= np.floor(exp) and nz.max() <= np.ceil(exp), p
+        # unbiased marginal (400*16 = 6400 draws; 5 sigma)
+        tol = 5 * np.sqrt(p * (1 - p) / ids.size)
+        assert abs(float(np.mean(ids != 0)) - p) < tol, p
+    # the three Paulis are symmetric
+    ids = _pauli_idx(rng, 0.4, (2000, 16), balance_axis=1)
+    counts = np.bincount(ids.reshape(-1), minlength=4)[1:]
+    assert counts.std() / counts.mean() < 0.05
+    # iid fallback path (balance_axis=None) keeps the same dtype/shape
+    iid = _pauli_idx(rng, 0.1, (5, 7))
+    assert iid.shape == (5, 7) and iid.dtype == np.int32
+
+
+def test_streamed_pauli_indices_balanced_and_empty():
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
+        _sample_pauli_indices,
+    )
+
+    rng = np.random.default_rng(0)
+    idx = _sample_pauli_indices(rng, [0.1, 0.02], 64, 16)
+    assert idx.shape == (64, 16, 2) and idx.dtype == np.int32
+    nz = (idx != 0).sum(axis=1)  # [64, 2] insertions per (label, site)
+    assert nz[:, 0].max() <= 2 and nz[:, 0].min() >= 1   # 16*0.1 = 1.6
+    assert nz[:, 1].max() <= 1                            # 16*0.02 = 0.32
+    empty = _sample_pauli_indices(rng, [], 8, 4)
+    assert empty.shape == (8, 4, 0)
