@@ -180,6 +180,50 @@ def run_trial(seed: int) -> dict | None:
             return {"check": "marginal_knit", "max_err": merr,
                     "keep": keep}
 
+        # run-level keep_clbits (streamed) == marginalized full knit
+        if rng.random() < 0.3:
+            _hit("run_keep_clbits")
+            marg2, _ = run_virtual_circuit(
+                virt, project=False, engine="streamed",
+                chunk_size=16, keep_clbits=set(keep),
+            )
+            m2err = float(np.max(np.abs(
+                np.asarray(marg2.values, np.float64) - kvf
+            )))
+            if marg2.bit_positions != keep or m2err > 5e-6:
+                return {"check": "run_keep_clbits", "max_err": m2err,
+                        "keep": keep}
+
+        # balanced (LHS) QPD sampling: per-cut counts pinned to n*p and
+        # the estimate within the analytic iid bound (LHS is tighter)
+        if labels <= 3000 and virt.vgates and rng.random() < 0.3:
+            _hit("lhs_sampling")
+            from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+                _variant_magnitudes,
+                sample_labels,
+                sampled_knit,
+                sampling_overhead,
+            )
+
+            m_s = 1500
+            lab = sample_labels(virt, m_s, seed=seed, method="lhs")
+            for g, vg in enumerate(virt.vgates):
+                mag = _variant_magnitudes(vg.spec)
+                pb = mag / mag.sum()
+                cnt = np.bincount(lab[:, g], minlength=len(mag))
+                if np.abs(cnt - m_s * pb).max() >= 1.0:
+                    return {"check": "lhs_balance", "cut": g}
+            est = sampled_knit(virt, m_s, seed=seed, method="lhs")
+            if est.bit_positions != knitted.bit_positions:
+                return {"check": "lhs_positions"}
+            gamma = sampling_overhead(virt)["gamma_total"]
+            lerr = float(np.max(np.abs(
+                np.asarray(est.values, np.float64) - kv
+            )))
+            if lerr > 6 * gamma / np.sqrt(m_s) + 1e-9:
+                return {"check": "lhs_error_bound", "max_err": lerr,
+                        "gamma": gamma}
+
         # QPD-sampling estimator fed the FULL grid at its exact sampling
         # mass must reproduce the exact knit (unbiasedness identity —
         # deterministic, no Monte-Carlo tolerance)
