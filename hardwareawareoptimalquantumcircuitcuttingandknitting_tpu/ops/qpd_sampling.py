@@ -440,6 +440,72 @@ def _estimate(
     return est, m2
 
 
+def sampled_knit_adaptive(
+    virt: VirtualCircuit,
+    eps: float,
+    seed: int = 0,
+    keep_clbits=None,
+    dtype=None,
+    head_labels: int = 0,
+    method: str = "iid",
+    initial: int = 4096,
+    max_samples: int = 2_000_000,
+):
+    """eps-targeted sampling: grow the budget until the worst per-outcome
+    EMPIRICAL standard error is <= ``eps``, then stop.
+
+    The analytic Hoeffding budget ``kappa / eps^2`` (:func:`sampling_overhead`)
+    is a worst-case bound; the sample's own moments are usually far
+    tighter (signs cancel coherently on real plans, and the stratified
+    head removes the heavy labels' variance entirely).  Each round
+    re-draws ``n`` fresh samples (seeds disjoint per round) and
+    quadruples ``n`` until the target is met, so total work is <= 4/3 of
+    the final round's — re-simulation cost stays bounded because rows
+    are only computed for deduplicated labels, whose count saturates.
+
+    Returns ``(estimate, stderr, samples_used)``.  If ``max_samples`` is
+    reached above ``eps`` the best estimate is returned with a warning —
+    callers can check ``stderr.max()``.  Composes with ``head_labels``
+    (stratified), ``method="lhs"`` (balanced; the iid stderr formula
+    upper-bounds the true LHS variance, so the stop rule stays sound),
+    ``keep_clbits`` and bf16 ``dtype``.
+
+    Reference contrast: the reference always enumerates the full label
+    grid (qvm/run.py:36-42) — there is no accuracy dial; this is the
+    serving-side knob that buys back the exponential cut-count cost at a
+    chosen accuracy."""
+    if eps <= 0.0:
+        raise ValueError(f"eps must be positive, got {eps}")
+    from ..utils.logger import get_logger
+
+    n = max(1, min(int(initial), int(max_samples)))
+    round_idx = 0
+    while True:
+        # wide seed stride: sample_label_counts advances its seed by 1
+        # per chunk, so adjacent round seeds would overlap streams
+        est, se = sampled_knit(
+            virt, n, seed=seed + round_idx * 1_000_003,
+            keep_clbits=keep_clbits,
+            with_stderr=True, dtype=dtype, head_labels=head_labels,
+            method=method,
+        )
+        worst = float(se.max()) if se.size else 0.0
+        if worst <= eps or n >= max_samples:
+            if worst > eps:
+                get_logger(__name__).warning(
+                    f"sampled_knit_adaptive: budget exhausted at "
+                    f"{n} samples with stderr {worst:.3g} > eps={eps:.3g}"
+                    " — returning the best estimate (raise max_samples "
+                    "for a tighter answer)"
+                )
+            return est, se, n
+        # scale the next round by the measured variance ratio, snapped
+        # to at least 4x so the geometric-work bound holds
+        n = min(int(max_samples),
+                max(4 * n, int(n * (worst / eps) ** 2)))
+        round_idx += 1
+
+
 def sampled_knit(
     virt: VirtualCircuit,
     num_samples: int,

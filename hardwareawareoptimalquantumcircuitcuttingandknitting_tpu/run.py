@@ -90,6 +90,7 @@ def run_virtual_circuit(
     trunc_eps: float = 0.0,
     head_labels: int = 0,
     sample_method: str = "iid",
+    sample_eps: float | None = None,
     keep_clbits=None,
 ) -> tuple[Distribution, RunTimeInfo]:
     """``engine``: "auto" (batched unrolled programs, switching to the
@@ -132,6 +133,14 @@ def run_virtual_circuit(
     balanced (Latin-hypercube) label sampling pins each cut's empirical
     variant counts to their expectation, killing the per-cut main-effect
     variance at no extra cost (ops/qpd_sampling.sample_labels).
+
+    ``sample_eps`` (engine="sampled"): eps-targeted accuracy dial — grow
+    the sample budget adaptively until the worst per-outcome EMPIRICAL
+    standard error is <= sample_eps, instead of trusting the worst-case
+    Hoeffding budget (usually far fewer samples: signs cancel on real
+    plans).  ``shots`` then acts as the budget CAP (default 2M).
+    Composes with ``head_labels``/``sample_method``
+    (ops/qpd_sampling.sampled_knit_adaptive).
 
     ``keep_clbits`` (any engine): marginal knit — return the
     distribution over just this clbit set, summing the rest out inside
@@ -176,11 +185,35 @@ def run_virtual_circuit(
             "sample_method (QPD label sampling) is a sampled-engine "
             f"feature, not engine={engine!r}"
         )
+    if sample_eps is not None and engine != "sampled":
+        raise ValueError(
+            "sample_eps (eps-targeted sampling) is a sampled-engine "
+            f"feature, not engine={engine!r}"
+        )
     if engine == "sampled":
         # Monte-Carlo QPD sampling: only the sampled labels' instances
         # run (ops/qpd_sampling.py).  ``shots`` is the QPD sample budget
         # (default: the plan's kappa / 0.05^2 Hoeffding budget).
         from .ops.qpd_sampling import sampled_knit, sampling_overhead
+
+        if sample_eps is not None:
+            from .ops.qpd_sampling import sampled_knit_adaptive
+
+            now = time.perf_counter()
+            cap = shots if shots is not None else 2_000_000
+            with tracer.phase("qpd_sample_knit_adaptive", eps=sample_eps):
+                dist, _, used = sampled_knit_adaptive(
+                    virt, sample_eps, seed=seed, dtype=dtype,
+                    head_labels=head_labels, method=sample_method,
+                    keep_clbits=keep_clbits, max_samples=cap,
+                )
+                log.info(
+                    f"sampled engine: eps={sample_eps:g} met with "
+                    f"{used} samples (cap {cap})"
+                )
+                if project:
+                    dist = nearest_probability_distribution(dist)
+            return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
 
         budget = shots
         if budget is None:

@@ -23,6 +23,7 @@ from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling i
     cut_gammas,
     sample_labels,
     sampled_knit,
+    sampled_knit_adaptive,
     sampling_overhead,
 )
 from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
@@ -314,3 +315,63 @@ def test_sampled_knit_stderr_calibration():
     cover = errs <= 4 * stderr + 1e-12
     assert cover.mean() > 0.97, (errs.max(), stderr.max())
     assert errs.max() > 0.1 * stderr.max()
+
+
+def test_adaptive_meets_eps_and_is_calibrated():
+    """sampled_knit_adaptive grows the budget until the worst reported
+    stderr is <= eps, and the realised error is consistent with it."""
+    orig, virt = _cut_ghz()
+    eps = 0.02
+    est, se, used = sampled_knit_adaptive(virt, eps, seed=7, initial=512)
+    assert float(se.max()) <= eps
+    assert used >= 512
+    ideal = np.asarray(simulate_circuit(orig).values)
+    errs = np.abs(np.asarray(est.values) - ideal)
+    assert (errs <= 4 * se + eps).all(), (errs.max(), se.max())
+    # Hellinger over 2^n outcomes each off by ~eps deflates sublinearly;
+    # the rigorous accuracy claim is the per-outcome bound above
+    fid = hellinger_fidelity(
+        simulate_circuit(orig), nearest_probability_distribution(est)
+    )
+    assert fid > 0.94, fid
+
+
+def test_adaptive_budget_cap_returns_best_effort():
+    """An unreachable eps stops at max_samples and returns the estimate
+    (stderr above target, warning logged) instead of spinning."""
+    _, virt = _cut_ghz()
+    est, se, used = sampled_knit_adaptive(
+        virt, 1e-6, seed=8, initial=64, max_samples=256
+    )
+    assert used == 256
+    assert float(se.max()) > 1e-6
+    assert np.asarray(est.values).size == 1 << virt.num_clbits
+    with pytest.raises(ValueError, match="eps must be positive"):
+        sampled_knit_adaptive(virt, 0.0)
+
+
+def test_adaptive_composes_with_lhs_and_head():
+    orig, virt = _cut_rzz()
+    est, se, used = sampled_knit_adaptive(
+        virt, 0.03, seed=9, initial=512, method="lhs", head_labels=8
+    )
+    assert float(se.max()) <= 0.03
+    ideal = np.asarray(simulate_circuit(orig).values)
+    errs = np.abs(np.asarray(est.values) - ideal)
+    assert (errs <= 4 * se + 0.03).all(), (errs.max(), se.max())
+    fid = hellinger_fidelity(
+        simulate_circuit(orig), nearest_probability_distribution(est)
+    )
+    assert fid > 0.9, fid
+
+
+def test_run_sample_eps_knob():
+    orig, virt = _cut_ghz()
+    with pytest.raises(ValueError, match="sampled-engine"):
+        run_virtual_circuit(virt, engine="streamed", sample_eps=0.05)
+    dist, info = run_virtual_circuit(
+        virt, engine="sampled", sample_eps=0.05, seed=10
+    )
+    fid = hellinger_fidelity(simulate_circuit(orig), dist)
+    assert fid > 0.99, fid
+    assert info.run_time > 0
