@@ -224,6 +224,30 @@ def run_trial(seed: int) -> dict | None:
                 return {"check": "lhs_error_bound", "max_err": lerr,
                         "gamma": gamma}
 
+        # eps-targeted adaptive sampling: on return the reported stderr
+        # must meet the target and the realised error must be covered
+        # (4 sigma + eps slack; the stop rule uses the empirical moments)
+        if labels <= 3000 and virt.vgates and rng.random() < 0.2:
+            _hit("adaptive_sampling")
+            from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+                sampled_knit_adaptive,
+            )
+
+            eps_t = float(rng.choice([0.05, 0.02]))
+            est, se, used = sampled_knit_adaptive(
+                virt, eps_t, seed=seed, initial=256,
+                method=str(rng.choice(["iid", "lhs"])),
+            )
+            if est.bit_positions != knitted.bit_positions:
+                return {"check": "adaptive_positions"}
+            if float(se.max()) > eps_t:
+                return {"check": "adaptive_eps", "stderr": float(se.max()),
+                        "eps": eps_t, "used": used}
+            aerr = np.abs(np.asarray(est.values, np.float64) - kv)
+            if not (aerr <= 4 * se + eps_t).all():
+                return {"check": "adaptive_coverage",
+                        "max_err": float(aerr.max()), "eps": eps_t}
+
         # QPD-sampling estimator fed the FULL grid at its exact sampling
         # mass must reproduce the exact knit (unbiasedness identity —
         # deterministic, no Monte-Carlo tolerance)
