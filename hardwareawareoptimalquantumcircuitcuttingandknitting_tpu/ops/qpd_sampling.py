@@ -371,6 +371,7 @@ def _estimate(
     second_moment: bool = False,
     dtype=None,
     gamma_override: float | None = None,
+    control_stats: bool = False,
 ):
     """Core estimator: ``sum_l mass[l] * gamma_total * signed_knit(l)``.
 
@@ -389,7 +390,16 @@ def _estimate(
     ``gamma_override``: per-sample weight scale replacing gamma_total —
     the stratified tail samples from the CONDITIONAL distribution over
     tail labels, whose normalisation is gamma_tail (see
-    :func:`stratified_split`)."""
+    :func:`stratified_split`).
+
+    ``control_stats``: additionally return the control-variate moments
+    built on the per-label signed TOTAL mass ``Y_l = gamma *
+    total_l`` where ``total_l = prod_f sum_x folded_rows_f[l, x]``
+    (marginalisation preserves row sums, so totals are keep_clbits-
+    independent): ``{"y_mean": E^[Y], "y2": E^[Y^2], "xy": E^[X Y] per
+    outcome}``.  ``E[Y] = sum_x exact_knit(x) = 1`` exactly (trace
+    preservation), making Y a zero-cost control variate — see
+    :func:`sampled_knit`'s ``control_variate``."""
     gamma_total = (
         sampling_overhead(virt)["gamma_total"]
         if gamma_override is None else float(gamma_override)
@@ -433,11 +443,53 @@ def _estimate(
     est = Distribution(
         np.asarray(combine(w, frag_rows)), dst_bits, virt.num_clbits
     )
-    if not second_moment:
+    if not (second_moment or control_stats):
         return est
+    out = [est]
     w2 = jnp.asarray(mass, dt) * (gamma_total * gamma_total)
-    m2 = np.asarray(combine(w2, [r * r for r in frag_rows]))
-    return est, m2
+    if second_moment:
+        out.append(np.asarray(combine(w2, [r * r for r in frag_rows])))
+    if control_stats:
+        totals = frag_rows[0].sum(axis=1)
+        for r in frag_rows[1:]:
+            totals = totals * r.sum(axis=1)
+        out.append({
+            "y_mean": float(jnp.vdot(w, totals)),
+            "y2": float(jnp.vdot(w2, totals * totals)),
+            "xy": np.asarray(combine(w2 * totals, frag_rows)),
+        })
+    return tuple(out)
+
+
+def _cv_adjust(est_values, m2, stats, y_expect):
+    """Per-outcome control-variate regression (CV4Quantum role,
+    arXiv:2502.08735, PAPERS.md — adapted from observable PEC to
+    distribution knitting).
+
+    X(x) = per-sample weighted signed-knit value at outcome x;
+    Y = per-sample weighted signed TOTAL mass, with EXACT expectation
+    ``y_expect`` (1 for the plain estimator; the tail's exact mass for
+    the stratified tail).  The adjusted estimator
+
+        X_cv(x) = X(x) - beta(x) * (Y - y_expect),
+        beta(x) = Cov(X(x), Y) / Var(Y)
+
+    stays unbiased up to the O(1/N) plug-in-beta term (beta estimated
+    from the same sample — standard, vanishes as 1/N) and has variance
+    Var(X)(1 - rho^2): the shared +/-gamma sign-product noise, the
+    dominant variance source on coherent plans, cancels wherever X(x)
+    tracks the total.  Returns ``(adjusted_values, adjusted_var)``
+    with ``adjusted_var`` the per-outcome variance of X_cv (divide by N
+    for the squared stderr)."""
+    var_y = max(stats["y2"] - stats["y_mean"] ** 2, 0.0)
+    var_x = np.maximum(m2 - est_values**2, 0.0)
+    if var_y <= 1e-30:  # degenerate Y (single label / constant totals)
+        return est_values, var_x
+    cov = stats["xy"] - est_values * stats["y_mean"]
+    beta = cov / var_y
+    adj = est_values - beta * (stats["y_mean"] - y_expect)
+    adj_var = np.maximum(var_x - cov * cov / var_y, 0.0)
+    return adj, adj_var
 
 
 def sampled_knit_adaptive(
@@ -450,6 +502,7 @@ def sampled_knit_adaptive(
     method: str = "iid",
     initial: int = 4096,
     max_samples: int = 2_000_000,
+    control_variate: bool = False,
 ):
     """eps-targeted sampling: grow the budget until the worst per-outcome
     EMPIRICAL standard error is <= ``eps``, then stop.
@@ -487,7 +540,7 @@ def sampled_knit_adaptive(
             virt, n, seed=seed + round_idx * 1_000_003,
             keep_clbits=keep_clbits,
             with_stderr=True, dtype=dtype, head_labels=head_labels,
-            method=method,
+            method=method, control_variate=control_variate,
         )
         worst = float(se.max()) if se.size else 0.0
         if worst <= eps or n >= max_samples:
@@ -515,6 +568,7 @@ def sampled_knit(
     dtype=None,
     head_labels: int = 0,
     method: str = "iid",
+    control_variate: bool = False,
 ):
     """Unbiased Monte-Carlo estimate of the knitted distribution from
     ``num_samples`` QPD samples — only the sampled labels' instances are
@@ -537,25 +591,43 @@ def sampled_knit(
     :func:`sample_labels`); composes with ``head_labels`` (the tail is
     drawn balanced, then rejection-filtered).  The ``with_stderr``
     estimate keeps the iid formula, which upper-bounds the true LHS
-    variance (conservative)."""
+    variance (conservative).
+
+    ``control_variate``: regress each outcome against the per-sample
+    signed total mass, whose exact expectation is known (1, by trace
+    preservation) — see :func:`_cv_adjust`.  Zero extra simulation (the
+    totals are row sums of rows already computed); cancels the shared
+    sign-product noise wherever an outcome's value tracks the total.
+    Composes with every other knob; under ``head_labels`` the tail is
+    regressed against its own exact mass ``1 - head_mass``."""
     split = stratified_split(virt, head_labels) if head_labels else None
     if split is None:
         uniq, counts = sample_label_counts(virt, num_samples, seed,
                                            method=method)
         mass = counts.astype(np.float64) / num_samples
-        if not with_stderr:
+        if not (with_stderr or control_variate):
             return _estimate(virt, uniq, mass, keep_clbits, dtype=dtype)
-        est, m2 = _estimate(virt, uniq, mass, keep_clbits,
-                            second_moment=True, dtype=dtype)
-        var = np.maximum(m2 - np.asarray(est.values) ** 2, 0.0)
+        est, m2, *rest = _estimate(
+            virt, uniq, mass, keep_clbits, second_moment=True,
+            dtype=dtype, control_stats=control_variate,
+        )
+        vals = np.asarray(est.values)
+        if control_variate:
+            vals, var = _cv_adjust(vals, m2, rest[0], 1.0)
+            est = Distribution(vals, est.bit_positions, virt.num_clbits)
+        else:
+            var = np.maximum(m2 - vals**2, 0.0)
+        if not with_stderr:
+            return est
         return est, np.sqrt(var / num_samples)
 
     head_rows, head_w, thresh, gamma_head, gamma_tail = split
     # head masses ARE the final per-label weights (gamma_override=1)
-    head = _estimate(
+    head_out = _estimate(
         virt, head_rows, head_w, keep_clbits, dtype=dtype,
-        gamma_override=1.0,
+        gamma_override=1.0, control_stats=control_variate,
     )
+    head, head_stats = head_out if control_variate else (head_out, None)
     if gamma_tail <= 0.0:
         # the head IS the whole grid: the estimate is exact
         return (head, np.zeros_like(np.asarray(head.values))) \
@@ -563,20 +635,31 @@ def sampled_knit(
     uniq, counts = _sample_tail_counts(virt, num_samples, thresh, seed,
                                        method=method)
     mass = counts.astype(np.float64) / num_samples
-    if not with_stderr:
+    if not (with_stderr or control_variate):
         tail = _estimate(virt, uniq, mass, keep_clbits, dtype=dtype,
                          gamma_override=gamma_tail)
         return Distribution(
             np.asarray(head.values) + np.asarray(tail.values),
             head.bit_positions, virt.num_clbits,
         )
-    tail, m2 = _estimate(virt, uniq, mass, keep_clbits,
-                         second_moment=True, dtype=dtype,
-                         gamma_override=gamma_tail)
+    tail, m2, *rest = _estimate(
+        virt, uniq, mass, keep_clbits, second_moment=True, dtype=dtype,
+        gamma_override=gamma_tail, control_stats=control_variate,
+    )
     # only the tail carries variance (the head is enumerated exactly)
-    var = np.maximum(m2 - np.asarray(tail.values) ** 2, 0.0)
+    tail_vals = np.asarray(tail.values)
+    if control_variate:
+        # the head's y_mean IS its exact mass (weights are exact), so
+        # the tail total's exact expectation is 1 - head_mass
+        tail_vals, var = _cv_adjust(
+            tail_vals, m2, rest[0], 1.0 - head_stats["y_mean"],
+        )
+    else:
+        var = np.maximum(m2 - tail_vals**2, 0.0)
     est = Distribution(
-        np.asarray(head.values) + np.asarray(tail.values),
+        np.asarray(head.values) + tail_vals,
         head.bit_positions, virt.num_clbits,
     )
+    if not with_stderr:
+        return est
     return est, np.sqrt(var / num_samples)

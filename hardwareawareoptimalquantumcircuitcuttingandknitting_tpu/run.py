@@ -91,6 +91,7 @@ def run_virtual_circuit(
     head_labels: int = 0,
     sample_method: str = "iid",
     sample_eps: float | None = None,
+    sample_cv: bool = False,
     keep_clbits=None,
 ) -> tuple[Distribution, RunTimeInfo]:
     """``engine``: "auto" (batched unrolled programs, switching to the
@@ -133,6 +134,14 @@ def run_virtual_circuit(
     balanced (Latin-hypercube) label sampling pins each cut's empirical
     variant counts to their expectation, killing the per-cut main-effect
     variance at no extra cost (ops/qpd_sampling.sample_labels).
+
+    ``sample_cv`` (engine="sampled"): control-variate estimator — regress
+    each outcome against the per-sample signed total mass, whose exact
+    expectation (1, trace preservation) is known a priori
+    (ops/qpd_sampling._cv_adjust; CV4Quantum role, arXiv:2502.08735).
+    Zero extra simulation; cancels the shared sign-product noise, the
+    dominant variance on coherent plans.  Composes with every other
+    sampled-engine knob.
 
     ``sample_eps`` (engine="sampled"): eps-targeted accuracy dial — grow
     the sample budget adaptively until the worst per-outcome EMPIRICAL
@@ -190,6 +199,11 @@ def run_virtual_circuit(
             "sample_eps (eps-targeted sampling) is a sampled-engine "
             f"feature, not engine={engine!r}"
         )
+    if sample_cv and engine != "sampled":
+        raise ValueError(
+            "sample_cv (control-variate estimation) is a sampled-engine "
+            f"feature, not engine={engine!r}"
+        )
     if engine == "sampled":
         # Monte-Carlo QPD sampling: only the sampled labels' instances
         # run (ops/qpd_sampling.py).  ``shots`` is the QPD sample budget
@@ -206,6 +220,7 @@ def run_virtual_circuit(
                     virt, sample_eps, seed=seed, dtype=dtype,
                     head_labels=head_labels, method=sample_method,
                     keep_clbits=keep_clbits, max_samples=cap,
+                    control_variate=sample_cv,
                 )
                 log.info(
                     f"sampled engine: eps={sample_eps:g} met with "
@@ -235,7 +250,8 @@ def run_virtual_circuit(
             dist = sampled_knit(virt, budget, seed=seed, dtype=dtype,
                                 head_labels=head_labels,
                                 method=sample_method,
-                                keep_clbits=keep_clbits)
+                                keep_clbits=keep_clbits,
+                                control_variate=sample_cv)
             if project:
                 dist = nearest_probability_distribution(dist)
         return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
