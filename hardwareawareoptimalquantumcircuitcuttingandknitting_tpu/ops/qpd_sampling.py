@@ -663,3 +663,158 @@ def sampled_knit(
     if not with_stderr:
         return est
     return est, np.sqrt(var / num_samples)
+
+
+def _z_sign_matrix(positions, z_sets, dt):
+    """[2^d, num_sets] parity signs over the data bits ``positions``:
+    column s at flat index x is ``(-1)^popcount(x & mask_s)`` with bit j
+    of x carrying ``positions[j]`` (the :func:`_fold_rows_per_label` /
+    knit layout).  Z bits absent from ``positions`` (structurally-zero
+    clbits, or bits owned by another fragment) contribute +1."""
+    d = len(positions)
+    x = np.arange(1 << d, dtype=np.int64)
+    cols = []
+    for s in z_sets:
+        par = np.zeros(1 << d, np.int64)
+        for j, p in enumerate(positions):
+            if p in s:
+                par ^= (x >> j) & 1
+        cols.append(1.0 - 2.0 * par)
+    return jnp.asarray(np.stack(cols, axis=1), dt)
+
+
+def _estimate_z(
+    virt: VirtualCircuit,
+    labels: np.ndarray,
+    mass: np.ndarray,
+    z_sets,
+    second_moment: bool = False,
+    dtype=None,
+    gamma_override: float | None = None,
+    control_stats: bool = False,
+):
+    """Core observable estimator: ``[num_sets]`` vector of
+    ``sum_l mass[l] * gamma * prod_f <Z_S>_f(l)``.
+
+    The parity sign factorises over the fragments' disjoint clbit sets
+    (exactly as in ops/knit.expectation_z, the exact-path twin:
+    reference has no observable path at all), so each fragment reduces
+    to ONE scalar per (label, z-set) via a single ``rows @ signs``
+    matmul — no global distribution of any size materialises, at any
+    circuit width.  ``second_moment`` / ``control_stats`` mirror
+    :func:`_estimate` (the per-sample square factorises over fragments;
+    Y is the signed total mass with exact expectation — for the empty
+    z-set X == Y, so the CV is exact there)."""
+    gamma_total = (
+        sampling_overhead(virt)["gamma_total"]
+        if gamma_override is None else float(gamma_override)
+    )
+    lab = jnp.asarray(labels, jnp.int32)
+    prodmat = None
+    totals = None
+    for reg in virt.fragments:
+        rows, positions = _simulate_label_rows(
+            virt, reg.name, lab, dtype=dtype
+        )
+        rows, positions = _fold_rows_per_label(
+            virt, reg.name, rows, lab, positions
+        )
+        sc = rows @ _z_sign_matrix(positions, z_sets, rows.dtype)
+        prodmat = sc if prodmat is None else prodmat * sc
+        t = rows.sum(axis=1)
+        totals = t if totals is None else totals * t
+    dt = prodmat.dtype
+    w = jnp.asarray(mass, dt) * gamma_total
+    est = np.asarray(w @ prodmat, np.float64)
+    if not (second_moment or control_stats):
+        return est
+    out = [est]
+    w2 = jnp.asarray(mass, dt) * (gamma_total * gamma_total)
+    if second_moment:
+        out.append(np.asarray(w2 @ (prodmat * prodmat), np.float64))
+    if control_stats:
+        out.append({
+            "y_mean": float(jnp.vdot(w, totals)),
+            "y2": float(jnp.vdot(w2, totals * totals)),
+            "xy": np.asarray(w2 @ (prodmat * totals[:, None]),
+                             np.float64),
+        })
+    return tuple(out)
+
+
+def sampled_expectation_z(
+    virt: VirtualCircuit,
+    z_sets,
+    num_samples: int,
+    seed: int = 0,
+    method: str = "iid",
+    with_stderr: bool = False,
+    control_variate: bool = False,
+    dtype=None,
+    head_labels: int = 0,
+):
+    """Unbiased Monte-Carlo estimate of ``<prod_{c in S} Z_c>`` for each
+    ``S`` in ``z_sets``, from ``num_samples`` QPD label samples — the
+    observable twin of :func:`sampled_knit`, serving the regime neither
+    exact path covers: too many cuts to enumerate the label grid AND
+    too wide to materialise a distribution (ops/knit.expectation_z
+    enumerates every label; streamed_expectation_z scans them all).
+
+    Returns ``[num_sets]`` float64 (plus ``[num_sets]`` stderr when
+    ``with_stderr``).  Composes exactly like :func:`sampled_knit`:
+    ``method="lhs"`` (balanced labels), ``head_labels`` (exact head +
+    conditional tail, stderr scale gamma_tail), bf16 ``dtype``, and
+    ``control_variate`` — regression against the signed total mass
+    (exact expectation 1; CV4Quantum's home case, arXiv:2502.08735:
+    for observables the estimate tracks the total far more tightly
+    than any single distribution outcome, so the reduction is larger
+    than on knitted distributions)."""
+    z_sets = [set(s) for s in z_sets]
+    split = stratified_split(virt, head_labels) if head_labels else None
+    if split is None:
+        uniq, counts = sample_label_counts(virt, num_samples, seed,
+                                           method=method)
+        mass = counts.astype(np.float64) / num_samples
+        if not (with_stderr or control_variate):
+            return _estimate_z(virt, uniq, mass, z_sets, dtype=dtype)
+        est, m2, *rest = _estimate_z(
+            virt, uniq, mass, z_sets, second_moment=True, dtype=dtype,
+            control_stats=control_variate,
+        )
+        if control_variate:
+            est, var = _cv_adjust(est, m2, rest[0], 1.0)
+        else:
+            var = np.maximum(m2 - est**2, 0.0)
+        if not with_stderr:
+            return est
+        return est, np.sqrt(var / num_samples)
+
+    head_rows, head_w, thresh, gamma_head, gamma_tail = split
+    head_out = _estimate_z(
+        virt, head_rows, head_w, z_sets, dtype=dtype, gamma_override=1.0,
+        control_stats=control_variate,
+    )
+    head, head_stats = head_out if control_variate else (head_out, None)
+    if gamma_tail <= 0.0:
+        return (head, np.zeros_like(head)) if with_stderr else head
+    uniq, counts = _sample_tail_counts(virt, num_samples, thresh, seed,
+                                       method=method)
+    mass = counts.astype(np.float64) / num_samples
+    if not (with_stderr or control_variate):
+        tail = _estimate_z(virt, uniq, mass, z_sets, dtype=dtype,
+                           gamma_override=gamma_tail)
+        return head + tail
+    tail, m2, *rest = _estimate_z(
+        virt, uniq, mass, z_sets, second_moment=True, dtype=dtype,
+        gamma_override=gamma_tail, control_stats=control_variate,
+    )
+    # only the tail carries variance (the head is enumerated exactly)
+    if control_variate:
+        tail, var = _cv_adjust(tail, m2, rest[0],
+                               1.0 - head_stats["y_mean"])
+    else:
+        var = np.maximum(m2 - tail**2, 0.0)
+    est = head + tail
+    if not with_stderr:
+        return est
+    return est, np.sqrt(var / num_samples)

@@ -84,6 +84,93 @@ def test_streamed_expectation_matches_batched():
         assert abs(streamed - want) < 1e-5, (z, streamed, want)
 
 
+def test_sampled_expectation_full_grid_identity():
+    """_estimate_z on the FULL label grid with exact sampling mass must
+    reproduce the exact expectation_z for every z-set (the identity the
+    Monte-Carlo estimator is unbiased against)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        _estimate_z,
+    )
+    from tests.test_qpd_sampling import _full_grid
+
+    virt, results = _setup()
+    z_sets = [[], [0], [0, 5], [1, 2, 3], [0, 1, 2, 3, 4, 5]]
+    grid, mass = _full_grid(virt)
+    got = _estimate_z(virt, grid, mass, [set(s) for s in z_sets])
+    for s, g in zip(z_sets, got):
+        want = expectation_z(virt, results, s)
+        assert g == pytest.approx(want, abs=2e-5), (s, g, want)
+
+
+def test_sampled_expectation_stderr_coverage():
+    """Sampled <Z_S> is unbiased and the reported stderr brackets the
+    realised error (4-sigma over seeds and sets)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        sampled_expectation_z,
+    )
+
+    virt, results = _setup()
+    z_sets = [[0], [0, 3], [1, 4, 5]]
+    want = np.array([expectation_z(virt, results, s) for s in z_sets])
+    hits, tot = 0, 0
+    acc = np.zeros(len(z_sets))
+    for seed in range(6):
+        est, se = sampled_expectation_z(virt, z_sets, 4000, seed=seed,
+                                        with_stderr=True)
+        hits += int(((np.abs(est - want) <= 4 * se + 1e-9)).sum())
+        tot += len(z_sets)
+        acc += est
+    assert hits / tot > 0.9, (hits, tot)
+    np.testing.assert_allclose(acc / 6, want, atol=0.05)
+
+
+def test_sampled_expectation_cv_exact_on_identity_and_reduces():
+    """The empty z-set IS the control (X == Y): CV returns exactly 1
+    with ~0 stderr.  On real sets the CV stderr never exceeds the plain
+    one and is measurably smaller on average."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        sampled_expectation_z,
+    )
+
+    virt, _ = _setup()
+    z_sets = [[], [0], [0, 3], [1, 4, 5], [0, 1, 2, 3, 4, 5]]
+    ratios = []
+    for seed in range(4):
+        ep, sp = sampled_expectation_z(virt, z_sets, 3000, seed=seed,
+                                       with_stderr=True)
+        ec, sc = sampled_expectation_z(virt, z_sets, 3000, seed=seed,
+                                       with_stderr=True,
+                                       control_variate=True)
+        assert ec[0] == pytest.approx(1.0, abs=1e-6)
+        assert sc[0] == pytest.approx(0.0, abs=1e-6)
+        assert (sc <= sp + 1e-12).all()
+        ratios.append(float(sc[1:].mean() / sp[1:].mean()))
+    assert np.mean(ratios) < 0.9, ratios
+
+
+def test_sampled_expectation_head_lhs_composition():
+    """Stratified head + balanced tail + CV on the rzz (skewed) plan."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        sampled_expectation_z,
+    )
+
+    virt, results = _setup()
+    z_sets = [[0], [1, 4]]
+    want = np.array([expectation_z(virt, results, s) for s in z_sets])
+    est, se = sampled_expectation_z(
+        virt, z_sets, 3000, seed=7, method="lhs", head_labels=8,
+        with_stderr=True, control_variate=True,
+    )
+    np.testing.assert_allclose(est, want, atol=0.08)
+    assert (np.abs(est - want) <= 4 * se + 0.02).all()
+    # the whole-grid head degenerates to the exact answer, zero stderr
+    est2, se2 = sampled_expectation_z(
+        virt, z_sets, 100, seed=7, head_labels=1 << 20, with_stderr=True,
+    )
+    np.testing.assert_allclose(est2, want, atol=2e-5)
+    np.testing.assert_allclose(se2, 0.0, atol=1e-12)
+
+
 def test_streamed_noisy_expectation():
     """Noisy observable serving: the scalar-carry expectation under the
     trajectory-noise engine agrees with the parity computed from the
