@@ -125,7 +125,10 @@ class HamiltonianEnergyInfo:
 
 
 def make_hamiltonian_energy(ansatz: Circuit, cutter_kwargs: dict, terms,
-                            contract: bool | None = None, mesh=None):
+                            contract: bool | None = None, mesh=None,
+                            num_samples: int | None = None,
+                            sample_seed: int = 0,
+                            sample_method: str = "iid"):
     """Build ``energy(theta)`` for ``<psi(theta)| H |psi(theta)>`` on the
     CUT ansatz.  ``ansatz`` carries :class:`~..circuit.circuit.ParamRef`
     angles (measurement-free); ``cutter_kwargs`` go to
@@ -149,12 +152,33 @@ def make_hamiltonian_energy(ansatz: Circuit, cutter_kwargs: dict, terms,
     over ``dp``, so jitting ``energy``/``grad(energy)`` under the mesh
     splits the fan-out across devices with the variant-axis reduction
     riding ICI.
+
+    ``num_samples``: STOCHASTIC VQE — every group's expectations are the
+    Monte-Carlo QPD estimator over ONE shared label sample
+    (ops/sweep.make_sampled_sweep) instead of the full variant grid, so
+    plans whose fragments touch many cuts stay serveable at a chosen
+    budget.  ``energy`` remains jittable/differentiable; the fixed
+    labels are common random numbers across theta, so gradients and
+    energy differences are unbiased with the sampling noise differenced
+    out.  ``sample_method="lhs"`` draws the labels balanced.  Implies
+    the contraction path (``contract=False`` is rejected).
     """
     from ..cutter.cutter import Cutter
     from ..virt.virtual_circuit import VirtualCircuit
-    from .sweep import make_differentiable_sweep, pauli_z_diagonal
+    from .sweep import (
+        make_differentiable_sweep,
+        make_sampled_sweep,
+        pauli_z_diagonal,
+    )
 
     terms = _validate(terms, ansatz.num_qubits)
+    if num_samples is not None:
+        if contract is False:
+            raise ValueError(
+                "num_samples (stochastic VQE) uses the parity "
+                "contraction; contract=False is not supported"
+            )
+        contract = True
     if contract is None:
         contract = ansatz.num_qubits > 12
     variant_sharding = None
@@ -170,6 +194,7 @@ def make_hamiltonian_energy(ansatz: Circuit, cutter_kwargs: dict, terms,
     )
 
     plan = None
+    labels_mass = None  # one label sample shared by every group
     runners = []  # (runner_theta, coeffs [n] | [(coeff, diag)] per mode)
     n_params = 0
     instances = 0
@@ -187,6 +212,27 @@ def make_hamiltonian_energy(ansatz: Circuit, cutter_kwargs: dict, terms,
             {q for q, ch in enumerate(pauli) if ch != "I"}
             for _, pauli in members
         ]
+        if num_samples is not None:
+            from .qpd_sampling import sample_label_counts
+
+            if labels_mass is None:
+                # specs are plan-determined and basis rotations are 1q,
+                # so one sample serves every measurement group
+                uniq, counts = sample_label_counts(
+                    virt, num_samples, sample_seed, method=sample_method
+                )
+                labels_mass = (
+                    uniq, counts.astype(np.float64) / num_samples
+                )
+            runner, k = make_sampled_sweep(
+                virt, labels_mass[0], labels_mass[1], z_sets=supports,
+                variant_sharding=variant_sharding,
+            )
+            coeffs = jnp.asarray([c for c, _ in members], jnp.float32)
+            runners.append((runner, coeffs))
+            n_params = max(n_params, k)
+            instances += len(labels_mass[0]) * len(virt.fragments)
+            continue
         if contract:
             runner, k = make_differentiable_sweep(
                 virt, z_sets=supports, variant_sharding=variant_sharding

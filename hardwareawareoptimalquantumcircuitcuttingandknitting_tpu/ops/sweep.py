@@ -240,6 +240,63 @@ def _real_block_traceable(u):
     )
 
 
+def _check_no_param_cut_gates(virt: VirtualCircuit):
+    from ..circuit.circuit import ParamRef
+
+    for g, vg in enumerate(virt.vgates):
+        if any(isinstance(p, ParamRef) for p in vg.params):
+            raise NotImplementedError(
+                f"cut gate {g} ({vg.base_name}) carries a ParamRef: its "
+                "QPD slot tables and knit coefficients would depend on "
+                "theta; keep ParamRefs off cut gates"
+            )
+
+
+def _count_params(virt: VirtualCircuit, frag_names) -> int:
+    from ..circuit.circuit import ParamRef
+
+    n_params = 0
+    for name in frag_names:
+        prog = virt.programs[name]
+        for ins in prog.op_instrs.values():
+            for p in ins.params:
+                if isinstance(p, ParamRef):
+                    n_params = max(n_params, p.index + 1)
+    return n_params
+
+
+def _theta_gate_blocks(prog, theta, template_skel, frag_name):
+    """Traceable fused gate blocks for one fragment: every op carrying a
+    ParamRef is rebuilt from ``theta`` (via :func:`_mat_theta`), the
+    fuser re-runs with jax.numpy, and the skeleton is checked against
+    the trace-time template (fusion structure depends only on op axes,
+    so divergence means a bug, not data)."""
+    from ..circuit.circuit import ParamRef
+
+    ops_theta = []
+    for i, op in enumerate(prog.ops):
+        if op[0] in ("u", "u_aux"):
+            ins = prog.op_instrs.get(i)
+            if ins is not None and any(
+                isinstance(p, ParamRef) for p in ins.params
+            ):
+                ps = [
+                    theta[p.index] * p.scale + p.shift
+                    if isinstance(p, ParamRef)
+                    else jnp.float32(p)
+                    for p in ins.params
+                ]
+                ops_theta.append((op[0], _mat_theta(ins.name, ps), op[2]))
+                continue
+        ops_theta.append(op)
+    skel, mats = fused_stream(ops_theta, max_qubits=3, xp=jnp)
+    if skel != template_skel:  # defensive: axes-only
+        raise RuntimeError(
+            f"fragment {frag_name}: traced fusion skeleton diverged"
+        )
+    return [_real_block_traceable(m) for m in mats]
+
+
 def make_differentiable_sweep(virt: VirtualCircuit, keep_clbits=None,
                               z_sets=None, variant_sharding=None):
     """Build ``runner_theta(theta) -> flat knitted values`` for a cut
@@ -259,61 +316,163 @@ def make_differentiable_sweep(virt: VirtualCircuit, keep_clbits=None,
     QPD tables is not supported) — cut cx/cz/cy around parameterised
     1q/2q layers is the supported variational shape.
     """
-    from ..circuit.circuit import ParamRef
-
-    for g, vg in enumerate(virt.vgates):
-        if any(isinstance(p, ParamRef) for p in vg.params):
-            raise NotImplementedError(
-                f"cut gate {g} ({vg.base_name}) carries a ParamRef: its "
-                "QPD slot tables and knit coefficients would depend on "
-                "theta; keep ParamRefs off cut gates"
-            )
+    _check_no_param_cut_gates(virt)
 
     runner, bind = make_parameter_sweep(
         virt, keep_clbits, z_sets, variant_sharding
     )
     slot_mats_c, _gate_blocks_c, weights_c = bind(virt)
     frag_names = [r.name for r in virt.fragments]
-
-    n_params = 0
-    for name in frag_names:
-        prog = virt.programs[name]
-        for ins in prog.op_instrs.values():
-            for p in ins.params:
-                if isinstance(p, ParamRef):
-                    n_params = max(n_params, p.index + 1)
+    n_params = _count_params(virt, frag_names)
 
     def runner_theta(theta):
         theta = jnp.asarray(theta, jnp.float32)
-        gate_blocks = []
-        for fi, name in enumerate(frag_names):
-            prog = virt.programs[name]
-            ops_theta = []
-            for i, op in enumerate(prog.ops):
-                if op[0] in ("u", "u_aux"):
-                    ins = prog.op_instrs.get(i)
-                    if ins is not None and any(
-                        isinstance(p, ParamRef) for p in ins.params
-                    ):
-                        ps = [
-                            theta[p.index] * p.scale + p.shift
-                            if isinstance(p, ParamRef)
-                            else jnp.float32(p)
-                            for p in ins.params
-                        ]
-                        ops_theta.append(
-                            (op[0], _mat_theta(ins.name, ps), op[2])
-                        )
-                        continue
-                ops_theta.append(op)
-            skel, mats = fused_stream(ops_theta, max_qubits=3, xp=jnp)
-            if skel != runner.template[name][0]:  # defensive: axes-only
-                raise RuntimeError(
-                    f"fragment {name}: traced fusion skeleton diverged"
-                )
-            gate_blocks.append([_real_block_traceable(m) for m in mats])
+        gate_blocks = [
+            _theta_gate_blocks(
+                virt.programs[name], theta, runner.template[name][0], name
+            )
+            for name in frag_names
+        ]
         return runner((slot_mats_c, gate_blocks, weights_c))
 
+    return runner_theta, n_params
+
+
+def make_sampled_sweep(virt: VirtualCircuit, labels, mass, z_sets=None,
+                       variant_sharding=None):
+    """Differentiable STOCHASTIC sweep: ``runner_theta(theta)`` evaluates
+    the Monte-Carlo QPD estimator (ops/qpd_sampling) over a FIXED label
+    sample instead of the full per-fragment variant grid — the
+    variational twin of :func:`~.qpd_sampling.sampled_knit` /
+    :func:`~.qpd_sampling.sampled_expectation_z`.
+
+    ``labels [L, G]`` / ``mass [L]`` come from
+    :func:`~.qpd_sampling.sample_label_counts` (``mass = counts / N``);
+    with the FULL grid and exact mass the runner reproduces the exact
+    sweep (tested identity).  Because the labels are fixed across theta,
+    successive evaluations share one compiled program AND use common
+    random numbers — energy differences and finite-difference /
+    ``jax.grad`` gradients are unbiased with the sampling noise
+    differenced out (E[grad estimator] = grad E = exact gradient).
+
+    Cost per fragment is ``L x 2^n_f`` instead of ``flat_count_f x
+    2^n_f``: the regime where a single fragment touches many cuts
+    (flat_count blows up exponentially) stays serveable at a chosen
+    sample budget.  ``z_sets`` -> [num_sets] expectations via the
+    parity matmul (nothing of size 2^num_clbits exists); otherwise the
+    flat knitted estimate over ``runner_theta.bit_positions``.
+    ``variant_sharding`` constrains each fragment's per-label rows
+    (label axis over ``dp``) exactly like the exact sweep's variant
+    fan-out."""
+    from .bits import permute_bits_flat
+    from .qpd_sampling import (
+        _fold_rows_per_label,
+        _z_sign_matrix,
+        sampling_overhead,
+    )
+    from .variant_engine import _slot_tables
+
+    _check_no_param_cut_gates(virt)
+    frag_names = [r.name for r in virt.fragments]
+    n_params = _count_params(virt, frag_names)
+    lab_np = np.asarray(labels, np.int32)
+    lab = jnp.asarray(lab_np)
+    gamma_total = sampling_overhead(virt)["gamma_total"]
+    w = jnp.asarray(
+        np.asarray(mass, np.float64) * gamma_total, jnp.float32
+    )
+    if z_sets is not None:
+        z_sets = [set(s) for s in z_sets]
+
+    specs = [vg.spec for vg in virt.vgates]
+    templates = {}
+    slot_mats = {}
+    for name in frag_names:
+        prog = virt.programs[name]
+        skeleton, _blocks = _fused_stream(prog)
+        positions = sorted(prog.clbit_sources)
+        sources = [prog.clbit_sources[c] for c in positions]
+        templates[name] = (
+            skeleton, positions, sources, prog.num_sim_qubits,
+        )
+        tables = _slot_tables(prog, specs, fused=False)
+        slot_mats[name] = [
+            tuple(jnp.asarray(t)[lab_np[:, slot.vgate_idx]] for t in tabs)
+            for slot, tabs in zip(prog.slots, tables)
+        ]
+
+    def runner_theta(theta):
+        theta = jnp.asarray(theta, jnp.float32)
+        frag_rows = []
+        frag_positions = []
+        for name in frag_names:
+            skeleton, positions, sources, nq = templates[name]
+            blocks = _theta_gate_blocks(
+                virt.programs[name], theta, skeleton, name
+            )
+
+            def sim_one(mats, blocks=blocks, skel=skeleton,
+                        srcs=sources, n=nq):
+                state = jnp.zeros((2, 1 << n), dtype=jnp.float32)
+                state = state.at[0, 0].set(1.0)
+                bi = 0
+                for op in skel:
+                    if op[0] == "u":
+                        state = apply_matrix(state, blocks[bi], op[1], n)
+                        bi += 1
+                    else:
+                        kind, sid, axes = op
+                        pre, m4, post = mats[sid]
+                        mat = {"slot_pre": pre, "slot_meas": m4,
+                               "slot_post": post}[kind]
+                        state = apply_matrix(state, mat, axes, n)
+                p = jnp.sum(state * state, axis=0)
+                return marginalize_flat(p, n, srcs)
+
+            mats = slot_mats[name]
+            if mats:
+                rows = jax.vmap(sim_one)(mats)
+            else:
+                row = sim_one([])
+                rows = jnp.broadcast_to(
+                    row, (lab_np.shape[0], row.shape[0])
+                )
+            if variant_sharding is not None:
+                rows = jax.lax.with_sharding_constraint(
+                    rows, variant_sharding
+                )
+            rows, pos = _fold_rows_per_label(
+                virt, name, rows, lab, positions
+            )
+            frag_rows.append(rows)
+            frag_positions.append(pos)
+        if z_sets is not None:
+            prodmat = None
+            for rows, pos in zip(frag_rows, frag_positions):
+                sc = rows @ _z_sign_matrix(pos, z_sets, rows.dtype)
+                prodmat = sc if prodmat is None else prodmat * sc
+            return w @ prodmat
+        # distribution mode: weighted label-axis einsum, mirroring
+        # ops/qpd_sampling._estimate's combine
+        src_bits = []
+        for pos in reversed(frag_positions):
+            src_bits.extend(pos)
+        dst_bits = sorted(src_bits)
+        operands = [w, [0]]
+        for i, rows in enumerate(frag_rows):
+            operands += [rows, [0, 1 + i]]
+        merged = jnp.einsum(
+            *operands, list(range(1, 1 + len(frag_rows)))
+        ).reshape(-1)
+        return permute_bits_flat(merged, src_bits, dst_bits)
+
+    # static fold bookkeeping: the data clbits each fragment keeps
+    runner_theta.bit_positions = sorted(
+        p
+        for name in frag_names
+        for p in templates[name][1]
+        if p < virt.num_clbits
+    )
     return runner_theta, n_params
 
 

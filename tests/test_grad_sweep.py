@@ -217,3 +217,93 @@ def test_affine_param_refs_trace_correctly():
         VirtualCircuit(cutter2.getResultCircs()[3]), project=False
     )
     np.testing.assert_allclose(got, np.asarray(fresh.values), atol=1e-5)
+
+
+# -- sampled (stochastic) differentiable sweep ----------------------------
+
+
+def _full_grid_for(virt):
+    from tests.test_qpd_sampling import _full_grid
+
+    return _full_grid(virt)
+
+
+def test_sampled_sweep_full_grid_identity_distribution():
+    """make_sampled_sweep over the FULL label grid with exact mass must
+    reproduce the exact differentiable sweep's knitted values at any
+    theta (the unbiasedness identity), including through jax.grad."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.sweep import (
+        make_sampled_sweep,
+    )
+
+    virt = _cut(_ansatz(THETA0))
+    grid, mass = _full_grid_for(virt)
+    exact, _ = make_differentiable_sweep(virt)
+    samp, n_params = make_sampled_sweep(virt, grid, mass)
+    assert n_params == 2 * N
+    rng = np.random.default_rng(7)
+    for _ in range(2):
+        th = jnp.asarray(rng.uniform(-2, 2, 2 * N), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(samp(th)), np.asarray(exact(th)), atol=3e-6
+        )
+
+    def loss_s(th):
+        return jnp.sum(samp(th) ** 2)
+
+    def loss_e(th):
+        return jnp.sum(exact(th) ** 2)
+
+    th = jnp.asarray(THETA0, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_s)(th)),
+        np.asarray(jax.grad(loss_e)(th)), atol=2e-5,
+    )
+
+
+def test_sampled_sweep_full_grid_identity_observables():
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.sweep import (
+        make_sampled_sweep,
+    )
+
+    virt = _cut(_ansatz(THETA0))
+    grid, mass = _full_grid_for(virt)
+    z_sets = [[0], [0, 4], [1, 2, 3]]
+    exact, _ = make_differentiable_sweep(virt, z_sets=z_sets)
+    samp, _ = make_sampled_sweep(virt, grid, mass, z_sets=z_sets)
+    th = jnp.asarray(THETA0, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(samp(th)), np.asarray(exact(th)), atol=3e-6
+    )
+    g_s = np.asarray(jax.grad(lambda t: samp(t)[1])(th))
+    g_e = np.asarray(jax.grad(lambda t: exact(t)[1])(th))
+    np.testing.assert_allclose(g_s, g_e, atol=2e-5)
+
+
+def test_sampled_sweep_monte_carlo_estimates():
+    """A real (sub-grid) label sample estimates the exact sweep within
+    the analytic stderr scale, and one compiled program serves every
+    theta (common random numbers across evaluations)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        sample_label_counts,
+        sampling_overhead,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.sweep import (
+        make_sampled_sweep,
+    )
+
+    virt = _cut(_ansatz(THETA0))
+    n = 4000
+    uniq, counts = sample_label_counts(virt, n, seed=2)
+    mass = counts.astype(np.float64) / n
+    z_sets = [[0], [2, 3]]
+    exact, _ = make_differentiable_sweep(virt, z_sets=z_sets)
+    samp, _ = make_sampled_sweep(virt, uniq, mass, z_sets=z_sets)
+    js = jax.jit(samp)
+    gamma = sampling_overhead(virt)["gamma_total"]
+    bound = 5 * gamma / np.sqrt(n)
+    rng = np.random.default_rng(4)
+    for _ in range(2):
+        th = jnp.asarray(rng.uniform(-2, 2, 2 * N), jnp.float32)
+        err = np.abs(np.asarray(js(th)) - np.asarray(exact(th)))
+        assert (err < bound).all(), (err, bound)

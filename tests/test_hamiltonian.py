@@ -262,3 +262,68 @@ def test_qaoa_maxcut_energy_and_gradient_on_cut_circuit():
     e0, g = e_and_g(jnp.asarray(th, jnp.float32))
     e1, _ = e_and_g(jnp.asarray(th, jnp.float32) - 0.1 * g)
     assert float(e1) < float(e0)
+
+
+def test_stochastic_vqe_energy_and_gradient():
+    """num_samples= (stochastic VQE): the sampled energy brackets the
+    exact one at the analytic stderr scale, jax.grad runs through it,
+    and contract=False is rejected."""
+    rng = np.random.default_rng(23)
+    th = rng.uniform(-1.5, 1.5, 2 * N)
+    terms = tfim_terms(N)
+    with pytest.raises(ValueError, match="contract"):
+        make_hamiltonian_energy(_ansatz(th), CUT_KW, terms,
+                                contract=False, num_samples=100)
+    e_exact, _ = make_hamiltonian_energy(_ansatz(th), CUT_KW, terms)
+    e_samp, info = make_hamiltonian_energy(
+        _ansatz(th), CUT_KW, terms, num_samples=6000, sample_seed=3,
+        sample_method="lhs",
+    )
+    assert info.instances_per_step > 0
+    t = jnp.asarray(th, jnp.float32)
+    a = float(jax.jit(e_samp)(t))
+    b = float(e_exact(t))
+    # |H| ~ sum |coeff| ~ 9.2; gamma/sqrt(n) ~ stderr scale per group
+    assert abs(a - b) < 0.5, (a, b)
+    g = np.asarray(jax.grad(e_samp)(t))
+    assert np.isfinite(g).all() and np.abs(g).max() > 1e-3
+
+
+def test_stochastic_vqe_full_budget_is_exact():
+    """A sample budget that enumerates the whole grid makes the
+    stochastic energy agree with the exact one to fp tolerance for the
+    uniform-coefficient cut (every label drawn ~equally often is NOT
+    enough — this checks the estimator algebra, so use the full-grid
+    mass via a huge LHS budget only when the grid is small)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.sweep import (
+        make_sampled_sweep,
+    )
+    from tests.test_qpd_sampling import _full_grid
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
+        Cutter,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+        VirtualCircuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.hamiltonian import (
+        measurement_circuit,
+    )
+
+    rng = np.random.default_rng(29)
+    th = rng.uniform(-1.5, 1.5, 2 * N)
+    circ = measurement_circuit(_ansatz(th), "Z" * N)
+    cutter = Cutter(circ, **CUT_KW)
+    assert cutter.solve()
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    grid, mass = _full_grid(virt)
+    z_sets = [[i, i + 1] for i in range(N - 1)]
+    samp, _ = make_sampled_sweep(virt, grid, mass, z_sets=z_sets)
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.sweep import (
+        make_differentiable_sweep,
+    )
+
+    exact, _ = make_differentiable_sweep(virt, z_sets=z_sets)
+    t = jnp.asarray(th, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(samp(t)), np.asarray(exact(t)), atol=3e-6
+    )
