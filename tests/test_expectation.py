@@ -193,3 +193,28 @@ def test_streamed_noisy_expectation():
         want = _expect_from_dist(dist, z)
         got = streamed_expectation_z(virt, z, chunk=8, noise=nm, seed=5)
         assert abs(got - want) < 1e-5, (z, got, want)
+
+
+def test_sampled_expectation_adaptive():
+    """eps-targeted observable budget: stops once every set's empirical
+    stderr <= eps, estimates agree with the exact oracle inside it, and
+    CV lets the same eps be met with no more samples."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        sampled_expectation_z_adaptive,
+    )
+
+    virt, results = _setup()
+    z_sets = [[0], [0, 3]]
+    want = np.array([expectation_z(virt, results, s) for s in z_sets])
+    est, se, n = sampled_expectation_z_adaptive(
+        virt, z_sets, eps=0.03, seed=5
+    )
+    assert (se <= 0.03 + 1e-12).all()
+    np.testing.assert_allclose(est, want, atol=0.12)
+    est_cv, se_cv, n_cv = sampled_expectation_z_adaptive(
+        virt, z_sets, eps=0.03, seed=5, control_variate=True
+    )
+    assert n_cv <= n
+    np.testing.assert_allclose(est_cv, want, atol=0.12)
+    with pytest.raises(ValueError, match="positive"):
+        sampled_expectation_z_adaptive(virt, z_sets, eps=0.0)
