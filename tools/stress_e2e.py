@@ -276,6 +276,54 @@ def run_trial(seed: int) -> dict | None:
             if qerr > 5e-5:
                 return {"check": "qpd_identity", "max_err": qerr}
 
+            # sampled observable estimator on the full grid == the
+            # parity fold of the exact knit (deterministic identity)
+            _hit("qpd_z_identity")
+            from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+                _estimate_z,
+            )
+
+            z_sets = [
+                set(int(q) for q in rng.choice(
+                    n, size=int(rng.integers(1, n + 1)), replace=False
+                ))
+                for _ in range(3)
+            ]
+            got_z = _estimate_z(virt, grid, mass, z_sets)
+            pos = knitted.bit_positions
+            idxs = np.arange(kv.size)
+            for zi, zs in enumerate(z_sets):
+                par = np.zeros_like(idxs)
+                for c in zs:
+                    if c in pos:
+                        par ^= (idxs >> pos.index(c)) & 1
+                want_z = float(np.dot(kv, 1.0 - 2.0 * par))
+                if abs(got_z[zi] - want_z) > 5e-5:
+                    return {"check": "qpd_z_identity", "z": sorted(zs),
+                            "got": float(got_z[zi]), "want": want_z}
+
+            # control variate: stderr never exceeds the plain one and
+            # the realised error stays covered
+            if virt.vgates and rng.random() < 0.4:
+                _hit("cv_sampling")
+                from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+                    sampled_knit,
+                )
+
+                m_s = 1500
+                ep, sp = sampled_knit(virt, m_s, seed=seed + 7,
+                                      with_stderr=True)
+                ec, sc = sampled_knit(virt, m_s, seed=seed + 7,
+                                      with_stderr=True,
+                                      control_variate=True)
+                if not (sc <= sp + 1e-12).all():
+                    return {"check": "cv_stderr_monotone",
+                            "worst": float((sc - sp).max())}
+                cerr = np.abs(np.asarray(ec.values, np.float64) - kv)
+                if not (cerr <= 5 * sc + 0.02).all():
+                    return {"check": "cv_coverage",
+                            "max_err": float(cerr.max())}
+
         # projection is a simplex point
         proj, _ = run_virtual_circuit(virt, project=True)
         pv = np.asarray(proj.values, np.float64)
@@ -368,6 +416,36 @@ def run_trial(seed: int) -> dict | None:
                     )))
                     if derr > 5e-6:
                         return {"check": "diff_sweep", "max_err": derr}
+
+                    # sampled (stochastic) sweep on the FULL grid must
+                    # equal the exact sweep at the same theta
+                    if virt3.total_instantiations() <= 3000:
+                        _hit("sampled_sweep_identity")
+                        from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.sweep import (
+                            make_sampled_sweep,
+                        )
+
+                        sizes3 = [
+                            vg.spec.num_instantiations
+                            for vg in virt3.vgates
+                        ]
+                        grid3 = (
+                            np.indices(sizes3).reshape(len(sizes3), -1)
+                            .T.astype(np.int32)
+                            if sizes3 else np.zeros((1, 0), np.int32)
+                        )
+                        mass3 = np.ones(len(grid3), np.float64)
+                        for g, vg in enumerate(virt3.vgates):
+                            c3 = np.asarray(vg.spec.coef, np.float64)
+                            m3 = np.maximum(np.abs(c3[:, 0]),
+                                            np.abs(c3[:, 1]))
+                            mass3 *= (m3 / m3.sum())[grid3[:, g]]
+                        srun, _ = make_sampled_sweep(virt3, grid3, mass3)
+                        svals = np.asarray(srun(theta), np.float64)
+                        serr2 = float(np.max(np.abs(svals - vals)))
+                        if serr2 > 5e-6:
+                            return {"check": "sampled_sweep_identity",
+                                    "max_err": serr2}
     except Exception:
         return {"check": "exception", "traceback": traceback.format_exc()}
     return None
