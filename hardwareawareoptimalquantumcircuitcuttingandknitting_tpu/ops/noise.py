@@ -594,6 +594,26 @@ def run_noisy_virtual_circuit(
             shots=shots, seed=seed, checkpoint_dir=checkpoint_dir,
         )
         return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
+    if engine == "sampled":
+        # Monte-Carlo QPD sampling of the NOISY knit: ``shots`` is the
+        # label-sample budget (each QPD sample is one circuit execution
+        # on hardware, so the budgets coincide); default mirrors
+        # run.run_virtual_circuit's capped Hoeffding budget
+        from .qpd_sampling import sampled_knit, sampling_overhead
+
+        budget = shots
+        if budget is None:
+            budget = min(
+                sampling_overhead(virt, eps=0.05)["shots_for_eps"],
+                2_000_000,
+            )
+        now = time.perf_counter()
+        dist = sampled_knit(
+            virt, budget, seed=seed,
+            noise=models[: len(virt.fragments)], noise_seed=seed,
+        )
+        dist = nearest_probability_distribution(dist)
+        return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
     now = time.perf_counter()
     results = []
     for i, reg in enumerate(virt.fragments):

@@ -363,6 +363,98 @@ def _simulate_label_rows(virt, frag_name, lab, dtype=None):
     return rows, positions
 
 
+def _simulate_label_rows_noisy(
+    virt, frag_name, lab_np, nm, seed: int, chunk_size: int = 256,
+):
+    """[L, 2^k] TRAJECTORY-AVERAGED noisy probability rows per unique
+    label, with the calibrated readout channel applied — the sampled-
+    label restriction of ops/noise.run_fragment_noisy (noisy hardware x
+    many cuts: the reference's Aer-with-FakeBackend role at
+    /root/reference/third_party/qvm/qvm/run.py:24-42, at budgets its
+    full enumeration can't reach).  The trajectory axis is balanced PER
+    LABEL (ops/noise._pauli_idx) and averaged before folding."""
+    from .noise import (
+        _apply_rows_readout,
+        _sample_paulis,
+        frag_clbit_qubits,
+    )
+    from .variant_engine import chunk_cap, scan_variant_rows
+
+    prog = virt.programs[frag_name]
+    sim_one, _, positions, _ = make_sim_fn(
+        virt, frag_name, noise=nm, build_matrices=False
+    )
+    specs = [vg.spec for vg in virt.vgates]
+    tables = _slot_tables(prog, specs, fused=False)
+    L = lab_np.shape[0]
+    rng = np.random.default_rng(seed)
+    site_probs = [p for (_, _, p) in sim_one.noise_sites]
+    k_traj = nm.trajectories if any(p > 0 for p in site_probs) else 1
+    cq = dict(frag_clbit_qubits(virt, frag_name))
+    if sim_one.readout_device is not None:
+        cq.update({
+            c: d for c, d in sim_one.readout_device.items()
+            if d is not None
+        })
+    width = max(1, 2 ** len(positions))
+    if not prog.slots:
+        if site_probs and k_traj > 1:
+            pauli = _sample_paulis(rng, site_probs, (k_traj,),
+                                   balance_axis=0)
+            rows = jax.vmap(lambda pm: sim_one([], pm))(pauli)
+            row = jnp.mean(rows, axis=0)
+        elif site_probs:
+            row = sim_one([], _sample_paulis(rng, site_probs, ()))
+        else:
+            row = sim_one([])
+        values = np.broadcast_to(np.asarray(row), (L, width)).copy()
+    else:
+        total = L * k_traj
+        v_idx = np.repeat(np.arange(L), k_traj)
+        batched = [
+            tuple(
+                np.asarray(t)[lab_np[:, slot.vgate_idx]][v_idx]
+                for t in tabs
+            )
+            for slot, tabs in zip(prog.slots, tables)
+        ]
+        if site_probs:
+            pauli = [
+                b.reshape((total,) + b.shape[2:])
+                for b in _sample_paulis(rng, site_probs, (L, k_traj),
+                                        balance_axis=1)
+            ]
+            args = (batched, pauli)
+        else:
+            args = (batched,)
+        chunk = min(chunk_size, total, chunk_cap(prog.num_sim_qubits))
+        values = scan_variant_rows(sim_one, args, total, chunk)
+        values = values.reshape(L, k_traj, width).mean(axis=1)
+    values = _apply_rows_readout(np.asarray(values), positions, nm, cq)
+    return jnp.asarray(values), positions
+
+
+def _noise_models(virt: VirtualCircuit, noise):
+    """Normalise ``noise`` into a per-fragment NoiseModel list (None =
+    exact), with the reference's untranspiled-fragment semantics
+    (ops/noise.run_noisy_virtual_circuit: fragments of an untranspiled
+    model run noise-free — their instantiations' gates match no
+    calibration entry)."""
+    if noise is None:
+        return None
+    if isinstance(noise, (list, tuple)):
+        models = list(noise)
+    else:
+        models = [noise] * len(virt.fragments)
+    assert len(models) >= len(virt.fragments)
+    models = [
+        None if (m is not None and getattr(m, "untranspiled", False))
+        else m
+        for m in models[: len(virt.fragments)]
+    ]
+    return None if all(m is None for m in models) else models
+
+
 def _estimate(
     virt: VirtualCircuit,
     labels: np.ndarray,
@@ -372,6 +464,8 @@ def _estimate(
     dtype=None,
     gamma_override: float | None = None,
     control_stats: bool = False,
+    noise=None,
+    noise_seed: int = 0,
 ):
     """Core estimator: ``sum_l mass[l] * gamma_total * signed_knit(l)``.
 
@@ -404,13 +498,20 @@ def _estimate(
         sampling_overhead(virt)["gamma_total"]
         if gamma_override is None else float(gamma_override)
     )
-    lab = jnp.asarray(labels, jnp.int32)
+    lab_np = np.asarray(labels, np.int32)
+    lab = jnp.asarray(lab_np)
     frag_rows = []
     frag_positions = []
-    for reg in virt.fragments:
-        rows, positions = _simulate_label_rows(
-            virt, reg.name, lab, dtype=dtype
-        )
+    for fi, reg in enumerate(virt.fragments):
+        nm = noise[fi] if noise is not None else None
+        if nm is None:
+            rows, positions = _simulate_label_rows(
+                virt, reg.name, lab, dtype=dtype
+            )
+        else:
+            rows, positions = _simulate_label_rows_noisy(
+                virt, reg.name, lab_np, nm, seed=noise_seed + fi
+            )
         rows, positions = _fold_rows_per_label(
             virt, reg.name, rows, lab, positions
         )
@@ -503,6 +604,8 @@ def sampled_knit_adaptive(
     initial: int = 4096,
     max_samples: int = 2_000_000,
     control_variate: bool = False,
+    noise=None,
+    noise_seed: int = 0,
 ):
     """eps-targeted sampling: grow the budget until the worst per-outcome
     EMPIRICAL standard error is <= ``eps``, then stop.
@@ -541,6 +644,7 @@ def sampled_knit_adaptive(
             keep_clbits=keep_clbits,
             with_stderr=True, dtype=dtype, head_labels=head_labels,
             method=method, control_variate=control_variate,
+            noise=noise, noise_seed=noise_seed + round_idx,
         )
         worst = float(se.max()) if se.size else 0.0
         if worst <= eps or n >= max_samples:
@@ -569,10 +673,21 @@ def sampled_knit(
     head_labels: int = 0,
     method: str = "iid",
     control_variate: bool = False,
+    noise=None,
+    noise_seed: int = 0,
 ):
     """Unbiased Monte-Carlo estimate of the knitted distribution from
     ``num_samples`` QPD samples — only the sampled labels' instances are
     simulated (deduplicated), instead of the full ``prod_g n_g`` grid.
+
+    ``noise``: one NoiseModel, a per-fragment list, or None — the
+    sampled labels' instances run through the trajectory-noise engine
+    with calibrated readout (:func:`_simulate_label_rows_noisy`),
+    estimating the NOISY knit (the reference's FakeBackend execution at
+    budgets exhaustive enumeration can't reach).  E[Y] = 1 still holds
+    (every noise channel is trace-preserving), so ``control_variate``
+    and the stderr/stratified/LHS machinery compose unchanged.
+    Exclusive with bf16 ``dtype`` (the noise path is f32).
 
     Per-outcome standard error ~ ``gamma_total / sqrt(num_samples)``;
     see :func:`sampling_overhead` for the budget.  ``keep_clbits``
@@ -600,16 +715,22 @@ def sampled_knit(
     sign-product noise wherever an outcome's value tracks the total.
     Composes with every other knob; under ``head_labels`` the tail is
     regressed against its own exact mass ``1 - head_mass``."""
+    noise = _noise_models(virt, noise)
+    if noise is not None and dtype is not None:
+        raise ValueError("noise and bf16 dtype are exclusive "
+                         "(the trajectory-noise path is f32)")
     split = stratified_split(virt, head_labels) if head_labels else None
     if split is None:
         uniq, counts = sample_label_counts(virt, num_samples, seed,
                                            method=method)
         mass = counts.astype(np.float64) / num_samples
         if not (with_stderr or control_variate):
-            return _estimate(virt, uniq, mass, keep_clbits, dtype=dtype)
+            return _estimate(virt, uniq, mass, keep_clbits, dtype=dtype,
+                             noise=noise, noise_seed=noise_seed)
         est, m2, *rest = _estimate(
             virt, uniq, mass, keep_clbits, second_moment=True,
             dtype=dtype, control_stats=control_variate,
+            noise=noise, noise_seed=noise_seed,
         )
         vals = np.asarray(est.values)
         if control_variate:
@@ -626,6 +747,7 @@ def sampled_knit(
     head_out = _estimate(
         virt, head_rows, head_w, keep_clbits, dtype=dtype,
         gamma_override=1.0, control_stats=control_variate,
+        noise=noise, noise_seed=noise_seed,
     )
     head, head_stats = head_out if control_variate else (head_out, None)
     if gamma_tail <= 0.0:
@@ -637,7 +759,8 @@ def sampled_knit(
     mass = counts.astype(np.float64) / num_samples
     if not (with_stderr or control_variate):
         tail = _estimate(virt, uniq, mass, keep_clbits, dtype=dtype,
-                         gamma_override=gamma_tail)
+                         gamma_override=gamma_tail,
+                         noise=noise, noise_seed=noise_seed + 503)
         return Distribution(
             np.asarray(head.values) + np.asarray(tail.values),
             head.bit_positions, virt.num_clbits,
@@ -645,6 +768,7 @@ def sampled_knit(
     tail, m2, *rest = _estimate(
         virt, uniq, mass, keep_clbits, second_moment=True, dtype=dtype,
         gamma_override=gamma_tail, control_stats=control_variate,
+        noise=noise, noise_seed=noise_seed + 503,
     )
     # only the tail carries variance (the head is enumerated exactly)
     tail_vals = np.asarray(tail.values)
@@ -692,6 +816,8 @@ def _estimate_z(
     dtype=None,
     gamma_override: float | None = None,
     control_stats: bool = False,
+    noise=None,
+    noise_seed: int = 0,
 ):
     """Core observable estimator: ``[num_sets]`` vector of
     ``sum_l mass[l] * gamma * prod_f <Z_S>_f(l)``.
@@ -709,13 +835,20 @@ def _estimate_z(
         sampling_overhead(virt)["gamma_total"]
         if gamma_override is None else float(gamma_override)
     )
-    lab = jnp.asarray(labels, jnp.int32)
+    lab_np = np.asarray(labels, np.int32)
+    lab = jnp.asarray(lab_np)
     prodmat = None
     totals = None
-    for reg in virt.fragments:
-        rows, positions = _simulate_label_rows(
-            virt, reg.name, lab, dtype=dtype
-        )
+    for fi, reg in enumerate(virt.fragments):
+        nm = noise[fi] if noise is not None else None
+        if nm is None:
+            rows, positions = _simulate_label_rows(
+                virt, reg.name, lab, dtype=dtype
+            )
+        else:
+            rows, positions = _simulate_label_rows_noisy(
+                virt, reg.name, lab_np, nm, seed=noise_seed + fi
+            )
         rows, positions = _fold_rows_per_label(
             virt, reg.name, rows, lab, positions
         )
@@ -752,6 +885,8 @@ def sampled_expectation_z(
     control_variate: bool = False,
     dtype=None,
     head_labels: int = 0,
+    noise=None,
+    noise_seed: int = 0,
 ):
     """Unbiased Monte-Carlo estimate of ``<prod_{c in S} Z_c>`` for each
     ``S`` in ``z_sets``, from ``num_samples`` QPD label samples — the
@@ -768,18 +903,25 @@ def sampled_expectation_z(
     (exact expectation 1; CV4Quantum's home case, arXiv:2502.08735:
     for observables the estimate tracks the total far more tightly
     than any single distribution outcome, so the reduction is larger
-    than on knitted distributions)."""
+    than on knitted distributions).  ``noise`` estimates the NOISY
+    observables (see :func:`sampled_knit`); exclusive with bf16."""
     z_sets = [set(s) for s in z_sets]
+    noise = _noise_models(virt, noise)
+    if noise is not None and dtype is not None:
+        raise ValueError("noise and bf16 dtype are exclusive "
+                         "(the trajectory-noise path is f32)")
     split = stratified_split(virt, head_labels) if head_labels else None
     if split is None:
         uniq, counts = sample_label_counts(virt, num_samples, seed,
                                            method=method)
         mass = counts.astype(np.float64) / num_samples
         if not (with_stderr or control_variate):
-            return _estimate_z(virt, uniq, mass, z_sets, dtype=dtype)
+            return _estimate_z(virt, uniq, mass, z_sets, dtype=dtype,
+                               noise=noise, noise_seed=noise_seed)
         est, m2, *rest = _estimate_z(
             virt, uniq, mass, z_sets, second_moment=True, dtype=dtype,
             control_stats=control_variate,
+            noise=noise, noise_seed=noise_seed,
         )
         if control_variate:
             est, var = _cv_adjust(est, m2, rest[0], 1.0)
@@ -793,6 +935,7 @@ def sampled_expectation_z(
     head_out = _estimate_z(
         virt, head_rows, head_w, z_sets, dtype=dtype, gamma_override=1.0,
         control_stats=control_variate,
+        noise=noise, noise_seed=noise_seed,
     )
     head, head_stats = head_out if control_variate else (head_out, None)
     if gamma_tail <= 0.0:
@@ -802,11 +945,13 @@ def sampled_expectation_z(
     mass = counts.astype(np.float64) / num_samples
     if not (with_stderr or control_variate):
         tail = _estimate_z(virt, uniq, mass, z_sets, dtype=dtype,
-                           gamma_override=gamma_tail)
+                           gamma_override=gamma_tail,
+                           noise=noise, noise_seed=noise_seed + 503)
         return head + tail
     tail, m2, *rest = _estimate_z(
         virt, uniq, mass, z_sets, second_moment=True, dtype=dtype,
         gamma_override=gamma_tail, control_stats=control_variate,
+        noise=noise, noise_seed=noise_seed + 503,
     )
     # only the tail carries variance (the head is enumerated exactly)
     if control_variate:
@@ -831,6 +976,8 @@ def sampled_expectation_z_adaptive(
     head_labels: int = 0,
     initial: int = 4096,
     max_samples: int = 2_000_000,
+    noise=None,
+    noise_seed: int = 0,
 ):
     """eps-targeted observable estimation: grow the budget until every
     z-set's EMPIRICAL standard error is <= ``eps`` — the observable twin
@@ -853,6 +1000,7 @@ def sampled_expectation_z_adaptive(
             method=method, with_stderr=True,
             control_variate=control_variate, dtype=dtype,
             head_labels=head_labels,
+            noise=noise, noise_seed=noise_seed + round_idx,
         )
         worst = float(se.max()) if se.size else 0.0
         if worst <= eps or n >= max_samples:

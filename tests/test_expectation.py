@@ -218,3 +218,36 @@ def test_sampled_expectation_adaptive():
     np.testing.assert_allclose(est_cv, want, atol=0.12)
     with pytest.raises(ValueError, match="positive"):
         sampled_expectation_z_adaptive(virt, z_sets, eps=0.0)
+
+
+def test_sampled_expectation_noisy_readout_identity():
+    """Readout-only noise (deterministic): sampled observables on the
+    full grid equal the parity fold of the exact noisy knit."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.knit import (
+        knit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        NoiseModel,
+        run_fragment_noisy,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        _estimate_z,
+        _noise_models,
+    )
+    from tests.test_qpd_sampling import _full_grid
+
+    virt, _ = _setup()
+    nm = NoiseModel("ro", p1=0.0, p2=0.0, readout01=0.06, readout10=0.03,
+                    trajectories=4)
+    grid, mass = _full_grid(virt)
+    z_sets = [set(), {0}, {0, 3}, {1, 4, 5}]
+    got = _estimate_z(virt, grid, mass, z_sets,
+                      noise=_noise_models(virt, nm))
+    results = [
+        run_fragment_noisy(virt, reg.name, nm, seed=0)
+        for reg in virt.fragments
+    ]
+    noisy = knit(virt, results)
+    for zs, g in zip(z_sets, got):
+        want = _expect_from_dist(noisy, zs)
+        assert g == pytest.approx(want, abs=3e-5), (zs, g, want)

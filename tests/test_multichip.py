@@ -83,8 +83,8 @@ def test_vqe_energy_and_grad_sharded_over_dp():
     descending gradient step must match the single-device path exactly."""
     out = _run_in_subprocess(
         "from __graft_entry__ import _dryrun_vqe_sharded;"
-        "err, gnorm = _dryrun_vqe_sharded(4);"
-        "print('vqe-dp OK', err, gnorm)",
+        "err, gnorm, mc_err = _dryrun_vqe_sharded(4);"
+        "print('vqe-dp OK', err, gnorm, mc_err)",
         4,
     )
     assert "vqe-dp OK" in out

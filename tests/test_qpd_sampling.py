@@ -480,3 +480,123 @@ def test_run_sample_cv_knob():
     fid = hellinger_fidelity(simulate_circuit(orig), dist)
     assert fid > 0.99, fid
     assert info.run_time > 0
+
+
+# -- noisy x sampled composition -------------------------------------------
+
+
+def test_noisy_sampled_readout_only_full_grid_identity():
+    """Readout-only noise is deterministic (no trajectory sampling), so
+    the sampled estimator over the FULL grid must equal the exact noisy
+    engine's knit."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        NoiseModel,
+        run_noisy_virtual_circuit,
+    )
+
+    nm = NoiseModel("ro", p1=0.0, p2=0.0, readout01=0.05, readout10=0.02,
+                    trajectories=4)
+    for maker in (_cut_ghz, _cut_rzz):
+        _, virt = maker()
+        grid, mass = _full_grid(virt)
+        est = _estimate(virt, grid, mass, noise=[nm] * len(virt.fragments))
+        want, _ = run_noisy_virtual_circuit(virt, nm)
+        # run_noisy projects; compare against the unprojected exact knit
+        from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.knit import (
+            knit,
+        )
+        from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+            run_fragment_noisy,
+        )
+
+        results = [
+            run_fragment_noisy(virt, reg.name, nm, seed=0)
+            for reg in virt.fragments
+        ]
+        exact = knit(virt, results)
+        assert est.bit_positions == exact.bit_positions
+        np.testing.assert_allclose(
+            np.asarray(est.values), np.asarray(exact.values), atol=3e-5
+        )
+
+
+def test_noisy_sampled_statistical_agreement_and_cv():
+    """With gate noise: the seed-averaged sampled estimate approaches
+    the exact noisy knit, the noisy run is measurably different from
+    the ideal one, and CV stderr stays monotone."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.knit import (
+        knit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        NoiseModel,
+        run_fragment_noisy,
+    )
+
+    orig, virt = _cut_ghz()
+    nm = NoiseModel("gn", p1=0.005, p2=0.05, readout01=0.03,
+                    readout10=0.03, trajectories=64)
+    results = [
+        run_fragment_noisy(virt, reg.name, nm, seed=9)
+        for reg in virt.fragments
+    ]
+    exact_noisy = np.asarray(knit(virt, results).values)
+    ideal = np.asarray(simulate_circuit(orig).values)
+    # the noise must actually bite, or the test is vacuous
+    assert np.abs(exact_noisy - ideal).max() > 0.02
+
+    acc = None
+    for seed in range(4):
+        est, se = sampled_knit(virt, 4000, seed=seed, noise=nm,
+                               noise_seed=100 + seed, with_stderr=True)
+        ec, sc = sampled_knit(virt, 4000, seed=seed, noise=nm,
+                              noise_seed=100 + seed, with_stderr=True,
+                              control_variate=True)
+        assert (sc <= se + 1e-12).all()
+        v = np.asarray(est.values)
+        acc = v if acc is None else acc + v
+    mean = acc / 4
+    # trajectory + label sampling noise both shrink in the average
+    assert np.abs(mean - exact_noisy).max() < 0.06, (
+        np.abs(mean - exact_noisy).max()
+    )
+
+
+def test_noisy_sampled_run_level_and_guards():
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        NoiseModel,
+        run_noisy_virtual_circuit,
+    )
+
+    orig, virt = _cut_ghz()
+    nm = NoiseModel("gn", p1=0.001, p2=0.01, readout01=0.01,
+                    readout10=0.01, trajectories=16)
+    dist, info = run_noisy_virtual_circuit(
+        virt, nm, engine="sampled", shots=20000, seed=3
+    )
+    fid = hellinger_fidelity(simulate_circuit(orig), dist)
+    assert 0.9 < fid <= 1.0, fid  # mild noise: close to but below ideal
+    assert info.run_time > 0
+    vals = np.asarray(dist.values)
+    assert vals.min() >= -1e-9  # projected
+
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError, match="exclusive"):
+        sampled_knit(virt, 100, noise=nm, dtype=jnp.bfloat16)
+
+    # untranspiled models run noise-free through the sampled path too
+    # (reference semantics: no calibration entry matches a fragment's
+    # instantiation gates) — the normaliser maps them to None outright
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        _noise_models,
+    )
+
+    nm_u = NoiseModel("u", p1=0.5, p2=0.5, readout01=0.0, readout10=0.0,
+                      trajectories=2, untranspiled=True)
+    assert _noise_models(virt, nm_u) is None
+    est = sampled_knit(virt, 20000, seed=5, noise=nm_u, method="lhs")
+    fid_u = hellinger_fidelity(
+        simulate_circuit(orig),
+        nearest_probability_distribution(est),
+    )
+    assert fid_u > 0.99, fid_u
