@@ -116,7 +116,7 @@ def calibrated_traj(frag_qubits: int) -> int:
 
 
 def run_config(name, n, depth, P, Q, shots=1000, seed=0, log=print,
-               calibrated=False):
+               calibrated=False, relaxation=False):
     t0 = time.time()
     # fixed generator seed: sup/syc draw random 1q gates per call (the
     # reference averages 3 unseeded runs; a pinned instance makes the
@@ -203,17 +203,18 @@ def run_config(name, n, depth, P, Q, shots=1000, seed=0, log=print,
     }
 
     # --- honest calibrated cut leg (ours only; not a reference quantity) --
-    if calibrated:
-        nmc = fake_kolkata_v2()
+    if calibrated or relaxation:
+        nmc = fake_kolkata_v2(relaxation=relaxation)
         widest = max(p.num_sim_qubits for p in virt.programs.values())
         nmc.trajectories = calibrated_traj(widest)
         cut_noisy, _ = run_noisy_virtual_circuit(
             virt, nmc, shots=shots, seed=seed + 4,
             engine="streamed" if labels > STREAM_LABELS else "auto",
         )
-        out["fid_cut_calibrated"] = float(hellinger_fidelity(cut_a, cut_noisy))
+        col = "fid_cut_relax" if relaxation else "fid_cut_calibrated"
+        out[col] = float(hellinger_fidelity(cut_a, cut_noisy))
         out["calibrated_trajectories"] = nmc.trajectories
-        log(f"[{name}-{n}] fid_cut_calibrated={out['fid_cut_calibrated']:.6g}"
+        log(f"[{name}-{n}] {col}={out[col]:.6g}"
             f" {time.time()-t0:.0f}s")
 
     out["wall_s"] = round(time.time() - t0, 1)
@@ -234,8 +235,8 @@ def write_table(results: dict, path: pathlib.Path):
         "reference's recorded cut fidelities pure two-sided 1000-shot",
         "sampling.  Reference values: BASELINE.md / fid_plot.py:8-22.",
         "",
-        "| Config | ref orig | ours orig | ref cut | ours cut | ours cut (calibrated noise) |",
-        "|---|---|---|---|---|---|",
+        "| Config | ref orig | ours orig | ref cut | ours cut | ours cut (calibrated noise) | + T1/T2 relaxation |",
+        "|---|---|---|---|---|---|---|",
     ]
     for (name, n, d, P, Q, ref_o, ref_c) in CONFIGS:
         key = f"{name}_{n}_{d}_{P}_{Q}"
@@ -244,9 +245,11 @@ def write_table(results: dict, path: pathlib.Path):
         ours_c = f"{r['fid_cut']:.3g}" if r else "—"
         cal = (f"{r['fid_cut_calibrated']:.3g}"
                if r and "fid_cut_calibrated" in r else "—")
+        rel = (f"{r['fid_cut_relax']:.3g}"
+               if r and "fid_cut_relax" in r else "—")
         lines.append(
             f"| {key} | {ref_o:.3g} | {ours_o} | {ref_c:.3g} | {ours_c} |"
-            f" {cal} |"
+            f" {cal} | {rel} |"
         )
     lines += [
         "",
@@ -288,6 +291,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--calibrated", action="store_true",
                     help="also record the honest calibrated-noise cut leg")
+    ap.add_argument("--relaxation", action="store_true",
+                    help="record the calibrated cut leg with per-qubit "
+                    "T1/T2 thermal relaxation on top (fid_cut_relax)")
     ap.add_argument("--out", default=str(
         pathlib.Path(__file__).resolve().parent.parent / "noisy_parity.json"
     ))
@@ -309,13 +315,13 @@ def main():
             print(f"[skip] {key} (already recorded)")
             continue
         res = run_config(name, n, d, P, Q, shots=args.shots, seed=args.seed,
-                         calibrated=args.calibrated)
+                         calibrated=args.calibrated,
+                         relaxation=args.relaxation)
         res["ref_orig"] = ref_o
         res["ref_cut"] = ref_c
-        if key in results and "fid_cut_calibrated" in results[key]:
-            res.setdefault(
-                "fid_cut_calibrated", results[key]["fid_cut_calibrated"]
-            )
+        for col in ("fid_cut_calibrated", "fid_cut_relax"):
+            if key in results and col in results[key]:
+                res.setdefault(col, results[key][col])
         results[key] = res
         out.write_text(json.dumps(results, indent=2))
         write_table(results, out.parent / "NOISY_TABLE.md")

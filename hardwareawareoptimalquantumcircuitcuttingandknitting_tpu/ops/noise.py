@@ -8,6 +8,17 @@ trajectory axis is vmapped, so the whole noisy ensemble is one XLA launch),
 plus exact readout-error application on the final probability vector (a per
 -bit 2x2 stochastic matrix contraction — deterministic, no sampling needed).
 
+Every insertion site carries its own (sampling probs, Kraus bank) pair
+(:func:`_depol_site` / :func:`_relax_site`), so the same trajectory
+machinery also runs NON-unital channels: with ``t1``/``t2`` set on the
+model, each physical gate additionally relaxes every touched qubit for
+the gate's duration (thermal relaxation — amplitude damping toward |0>
+plus the extra dephasing that closes the gap to T2).  Branch i of a site
+applies K_i/sqrt(q_i) sampled with probability q_i; the engines average
+UN-normalised trajectory rows, so the mean is the exact channel output
+(importance-sampled quantum-jump unravelling — no per-trajectory
+renormalisation, which would break vmap-static shapes).
+
 Trajectories are drawn BALANCED along the trajectory axis (systematic
 allocation + independent permutation per site, :func:`_pauli_idx`):
 each trajectory keeps the exact iid marginal — the mean stays an
@@ -74,11 +85,44 @@ class NoiseModel:
                                        # calibrated qubits) pairs — h/t/cz/
                                        # uncoupled-cx execute noise-free and
                                        # no routing happens
+    # Thermal relaxation (T1/T2, seconds).  When set, every physical gate
+    # additionally applies an amplitude+phase-damping channel to each
+    # touched qubit for the gate's duration (the role of qiskit's
+    # thermal_relaxation_error in fake-backend noise models).  None = off
+    # (the recorded parity tables, NOISY_TABLE.md, were taken without it).
+    t1: float | None = None
+    t2: float | None = None
+    t1_q: np.ndarray | None = None     # [num_qubits] per-qubit T1
+    t2_q: np.ndarray | None = None     # [num_qubits] per-qubit T2
+    gate_time_1q: float = 35e-9        # typical IBM sx/x duration
+    gate_time_2q: float = 300e-9       # typical IBM CX duration
 
     def _at(self, vec, scalar, q):
         if vec is None:
             return float(scalar)
         return float(vec[q % len(vec)])
+
+    @property
+    def has_relaxation(self) -> bool:
+        return any(
+            v is not None for v in (self.t1, self.t2, self.t1_q, self.t2_q)
+        )
+
+    def relax_gamma_lambda(self, q: int, duration: float) -> tuple[float, float]:
+        """Thermal-relaxation channel parameters for device qubit ``q``
+        over ``duration`` seconds: amplitude damping
+        ``gamma = 1 - e^{-d/T1}`` and the extra phase damping
+        ``lam = e^{-d/T1} - e^{-2 d/T2}``, so the coherence decay is
+        exactly ``e^{-d/T2}`` (physical for T2 <= 2*T1; clipped at 0
+        otherwise)."""
+        t1 = self.t1 if self.t1_q is None else float(self.t1_q[q % len(self.t1_q)])
+        t2 = self.t2 if self.t2_q is None else float(self.t2_q[q % len(self.t2_q)])
+        e1 = 1.0 if t1 is None else float(np.exp(-duration / float(t1)))
+        gamma = 1.0 - e1
+        lam = 0.0 if t2 is None else max(
+            0.0, e1 - float(np.exp(-2.0 * duration / float(t2)))
+        )
+        return gamma, lam
 
     def rate_1q(self, q: int) -> float:
         return self._at(self.p1_q, self.p1, q)
@@ -101,6 +145,64 @@ class NoiseModel:
 
 def _line_coupling(n: int) -> list[tuple[int, int]]:
     return [(i, i + 1) for i in range(n - 1)]
+
+
+def _depol_site(p: float) -> tuple[np.ndarray, np.ndarray]:
+    """(probs4, bank4) for a depolarising insertion site: branch i is a
+    (unitary) Pauli sampled with the channel probability itself, so the
+    trajectory mean of ``|P_i psi|^2`` is the exact channel output."""
+    probs = np.array([1.0 - p, p / 3.0, p / 3.0, p / 3.0], np.float64)
+    return probs, _PAULI_BLOCKS
+
+
+def _relax_site(gamma: float, lam: float) -> tuple[np.ndarray, np.ndarray]:
+    """(probs4, bank4) for a thermal-relaxation (amplitude + phase
+    damping) site.  Kraus operators
+
+        K0 = diag(1, sqrt(1-gamma-lam))   (no jump)
+        K1 = [[0, sqrt(gamma)], [0, 0]]   (decay |1> -> |0>)
+        K2 = diag(0, sqrt(lam))           (phase jump)
+
+    importance-sampled with q = (1-gamma-lam, gamma, lam): branch i
+    applies B_i = K_i/sqrt(q_i), so the UN-normalised trajectory mean
+    ``E[|B_i psi|^2] = sum_i |K_i psi|^2`` is the exact (non-unital)
+    channel — no state-dependent branching or renormalisation, which
+    keeps the vmapped engines shape-static.  Branch norms are bounded
+    (||B_1 psi|| <= 1, ||B_0 psi||^2 <= 1/(1-gamma-lam)), so the extra
+    trajectory variance stays O(gamma+lam)."""
+    q0 = max(1e-12, 1.0 - gamma - lam)
+    b0 = np.diag([1.0 / np.sqrt(q0), 1.0])
+    b1 = np.array([[0.0, 1.0], [0.0, 0.0]])
+    b2 = np.diag([0.0, 1.0])
+    bank = np.stack([
+        to_real_block(m) for m in (b0, b1, b2, np.zeros((2, 2)))
+    ]).astype(_PAULI_BLOCKS.dtype)
+    probs = np.array([q0, gamma, lam, 0.0], np.float64)
+    return probs / probs.sum(), bank
+
+
+def gate_noise_sites(nm: NoiseModel, frag_axes, dev_axes):
+    """All (fragment-local qubit, probs4, bank4) insertion sites for one
+    physical gate on fragment-local qubits ``frag_axes`` mapped to device
+    qubits ``dev_axes``: the depolarising site (one per gate, on the
+    first qubit — the uncut/cut paths share this convention so both
+    circuit forms carry comparable noise burdens), then one thermal-
+    relaxation site per touched qubit when the model carries T1/T2."""
+    sites = []
+    if len(frag_axes) == 1:
+        sites.append((frag_axes[0], *_depol_site(nm.rate_1q(dev_axes[0]))))
+        dur = nm.gate_time_1q
+    else:
+        sites.append(
+            (frag_axes[0], *_depol_site(nm.rate_2q(dev_axes[0], dev_axes[1])))
+        )
+        dur = nm.gate_time_2q
+    if nm.has_relaxation:
+        for fq, dq in zip(frag_axes, dev_axes):
+            gamma, lam = nm.relax_gamma_lambda(dq, dur)
+            if gamma > 0.0 or lam > 0.0:
+                sites.append((fq, *_relax_site(gamma, lam)))
+    return sites
 
 
 # IBM heavy-hex basis set (FakeKolkataV2.configuration().basis_gates is
@@ -136,7 +238,7 @@ def default_noise_model() -> NoiseModel:
     return NoiseModel(name="fake_kolkata", num_qubits=27)
 
 
-def fake_kolkata_v2(seed: int = 27) -> NoiseModel:
+def fake_kolkata_v2(seed: int = 27, relaxation: bool = False) -> NoiseModel:
     """Per-qubit-calibrated 27-qubit device model standing in for qiskit's
     FakeKolkataV2 (reference noisy benchmark backend, benchmark.py:94-103).
 
@@ -145,7 +247,14 @@ def fake_kolkata_v2(seed: int = 27) -> NoiseModel:
     ~3e-4, CX error ~9e-3, readout ~1-2%) with a fixed-seed log-normal
     spread, and the medians are tuned so the recorded noisy-fidelity
     table (benchmarks/noisy_parity.py -> NOISY_TABLE.md) brackets the
-    reference's committed results (BASELINE.md, fid_plot.py:8-22)."""
+    reference's committed results (BASELINE.md, fid_plot.py:8-22).
+
+    ``relaxation=True`` additionally calibrates per-qubit T1/T2 around
+    the device class's ~100 us / ~70 us medians (thermal-relaxation
+    channel on every touched qubit per gate).  Off by default: the
+    recorded parity tables were taken depolarising+readout-only, and
+    calibration-median depolarising rates already absorb the device's
+    average relaxation contribution."""
     from ..circuit.routing import HEAVY_HEX_27
 
     rng = np.random.default_rng(seed)
@@ -153,16 +262,30 @@ def fake_kolkata_v2(seed: int = 27) -> NoiseModel:
     spread = lambda med, s: np.clip(
         med * rng.lognormal(0.0, s, n), med / 6.0, med * 6.0
     )
+    # draw order fixed (depol/readout first) so relaxation=True keeps
+    # the exact same depolarising/readout calibration as the recorded
+    # parity tables and only ADDS the T1/T2 vectors
+    p1_q = spread(2.5e-4, 0.5)
+    p2_q = spread(2.5e-3, 0.5)
+    ro01_q = spread(0.008, 0.4)
+    ro10_q = spread(0.017, 0.4)
+    t1_q = t2_q = None
+    if relaxation:
+        t1_q = spread(100e-6, 0.3)
+        # physical bound T2 <= 2*T1 (relax_gamma_lambda clips the rest)
+        t2_q = np.minimum(spread(70e-6, 0.3), 2.0 * t1_q)
     return NoiseModel(
-        name="fake_kolkata_v2",
+        name="fake_kolkata_v2" + ("_relax" if relaxation else ""),
         p1=2.5e-4, p2=2.5e-3, readout01=0.008, readout10=0.017,
         trajectories=16,
         num_qubits=n,
-        p1_q=spread(2.5e-4, 0.5),
-        p2_q=spread(2.5e-3, 0.5),
-        ro01_q=spread(0.008, 0.4),
-        ro10_q=spread(0.017, 0.4),
+        p1_q=p1_q,
+        p2_q=p2_q,
+        ro01_q=ro01_q,
+        ro10_q=ro10_q,
         coupling=HEAVY_HEX_27,
+        t1_q=t1_q,
+        t2_q=t2_q,
     )
 
 
@@ -177,29 +300,28 @@ def fake_open_pulse(n: int) -> NoiseModel:
                       num_qubits=n, coupling=_line_coupling(n))
 
 
-def _pauli_idx(
-    rng: np.random.Generator, p: float, shape, balance_axis=None
+def _site_idx(
+    rng: np.random.Generator, probs, shape, balance_axis=None
 ) -> np.ndarray:
-    """int32 Pauli indices (0 = identity, 1..3 = X/Y/Z) with
-    depolarising probability ``p``.
+    """int32 branch indices sampled from the site's probability vector.
 
     ``balance_axis``: balanced (Latin-hypercube) sampling along that
     axis — the systematic-resampling allocation pins the number of
-    inserted Paulis to within 1 of ``len * p`` per slice, then an
+    non-identity branches to within 1 of expectation per slice, then an
     independent permutation restores the exact per-element marginal
     (same construction as ops/qpd_sampling.sample_labels
     method="lhs").  The trajectory MEAN stays unbiased while the
     per-site main-effect variance vanishes — load-bearing at the
     default 16 trajectories, where a p2=0.01 site sees 0.16 expected
     insertions and iid draws are all-or-nothing."""
+    p = np.asarray(probs, np.float64)
+    p = p / p.sum()
     if balance_axis is None:
-        return rng.choice(
-            4, size=shape, p=[1 - p, p / 3, p / 3, p / 3]
-        ).astype(np.int32)
+        return rng.choice(len(p), size=shape, p=p).astype(np.int32)
     ax = balance_axis % len(shape)
     t = shape[ax]
     rest = tuple(d for i, d in enumerate(shape) if i != ax)
-    edges = np.cumsum([1.0 - p, p / 3, p / 3, p / 3])
+    edges = np.cumsum(p)
     edges[-1] = 1.0  # guard fp drift so searchsorted stays in range
     pos = (np.arange(t) + rng.random(rest + (1,))) / t
     ids = np.searchsorted(edges, pos, side="right").astype(np.int32)
@@ -207,14 +329,33 @@ def _pauli_idx(
     return np.moveaxis(ids, -1, ax)
 
 
-def _sample_paulis(rng: np.random.Generator, probs, shape,
-                   balance_axis=None):
-    """probs: per-site depolarising probability list [S]; returns real
-    blocks [S, *shape, 2, 2, 2, 2].  ``balance_axis``: balanced
-    trajectory allocation per site (see :func:`_pauli_idx`)."""
+def _pauli_idx(
+    rng: np.random.Generator, p: float, shape, balance_axis=None
+) -> np.ndarray:
+    """Pauli indices (0 = identity, 1..3 = X/Y/Z) with depolarising
+    probability ``p`` — the depolarising-site special case of
+    :func:`_site_idx` (bit-identical draws for a given rng state)."""
+    return _site_idx(
+        rng, [1.0 - p, p / 3.0, p / 3.0, p / 3.0], shape, balance_axis
+    )
+
+
+def _site_active(probs) -> bool:
+    """Whether a site can deviate from the identity branch (statically
+    known at trace time — inactive sites are skipped, saving one full
+    state pass each)."""
+    return float(np.asarray(probs)[0]) < 1.0
+
+
+def _sample_site_blocks(rng: np.random.Generator, site_tabs, shape,
+                        balance_axis=None):
+    """site_tabs: per-site (probs4, bank4) list [S]; returns real blocks
+    [S, *shape, 2, 2, 2, 2] drawn from each site's own bank.
+    ``balance_axis``: balanced trajectory allocation per site (see
+    :func:`_site_idx`)."""
     return [
-        _PAULI_BLOCKS[_pauli_idx(rng, p, shape, balance_axis)]
-        for p in probs
+        bank[_site_idx(rng, probs, shape, balance_axis)]
+        for probs, bank in site_tabs
     ]
 
 
@@ -309,46 +450,60 @@ def simulate_noisy_circuit(
         clbit_sources = routed.clbit_sources
         slot_device = routed.slot_device
 
-    probs = []
+    # Insertion sites: (op index, sim qubit, probs4, bank4).  One
+    # depolarising site per op — zero-rate sites are KEPT so the rng
+    # consumption (and so recorded trajectory draws) is reproducible
+    # across models — plus thermal-relaxation sites per touched qubit
+    # when the model carries T1/T2 (gate_noise_sites).
+    names = compiled.op_names or [None] * len(gate_ops)
+    sites: list[tuple[int, int, np.ndarray, np.ndarray]] = []
     if nm.untranspiled:
-        names = compiled.op_names or [None] * len(gate_ops)
+        assert not nm.has_relaxation, (
+            "untranspiled mode reproduces the reference's calibration-"
+            "bound depolarising semantics; T1/T2 relaxation needs the "
+            "calibrated (routed) mode"
+        )
         for i, (_, _, axes) in enumerate(gate_ops):
-            probs.append(untranspiled_site_rate(nm, names[i], axes))
+            sites.append((
+                i, axes[0],
+                *_depol_site(untranspiled_site_rate(nm, names[i], axes)),
+            ))
     else:
         # without routing, phys is None and deferral ops keep their original
         # axes — detect them by op name so bookkeeping CX/SWAP/c_if blocks
         # (measure deferral, statevector.py:168-201) stay noise-free
-        names = compiled.op_names or [None] * len(gate_ops)
         for i, (_, _, axes) in enumerate(gate_ops):
             ph = phys[i] if phys is not None else axes
-            if any(p is None for p in ph):  # touches a deferral ancilla
-                probs.append(0.0)
-            elif phys is None and names[i] == "_defer":
-                probs.append(0.0)
-            elif len(axes) == 1:
-                probs.append(nm.rate_1q(ph[0]))
-            else:
-                probs.append(nm.rate_2q(ph[0], ph[1]))
-    site_qubit = [axes[0] for _, _, axes in gate_ops]
+            if any(p is None for p in ph) or (
+                phys is None and names[i] == "_defer"
+            ):  # touches a deferral ancilla: readout covers it
+                sites.append((i, axes[0], *_depol_site(0.0)))
+                continue
+            for q, pr, bank in gate_noise_sites(nm, axes, ph):
+                sites.append((i, q, pr, bank))
+    sites_after: dict[int, list[int]] = {}
+    for s_i, (op_i, *_rest) in enumerate(sites):
+        sites_after.setdefault(op_i, []).append(s_i)
+    active = [_site_active(pr) for (_, _, pr, _) in sites]
     k_traj = nm.trajectories
-    if probs and max(probs) == 0.0:
+    if sites and not any(active):
         k_traj = 1  # no noise sites bind: one trajectory IS exact
 
     blocks = [(to_real_block(u), axes) for _, u, axes in gate_ops]
 
-    def sim_traj(pauli_mats):
+    def sim_traj(site_mats):
         state = jnp.zeros((2, 1 << n), dtype=jnp.float32)
         state = state.at[0, 0].set(1.0)
         for i, (b, axes) in enumerate(blocks):
             state = apply_matrix(state, b, axes, n)
-            # sites with statically-zero probability always carry the
-            # identity block — skipping them at trace time saves one
-            # full [2, 2^n] pass per such op (most of the circuit in
-            # untranspiled mode)
-            if probs[i] > 0.0:
-                state = apply_matrix(
-                    state, pauli_mats[i], (site_qubit[i],), n
-                )
+            # statically-inactive sites always carry the identity block —
+            # skipping them at trace time saves one full [2, 2^n] pass
+            # per such op (most of the circuit in untranspiled mode)
+            for s_i in sites_after.get(i, ()):
+                if active[s_i]:
+                    state = apply_matrix(
+                        state, site_mats[s_i], (sites[s_i][1],), n
+                    )
         return jnp.sum(state * state, axis=0)
 
     if not blocks:
@@ -360,21 +515,22 @@ def simulate_noisy_circuit(
         #   P = c0*P_ideal + sum_s p_s*c0/(1-p_s) * mean_{X,Y,Z} P_(s,Pauli)
         # up to O(p^2) ~ 1e-5 — deterministic, unlike trajectory sampling,
         # so the recorded parity table is reproducible run to run.
-        nonzero = [i for i, p in enumerate(probs) if p > 0.0]
+        site_p = [1.0 - float(pr[0]) for (_, _, pr, _) in sites]
+        nonzero = [i for i, p in enumerate(site_p) if p > 0.0]
         n_branch = 1 + 3 * len(nonzero)
         ident = _PAULI_BLOCKS[0]
         pauli_all = [
             np.broadcast_to(ident, (n_branch, 2, 2, 2, 2)).copy()
-            for _ in probs
+            for _ in sites
         ]
         weights = np.zeros(n_branch, dtype=np.float64)
-        c0 = float(np.prod([1.0 - probs[i] for i in nonzero])) if nonzero else 1.0
+        c0 = float(np.prod([1.0 - site_p[i] for i in nonzero])) if nonzero else 1.0
         weights[0] = c0
         b = 1
         for i in nonzero:
             for pi in (1, 2, 3):
                 pauli_all[i][b] = _PAULI_BLOCKS[pi]
-                weights[b] = probs[i] * c0 / (1.0 - probs[i]) / 3.0
+                weights[b] = site_p[i] * c0 / (1.0 - site_p[i]) / 3.0
                 b += 1
         batch = max(1, min(n_branch, (1 << 26) // (1 << n)))
         sim_batch = jax.jit(jax.vmap(sim_traj))
@@ -398,14 +554,17 @@ def simulate_noisy_circuit(
         # balanced allocation over the FULL trajectory axis, sliced per
         # batch (wrap-padded so the jitted batch shape stays static)
         idx_all = [
-            _pauli_idx(rng, p, (k_traj,), balance_axis=0) for p in probs
+            _site_idx(rng, pr, (k_traj,), balance_axis=0)
+            for (_, _, pr, _) in sites
         ]
         acc = None
         done = 0
         while done < k_traj:
             b = min(batch, k_traj - done)
             sel = np.arange(done, done + batch) % k_traj
-            pauli = [_PAULI_BLOCKS[idx[sel]] for idx in idx_all]
+            pauli = [
+                sites[s][3][idx[sel]] for s, idx in enumerate(idx_all)
+            ]
             part = np.asarray(sim_batch(pauli))[:b].sum(axis=0)
             acc = part if acc is None else acc + part
             done += b
@@ -482,7 +641,7 @@ def run_fragment_noisy(
     width = max(1, 2 ** len(positions))
     prog = virt.programs[frag_name]
 
-    site_probs = [p for (_, _, p) in sim_one.noise_sites]
+    site_tabs = [(pr, bank) for (_, _, pr, bank) in sim_one.noise_sites]
 
     cq = dict(frag_clbit_qubits(virt, frag_name))
     if sim_one.readout_device is not None:
@@ -491,9 +650,9 @@ def run_fragment_noisy(
         })
 
     if not prog.slots:
-        if site_probs:
-            pauli = _sample_paulis(rng, site_probs, (k_traj,),
-                                   balance_axis=0)
+        if site_tabs:
+            pauli = _sample_site_blocks(rng, site_tabs, (k_traj,),
+                                        balance_axis=0)
             rows = jax.vmap(lambda pm: sim_one([], pm))(pauli)
             row = jnp.mean(rows, axis=0)
         else:
@@ -517,8 +676,8 @@ def run_fragment_noisy(
     ]
     pauli = [
         b.reshape((total,) + b.shape[2:])
-        for b in _sample_paulis(rng, site_probs, (flat_count, k_traj),
-                                balance_axis=1)
+        for b in _sample_site_blocks(rng, site_tabs, (flat_count, k_traj),
+                                     balance_axis=1)
     ]
 
     from .variant_engine import chunk_cap, scan_variant_rows

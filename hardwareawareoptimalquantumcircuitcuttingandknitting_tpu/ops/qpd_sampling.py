@@ -375,7 +375,8 @@ def _simulate_label_rows_noisy(
     LABEL (ops/noise._pauli_idx) and averaged before folding."""
     from .noise import (
         _apply_rows_readout,
-        _sample_paulis,
+        _sample_site_blocks,
+        _site_active,
         frag_clbit_qubits,
     )
     from .variant_engine import chunk_cap, scan_variant_rows
@@ -388,8 +389,11 @@ def _simulate_label_rows_noisy(
     tables = _slot_tables(prog, specs, fused=False)
     L = lab_np.shape[0]
     rng = np.random.default_rng(seed)
-    site_probs = [p for (_, _, p) in sim_one.noise_sites]
-    k_traj = nm.trajectories if any(p > 0 for p in site_probs) else 1
+    site_tabs = [(pr, bank) for (_, _, pr, bank) in sim_one.noise_sites]
+    k_traj = (
+        nm.trajectories
+        if any(_site_active(pr) for pr, _ in site_tabs) else 1
+    )
     cq = dict(frag_clbit_qubits(virt, frag_name))
     if sim_one.readout_device is not None:
         cq.update({
@@ -398,13 +402,13 @@ def _simulate_label_rows_noisy(
         })
     width = max(1, 2 ** len(positions))
     if not prog.slots:
-        if site_probs and k_traj > 1:
-            pauli = _sample_paulis(rng, site_probs, (k_traj,),
-                                   balance_axis=0)
+        if site_tabs and k_traj > 1:
+            pauli = _sample_site_blocks(rng, site_tabs, (k_traj,),
+                                        balance_axis=0)
             rows = jax.vmap(lambda pm: sim_one([], pm))(pauli)
             row = jnp.mean(rows, axis=0)
-        elif site_probs:
-            row = sim_one([], _sample_paulis(rng, site_probs, ()))
+        elif site_tabs:
+            row = sim_one([], _sample_site_blocks(rng, site_tabs, ()))
         else:
             row = sim_one([])
         values = np.broadcast_to(np.asarray(row), (L, width)).copy()
@@ -418,11 +422,11 @@ def _simulate_label_rows_noisy(
             )
             for slot, tabs in zip(prog.slots, tables)
         ]
-        if site_probs:
+        if site_tabs:
             pauli = [
                 b.reshape((total,) + b.shape[2:])
-                for b in _sample_paulis(rng, site_probs, (L, k_traj),
-                                        balance_axis=1)
+                for b in _sample_site_blocks(rng, site_tabs, (L, k_traj),
+                                             balance_axis=1)
             ]
             args = (batched, pauli)
         else:

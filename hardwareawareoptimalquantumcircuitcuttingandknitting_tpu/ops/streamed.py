@@ -66,22 +66,23 @@ def _resolve_noise(virt: VirtualCircuit, noise):
     return [noise] * len(virt.fragments)
 
 
-def _sample_pauli_indices(rng, site_probs, count: int, traj: int) -> np.ndarray:
-    """[count, traj, n_sites] int32: 0 = identity, 1..3 = sampled Pauli
-    with per-site depolarising probability (ops/noise._sample_paulis
-    semantics, streamed as indices to keep the xs small).  The traj
-    axis is BALANCED per (label, site) — systematic allocation +
-    independent permutation (ops/noise._pauli_idx): unbiased per
-    trajectory, per-site main-effect variance removed from the
-    trajectory mean."""
-    from .noise import _pauli_idx
+def _sample_pauli_indices(rng, site_tabs, count: int, traj: int) -> np.ndarray:
+    """[count, traj, n_sites] int32 branch indices into each site's own
+    Kraus bank (ops/noise._sample_site_blocks semantics, streamed as
+    indices to keep the xs small; depolarising sites: 0 = identity,
+    1..3 = Pauli; relaxation sites: 0 = no-jump, 1 = decay, 2 = phase
+    jump).  The traj axis is BALANCED per (label, site) — systematic
+    allocation + independent permutation (ops/noise._site_idx):
+    unbiased per trajectory, per-site main-effect variance removed from
+    the trajectory mean."""
+    from .noise import _site_idx
 
-    s = len(site_probs)
+    s = len(site_tabs)
     if s == 0:
         return np.zeros((count, traj, 0), np.int32)
     return np.stack([
-        _pauli_idx(rng, float(p), (count, traj), balance_axis=1)
-        for p in site_probs
+        _site_idx(rng, pr, (count, traj), balance_axis=1)
+        for pr, _ in site_tabs
     ], axis=2)
 
 
@@ -218,6 +219,7 @@ def make_streamed_knit(
     slot_gcols = []    # per fragment: vgate column per slot
     w_tables = []      # per fragment: list of [nI, 2] f32 consts (touching)
     xs_pauli = []      # per fragment: [n_chunks, C, T, S] int32 (or [.., 0, 0])
+    site_banks = []    # per fragment: [S, 4, 2, 2, 2, 2] Kraus banks or None
     readout = []       # per fragment: 2x2 readout matrix or None
     width_bits = []    # per fragment: #written bits before folding
     fold_plans = []    # per fragment: list of (bit_offset | None)
@@ -269,12 +271,20 @@ def make_streamed_knit(
 
         if nm is None:
             xs_pauli.append(np.zeros((n_chunks, chunk, 0, 0), np.int32))
+            site_banks.append(None)
             readout.append(None)
         else:
             traj = trajectories or nm.trajectories
-            site_probs = [p for (_, _, p) in sim_one.noise_sites]
-            idx = _sample_pauli_indices(rng, site_probs, padded, traj)
+            site_tabs = [
+                (pr, bank) for (_, _, pr, bank) in sim_one.noise_sites
+            ]
+            idx = _sample_pauli_indices(rng, site_tabs, padded, traj)
             xs_pauli.append(_chunked(idx))
+            # [S, 4, 2, 2, 2, 2] per-site Kraus banks, gathered by the
+            # streamed branch indices inside the scan body
+            site_banks.append(jnp.asarray(
+                np.stack([bank for _, bank in site_tabs])
+            ) if site_tabs else jnp.zeros((0, 4, 2, 2, 2, 2), jnp.float32))
             from .noise import frag_clbit_qubits
 
             cq = dict(frag_clbit_qubits(virt, name))
@@ -339,9 +349,6 @@ def make_streamed_knit(
         + "->" + letters[: len(frag_names)]
     )
 
-    from .noise import _PAULI_BLOCKS  # [4, 2, 2, 2, 2] real blocks
-
-    pauli_table = jnp.asarray(_PAULI_BLOCKS)
 
     def _bank_for_fragment(fi):
         """[n_anc_pad, 2, 2^m_split] ancestor states: one prefix run per
@@ -452,9 +459,13 @@ def make_streamed_knit(
                 return jax.vmap(sim_one)(mats)
             row = sim_one([])
             return jnp.broadcast_to(row, (chunk, row.shape[0]))
-        # trajectory noise: pidx [chunk, T, S]; average rows over T
+        # trajectory noise: pidx [chunk, T, S]; average rows over T.
+        # Each site gathers its branch block from its OWN Kraus bank
+        # (depolarising or thermal-relaxation — ops/noise.gate_noise_sites)
+        sbank = site_banks[fi]
+
         def one_traj(m, pt):
-            return sim_one(m, pauli_table[pt])
+            return sim_one(m, sbank[jnp.arange(sbank.shape[0]), pt])
 
         if mats:
             rows = jax.vmap(
@@ -647,9 +658,16 @@ def _stream_fingerprint(virt, chunk, segment_chunks, models, trajectories,
             f"{sorted(map(tuple, nm.coupling)) if nm.coupling else None}"
             .encode()
         )
+        # thermal-relaxation calibration (scalars + gate durations):
+        # models differing only in T1/T2 must not share a checkpoint
+        h.update(
+            f"|t1={nm.t1}|t2={nm.t2}|g1={nm.gate_time_1q}"
+            f"|g2={nm.gate_time_2q}".encode()
+        )
         # per-qubit calibration vectors: two models sharing name/scalars
         # but different vectors must not share a checkpoint
-        for vec in (nm.p1_q, nm.p2_q, nm.ro01_q, nm.ro10_q):
+        for vec in (nm.p1_q, nm.p2_q, nm.ro01_q, nm.ro10_q, nm.t1_q,
+                    nm.t2_q):
             if vec is None:
                 h.update(b"|none")
             else:

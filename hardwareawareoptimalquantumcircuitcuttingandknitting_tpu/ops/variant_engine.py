@@ -726,35 +726,43 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
     positions = sorted(clbit_sources)
     sources = [clbit_sources[c] for c in positions]
 
-    # physical-gate noise sites: (after which op, on which qubit, prob)
-    noise_sites: list[tuple[int, int, float]] = []
+    # physical-gate noise sites: (after which op, on which qubit,
+    # sampling probs4, Kraus bank4) — depolarising per gate plus
+    # thermal-relaxation per touched qubit when the model carries T1/T2
+    # (ops/noise.gate_noise_sites)
+    noise_sites: list[tuple[int, int, object, object]] = []
     if noise is not None:
+        from .noise import _depol_site, _relax_site, gate_noise_sites
+
         for op_i, op in enumerate(prog_ops):
             kind = op[0]
             ph = phys[op_i] if phys is not None else op[2]
             if kind == "u":
                 if any(p is None for p in ph):
                     continue  # deferral-ancilla op: readout covers it
-                if len(op[2]) == 1:
-                    noise_sites.append(
-                        (op_i, op[2][0], noise.rate_1q(ph[0]))
-                    )
-                else:
-                    # one site per 2q gate (same convention as the uncut
-                    # path in ops/noise.simulate_noisy_circuit, so cut and
-                    # uncut circuits carry comparable noise burdens)
-                    noise_sites.append(
-                        (op_i, op[2][0], noise.rate_2q(ph[0], ph[1]))
-                    )
+                # one depolarising site per gate (same convention as the
+                # uncut path in ops/noise.simulate_noisy_circuit, so cut
+                # and uncut circuits carry comparable noise burdens)
+                for q, pr, bank in gate_noise_sites(noise, op[2], ph):
+                    noise_sites.append((op_i, q, pr, bank))
             elif kind == "slot_post":
                 # one endpoint of a cut 2q gate: the pair splits across
                 # fragments, so each endpoint carries half the 2q rate
                 dev = ph[0] if ph and ph[0] is not None else op[2][0]
                 noise_sites.append(
-                    (op_i, op[2][0], 0.5 * noise.rate_2q(dev, dev))
+                    (op_i, op[2][0],
+                     *_depol_site(0.5 * noise.rate_2q(dev, dev)))
                 )
+                if noise.has_relaxation:
+                    gamma, lam = noise.relax_gamma_lambda(
+                        dev, noise.gate_time_2q
+                    )
+                    if gamma > 0.0 or lam > 0.0:
+                        noise_sites.append(
+                            (op_i, op[2][0], *_relax_site(gamma, lam))
+                        )
     sites_after: dict[int, list[int]] = {}
-    for s_i, (op_i, _, _) in enumerate(noise_sites):
+    for s_i, (op_i, *_rest) in enumerate(noise_sites):
         sites_after.setdefault(op_i, []).append(s_i)
 
     # Lazy qubit introduction (both paths): a sim qubit's state bit exists

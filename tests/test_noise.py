@@ -372,8 +372,13 @@ def test_streamed_pauli_indices_balanced_and_empty():
         _sample_pauli_indices,
     )
 
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (
+        _depol_site,
+    )
+
     rng = np.random.default_rng(0)
-    idx = _sample_pauli_indices(rng, [0.1, 0.02], 64, 16)
+    tabs = [_depol_site(0.1), _depol_site(0.02)]
+    idx = _sample_pauli_indices(rng, tabs, 64, 16)
     assert idx.shape == (64, 16, 2) and idx.dtype == np.int32
     nz = (idx != 0).sum(axis=1)  # [64, 2] insertions per (label, site)
     assert nz[:, 0].max() <= 2 and nz[:, 0].min() >= 1   # 16*0.1 = 1.6
