@@ -193,6 +193,20 @@ def expectation_z_multi(
     expectations without materialising any 2^num_clbits distribution.
     """
     z_sets = [set(s) for s in z_sets]
+    # every Z support bit must actually be WRITTEN by a measure — an
+    # unmeasured clbit would silently contract as (+1,+1) and report 1.0
+    # (a circuit from the zoo without terminal measures is the common
+    # trap: add `circ.measure(q, c)` for every observable qubit)
+    written = {
+        p for res in results for p in res.bit_positions
+        if p < virt.num_clbits
+    }
+    for z in z_sets:
+        missing = z - written
+        assert not missing, (
+            f"z_clbits {sorted(missing)} are never measured "
+            f"(written data clbits: {sorted(written)})"
+        )
     letters = list(string.ascii_letters)
     vgate_letter = {g: letters.pop() for g in range(len(virt.vgates))}
     set_letter = letters.pop()

@@ -102,12 +102,27 @@ def richardson_extrapolate(scales, values, order: int | None = None) -> float:
     return float(np.polyval(np.polyfit(s, v, deg), 0.0))
 
 
+def exponential_extrapolate(scales, values) -> float:
+    """Zero-noise value assuming exponential decay ``v(s) = a e^{-b s}``
+    (the correct model when the observable damps multiplicatively per
+    noise site — e.g. parity under depolarising noise): least-squares
+    line through ``log v``, evaluated at 0.  Requires positive values;
+    falls back to linear Richardson when any sample is <= 0 (deep-noise
+    regime where the sign information is gone)."""
+    s = np.asarray(scales, np.float64)
+    v = np.asarray(values, np.float64)
+    if np.any(v <= 0.0):
+        return richardson_extrapolate(s, v, order=1)
+    return float(np.exp(np.polyval(np.polyfit(s, np.log(v), 1), 0.0)))
+
+
 def zne_expectation_z(
     virt,
     z_clbits,
     noise,
     scales=(1.0, 2.0, 3.0),
     order: int | None = None,
+    method: str = "richardson",
     seed: int = 0,
     trajectories: int | None = None,
     chunk: int = 512,
@@ -118,6 +133,9 @@ def zne_expectation_z(
     Richardson-extrapolated to scale 0.
 
     ``noise``: NoiseModel or per-fragment list (each entry scaled).
+    ``method``: "richardson" (polynomial, ``order``) or "exp"
+    (:func:`exponential_extrapolate` — prefer it when the observable is
+    a parity that damps multiplicatively, e.g. GHZ <Z...Z>).
     Returns ``(zne_estimate, per_scale_values)`` — the raw values let
     callers inspect the fit and the scale-1 (unmitigated) baseline.
     """
@@ -133,4 +151,7 @@ def zne_expectation_z(
             virt, z_clbits, chunk=chunk, noise=nmf,
             trajectories=trajectories, seed=seed + 997 * i,
         ))
+    if method == "exp":
+        return exponential_extrapolate(scales, vals), vals
+    assert method == "richardson", method
     return richardson_extrapolate(scales, vals, order=order), vals

@@ -872,6 +872,18 @@ def streamed_expectation_z(
     ``noise``: optional NoiseModel / per-fragment list — the observable
     of the trajectory-noise + readout-channel estimate (same engine as
     the noisy streamed distribution path)."""
+    # every Z support bit must be WRITTEN by a measure — an unmeasured
+    # clbit would silently contract as (+1,+1) and report 1.0 (zoo
+    # circuits without terminal measures are the common trap)
+    written = {
+        c for p in virt.programs.values() for c in p.clbit_sources
+        if c < virt.num_clbits
+    }
+    missing = set(z_clbits) - written
+    assert not missing, (
+        f"z_clbits {sorted(missing)} are never measured "
+        f"(written data clbits: {sorted(written)})"
+    )
     models = _resolve_noise(virt, noise)
     traj_eff = max(
         [trajectories or nm.trajectories for nm in models if nm is not None],

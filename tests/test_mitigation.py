@@ -76,6 +76,18 @@ def test_scale_noise_semantics():
     assert z.p1 == 0.0 and z.relax_gamma_lambda(0, z.gate_time_1q) == (0.0, 0.0)
 
 
+def test_exponential_extrapolation():
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.mitigation import (
+        exponential_extrapolate,
+    )
+
+    s = [1.0, 2.0, 3.0]
+    v = [0.9 * np.exp(-0.4 * x) for x in s]
+    assert exponential_extrapolate(s, v) == pytest.approx(0.9, abs=1e-10)
+    # non-positive sample -> linear-Richardson fallback, no crash
+    assert np.isfinite(exponential_extrapolate([1.0, 2.0], [0.1, -0.05]))
+
+
 def test_richardson_exact_on_polynomial():
     # values lie on v(s) = 1 - 0.1 s - 0.02 s^2 -> v(0) = 1
     s = [1.0, 2.0, 3.0]
