@@ -253,7 +253,7 @@ def write_table(results: dict, path: pathlib.Path):
         )
     lines += [
         "",
-        "Anchors: ghz-24 orig 0.731 = (1 - 1.27%)^24 is readout error on",
+        "Anchors: ghz-24 orig 0.731 = (1 - ~1.30%)^24 is readout error on",
         "24 measured bits — reproduced by the calibrated per-qubit readout",
         "vectors; the supremacy-class rows are 1000-shot sampling over 2^n",
         "near-flat outcomes (gate noise cannot bind: sup/syc use cz, not a",
@@ -278,6 +278,25 @@ def write_table(results: dict, path: pathlib.Path):
         "shots those rows are sampling-collapsed, so calibrated gate noise",
         "cannot move them measurably (the column would equal the parity",
         "column at ~30x the compute).",
+        "",
+        "## Thermal relaxation (T1/T2)",
+        "",
+        "The '+ T1/T2 relaxation' column re-runs the calibrated cut leg",
+        "with `fake_kolkata_v2(relaxation=True)` (same depolarising/",
+        "readout calibration plus per-qubit T1 ~100us / T2 ~70us vectors,",
+        "`--relaxation`): every physical gate additionally amplitude+",
+        "phase-damps each touched qubit for the gate duration, via",
+        "importance-sampled per-site Kraus banks in the same balanced-",
+        "trajectory machinery (batched / streamed / sampled engines).",
+        "The reference's untranspiled semantics binds no relaxation",
+        "either (qiskit-aer attaches thermal_relaxation_error through",
+        "calibration entries the untranspiled gates never match), so the",
+        "column is ours-only, and sits below the depolarising-only",
+        "calibrated column exactly where circuits idle the longest",
+        "(add-10's deep Cuccaro chain loses the most).  Unbiasedness and",
+        "the non-unital |0>-bias are locked by `tests/test_relaxation.py`",
+        "(dense density-matrix oracle differential, analytic 1-qubit",
+        "gamma check, engine agreement on a cut GHZ).",
         "",
     ]
     path.write_text("\n".join(lines))

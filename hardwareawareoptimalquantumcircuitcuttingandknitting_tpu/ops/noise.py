@@ -181,27 +181,57 @@ def _relax_site(gamma: float, lam: float) -> tuple[np.ndarray, np.ndarray]:
     return probs / probs.sum(), bank
 
 
+def pec_inverse_site(p: float) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(sampling probs4, bank4, branch_weights4) for the quasi-probability
+    INVERSE of the 1-qubit depolarising channel — probabilistic error
+    cancellation (PEC), the mitigation twin of QPD gate cutting: with
+    eta = 4p/3,
+
+        D_p^{-1} = w0 I + sum_k w_k (P_k . P_k),
+        w0 = (1 - eta/4)/(1 - eta),   w_k = -(eta/4)/(1 - eta)
+
+    (sum w_i = 1, one-norm gamma = (1 + eta/2)/(1 - eta)).  Branch i is
+    sampled with |w_i|/gamma and the trajectory ROW is multiplied by
+    branch_weights[i] = sign(w_i)*gamma — the same importance-sampled
+    signed-mixture estimator as the QPD knit itself, so in expectation a
+    noise site followed by its inverse site is the identity channel at a
+    gamma^2 variance cost."""
+    eta = 4.0 * p / 3.0
+    assert eta < 1.0, f"depolarising p={p} has no quasi-inverse"
+    w = np.array(
+        [(1.0 - eta / 4.0) / (1.0 - eta)] + [-(eta / 4.0) / (1.0 - eta)] * 3,
+        np.float64,
+    )
+    gamma = np.abs(w).sum()
+    return np.abs(w) / gamma, _PAULI_BLOCKS, np.sign(w) * gamma
+
+
 def gate_noise_sites(nm: NoiseModel, frag_axes, dev_axes):
-    """All (fragment-local qubit, probs4, bank4) insertion sites for one
-    physical gate on fragment-local qubits ``frag_axes`` mapped to device
-    qubits ``dev_axes``: the depolarising site (one per gate, on the
-    first qubit — the uncut/cut paths share this convention so both
-    circuit forms carry comparable noise burdens), then one thermal-
-    relaxation site per touched qubit when the model carries T1/T2."""
+    """All (fragment-local qubit, probs4, bank4, weights4-or-None)
+    insertion sites for one physical gate on fragment-local qubits
+    ``frag_axes`` mapped to device qubits ``dev_axes``: the depolarising
+    site (one per gate, on the first qubit — the uncut/cut paths share
+    this convention so both circuit forms carry comparable noise
+    burdens), then one thermal-relaxation site per touched qubit when
+    the model carries T1/T2, then — with ``nm.pec`` — the signed
+    quasi-inverse of the depolarising site (:func:`pec_inverse_site`).
+    ``weights4`` is None for ordinary (probability) sites; PEC sites
+    carry the per-branch signed row weights."""
     sites = []
     if len(frag_axes) == 1:
-        sites.append((frag_axes[0], *_depol_site(nm.rate_1q(dev_axes[0]))))
+        p = nm.rate_1q(dev_axes[0])
         dur = nm.gate_time_1q
     else:
-        sites.append(
-            (frag_axes[0], *_depol_site(nm.rate_2q(dev_axes[0], dev_axes[1])))
-        )
+        p = nm.rate_2q(dev_axes[0], dev_axes[1])
         dur = nm.gate_time_2q
+    sites.append((frag_axes[0], *_depol_site(p), None))
     if nm.has_relaxation:
         for fq, dq in zip(frag_axes, dev_axes):
             gamma, lam = nm.relax_gamma_lambda(dq, dur)
             if gamma > 0.0 or lam > 0.0:
-                sites.append((fq, *_relax_site(gamma, lam)))
+                sites.append((fq, *_relax_site(gamma, lam), None))
+    if nm.pec and p > 0.0:
+        sites.append((frag_axes[0], *pec_inverse_site(p)))
     return sites
 
 
