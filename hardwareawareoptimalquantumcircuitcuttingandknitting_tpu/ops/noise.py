@@ -96,6 +96,13 @@ class NoiseModel:
     t2_q: np.ndarray | None = None     # [num_qubits] per-qubit T2
     gate_time_1q: float = 35e-9        # typical IBM sx/x duration
     gate_time_2q: float = 300e-9       # typical IBM CX duration
+    # Probabilistic error cancellation: insert the signed quasi-inverse
+    # of every depolarising site (pec_inverse_site) — the trajectory
+    # mean then estimates the NOISELESS circuit at a prod(gamma_s)^2
+    # variance cost.  Batched engines only (per-trajectory signed row
+    # weights); readout stays physical — invert it separately with
+    # ops.mitigation.mitigate_readout.
+    pec: bool = False
 
     def _at(self, vec, scalar, q):
         if vec is None:
@@ -377,6 +384,17 @@ def _site_active(probs) -> bool:
     return float(np.asarray(probs)[0]) < 1.0
 
 
+def _traj_weights(site_w, idxs, shape) -> np.ndarray:
+    """Per-trajectory signed row weight: the product of every signed
+    quasi-site's sampled branch weight (PEC — pec_inverse_site); ordinary
+    probability sites (weights None) contribute 1."""
+    w = np.ones(shape, np.float64)
+    for w4, idx in zip(site_w, idxs):
+        if w4 is not None:
+            w = w * np.asarray(w4, np.float64)[idx]
+    return w
+
+
 def _sample_site_blocks(rng: np.random.Generator, site_tabs, shape,
                         balance_axis=None):
     """site_tabs: per-site (probs4, bank4) list [S]; returns real blocks
@@ -486,17 +504,22 @@ def simulate_noisy_circuit(
     # across models — plus thermal-relaxation sites per touched qubit
     # when the model carries T1/T2 (gate_noise_sites).
     names = compiled.op_names or [None] * len(gate_ops)
-    sites: list[tuple[int, int, np.ndarray, np.ndarray]] = []
+    sites: list[tuple[int, int, np.ndarray, np.ndarray, object]] = []
     if nm.untranspiled:
         assert not nm.has_relaxation, (
             "untranspiled mode reproduces the reference's calibration-"
             "bound depolarising semantics; T1/T2 relaxation needs the "
             "calibrated (routed) mode"
         )
+        assert not nm.pec, (
+            "untranspiled mode is the reference-parity path; PEC needs "
+            "the calibrated mode"
+        )
         for i, (_, _, axes) in enumerate(gate_ops):
             sites.append((
                 i, axes[0],
                 *_depol_site(untranspiled_site_rate(nm, names[i], axes)),
+                None,
             ))
     else:
         # without routing, phys is None and deferral ops keep their original
@@ -507,14 +530,14 @@ def simulate_noisy_circuit(
             if any(p is None for p in ph) or (
                 phys is None and names[i] == "_defer"
             ):  # touches a deferral ancilla: readout covers it
-                sites.append((i, axes[0], *_depol_site(0.0)))
+                sites.append((i, axes[0], *_depol_site(0.0), None))
                 continue
-            for q, pr, bank in gate_noise_sites(nm, axes, ph):
-                sites.append((i, q, pr, bank))
+            for site in gate_noise_sites(nm, axes, ph):
+                sites.append((i, *site))
     sites_after: dict[int, list[int]] = {}
     for s_i, (op_i, *_rest) in enumerate(sites):
         sites_after.setdefault(op_i, []).append(s_i)
-    active = [_site_active(pr) for (_, _, pr, _) in sites]
+    active = [_site_active(pr) for (_, _, pr, _, _) in sites]
     k_traj = nm.trajectories
     if sites and not any(active):
         k_traj = 1  # no noise sites bind: one trajectory IS exact
@@ -545,7 +568,7 @@ def simulate_noisy_circuit(
         #   P = c0*P_ideal + sum_s p_s*c0/(1-p_s) * mean_{X,Y,Z} P_(s,Pauli)
         # up to O(p^2) ~ 1e-5 — deterministic, unlike trajectory sampling,
         # so the recorded parity table is reproducible run to run.
-        site_p = [1.0 - float(pr[0]) for (_, _, pr, _) in sites]
+        site_p = [1.0 - float(pr[0]) for (_, _, pr, _, _) in sites]
         nonzero = [i for i, p in enumerate(site_p) if p > 0.0]
         n_branch = 1 + 3 * len(nonzero)
         ident = _PAULI_BLOCKS[0]
@@ -585,8 +608,15 @@ def simulate_noisy_circuit(
         # batch (wrap-padded so the jitted batch shape stays static)
         idx_all = [
             _site_idx(rng, pr, (k_traj,), balance_axis=0)
-            for (_, _, pr, _) in sites
+            for (_, _, pr, _, _) in sites
         ]
+        # PEC: per-trajectory signed row weight = product over signed-
+        # quasi-site branch weights (1.0 for ordinary probability sites)
+        w_traj = np.ones(k_traj, np.float64)
+        for s, idx in enumerate(idx_all):
+            w4 = sites[s][4]
+            if w4 is not None:
+                w_traj *= np.asarray(w4, np.float64)[idx]
         acc = None
         done = 0
         while done < k_traj:
@@ -595,7 +625,8 @@ def simulate_noisy_circuit(
             pauli = [
                 sites[s][3][idx[sel]] for s, idx in enumerate(idx_all)
             ]
-            part = np.asarray(sim_batch(pauli))[:b].sum(axis=0)
+            part = np.asarray(sim_batch(pauli))
+            part = (part[:b] * w_traj[sel[:b], None]).sum(axis=0)
             acc = part if acc is None else acc + part
             done += b
         probs_vec = jnp.asarray(acc / k_traj)
@@ -671,7 +702,8 @@ def run_fragment_noisy(
     width = max(1, 2 ** len(positions))
     prog = virt.programs[frag_name]
 
-    site_tabs = [(pr, bank) for (_, _, pr, bank) in sim_one.noise_sites]
+    site_tabs = [(pr, bank) for (_, _, pr, bank, _) in sim_one.noise_sites]
+    site_w = [w for (_, _, _, _, w) in sim_one.noise_sites]
 
     cq = dict(frag_clbit_qubits(virt, frag_name))
     if sim_one.readout_device is not None:
@@ -681,10 +713,16 @@ def run_fragment_noisy(
 
     if not prog.slots:
         if site_tabs:
-            pauli = _sample_site_blocks(rng, site_tabs, (k_traj,),
-                                        balance_axis=0)
+            idxs = [
+                _site_idx(rng, pr, (k_traj,), balance_axis=0)
+                for pr, _ in site_tabs
+            ]
+            pauli = [bank[i] for (_, bank), i in zip(site_tabs, idxs)]
             rows = jax.vmap(lambda pm: sim_one([], pm))(pauli)
-            row = jnp.mean(rows, axis=0)
+            w = _traj_weights(site_w, idxs, (k_traj,))
+            row = jnp.mean(
+                rows * jnp.asarray(w, rows.dtype)[:, None], axis=0
+            )
         else:
             # no physical-gate noise sites (e.g. a deferral-only
             # fragment): the exact row IS the trajectory mean, and
@@ -704,11 +742,15 @@ def run_fragment_noisy(
     batched_slots = [
         tuple(np.asarray(m)[v_idx] for m in mats) for mats in slot_mats
     ]
-    pauli = [
-        b.reshape((total,) + b.shape[2:])
-        for b in _sample_site_blocks(rng, site_tabs, (flat_count, k_traj),
-                                     balance_axis=1)
+    idxs = [
+        _site_idx(rng, pr, (flat_count, k_traj), balance_axis=1)
+        for pr, _ in site_tabs
     ]
+    pauli = [
+        bank[i].reshape((total,) + bank.shape[1:])
+        for (_, bank), i in zip(site_tabs, idxs)
+    ]
+    w = _traj_weights(site_w, idxs, (flat_count, k_traj))
 
     from .variant_engine import chunk_cap, scan_variant_rows
 
@@ -719,7 +761,8 @@ def run_fragment_noisy(
     values = scan_variant_rows(
         sim_one, (batched_slots, pauli), total, chunk
     )
-    values = values.reshape(flat_count, k_traj, width).mean(axis=1)
+    values = values.reshape(flat_count, k_traj, width)
+    values = (values * w[:, :, None].astype(np.float32)).mean(axis=1)
     values = _apply_rows_readout(values, positions, nm, cq)
     return FragmentResult(frag_name, values, positions, list(prog.touching))
 

@@ -389,7 +389,11 @@ def _simulate_label_rows_noisy(
     tables = _slot_tables(prog, specs, fused=False)
     L = lab_np.shape[0]
     rng = np.random.default_rng(seed)
-    site_tabs = [(pr, bank) for (_, _, pr, bank) in sim_one.noise_sites]
+    assert all(w is None for (_, _, _, _, w) in sim_one.noise_sites), (
+        "PEC (signed quasi-sites) is batched-engine-only: "
+        "run_noisy_virtual_circuit(engine='auto')"
+    )
+    site_tabs = [(pr, bank) for (_, _, pr, bank, _) in sim_one.noise_sites]
     k_traj = (
         nm.trajectories
         if any(_site_active(pr) for pr, _ in site_tabs) else 1

@@ -275,8 +275,12 @@ def make_streamed_knit(
             readout.append(None)
         else:
             traj = trajectories or nm.trajectories
+            assert all(
+                w is None for (_, _, _, _, w) in sim_one.noise_sites
+            ), ("PEC (signed quasi-sites) is batched-engine-only: "
+                "run_noisy_virtual_circuit(engine='auto')")
             site_tabs = [
-                (pr, bank) for (_, _, pr, bank) in sim_one.noise_sites
+                (pr, bank) for (_, _, pr, bank, _) in sim_one.noise_sites
             ]
             idx = _sample_pauli_indices(rng, site_tabs, padded, traj)
             xs_pauli.append(_chunked(idx))

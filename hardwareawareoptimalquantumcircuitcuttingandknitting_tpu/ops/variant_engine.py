@@ -727,12 +727,18 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
     sources = [clbit_sources[c] for c in positions]
 
     # physical-gate noise sites: (after which op, on which qubit,
-    # sampling probs4, Kraus bank4) — depolarising per gate plus
-    # thermal-relaxation per touched qubit when the model carries T1/T2
+    # sampling probs4, Kraus bank4, signed branch weights4 | None) —
+    # depolarising per gate, thermal relaxation per touched qubit when
+    # the model carries T1/T2, and the PEC quasi-inverse when nm.pec
     # (ops/noise.gate_noise_sites)
-    noise_sites: list[tuple[int, int, object, object]] = []
+    noise_sites: list[tuple[int, int, object, object, object]] = []
     if noise is not None:
-        from .noise import _depol_site, _relax_site, gate_noise_sites
+        from .noise import (
+            _depol_site,
+            _relax_site,
+            gate_noise_sites,
+            pec_inverse_site,
+        )
 
         for op_i, op in enumerate(prog_ops):
             kind = op[0]
@@ -743,15 +749,15 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
                 # one depolarising site per gate (same convention as the
                 # uncut path in ops/noise.simulate_noisy_circuit, so cut
                 # and uncut circuits carry comparable noise burdens)
-                for q, pr, bank in gate_noise_sites(noise, op[2], ph):
-                    noise_sites.append((op_i, q, pr, bank))
+                for site in gate_noise_sites(noise, op[2], ph):
+                    noise_sites.append((op_i, *site))
             elif kind == "slot_post":
                 # one endpoint of a cut 2q gate: the pair splits across
                 # fragments, so each endpoint carries half the 2q rate
                 dev = ph[0] if ph and ph[0] is not None else op[2][0]
+                p_half = 0.5 * noise.rate_2q(dev, dev)
                 noise_sites.append(
-                    (op_i, op[2][0],
-                     *_depol_site(0.5 * noise.rate_2q(dev, dev)))
+                    (op_i, op[2][0], *_depol_site(p_half), None)
                 )
                 if noise.has_relaxation:
                     gamma, lam = noise.relax_gamma_lambda(
@@ -759,8 +765,12 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
                     )
                     if gamma > 0.0 or lam > 0.0:
                         noise_sites.append(
-                            (op_i, op[2][0], *_relax_site(gamma, lam))
+                            (op_i, op[2][0], *_relax_site(gamma, lam), None)
                         )
+                if noise.pec and p_half > 0.0:
+                    noise_sites.append(
+                        (op_i, op[2][0], *pec_inverse_site(p_half))
+                    )
     sites_after: dict[int, list[int]] = {}
     for s_i, (op_i, *_rest) in enumerate(noise_sites):
         sites_after.setdefault(op_i, []).append(s_i)
