@@ -78,7 +78,7 @@ def main() -> None:
             result["tpu_fallback"] = "cpu"
     if result is None:
         result = {
-            "metric": "ghz24_p2q12_cut_sim_knit_wall",
+            "metric": "ghz24_p2q12_steady_serve_step",
             "value": -1, "unit": "s", "vs_baseline": 0,
             "error": "both tpu and cpu attempts failed",
         }

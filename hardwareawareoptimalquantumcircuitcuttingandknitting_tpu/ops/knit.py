@@ -203,10 +203,11 @@ def expectation_z_multi(
     }
     for z in z_sets:
         missing = z - written
-        assert not missing, (
-            f"z_clbits {sorted(missing)} are never measured "
-            f"(written data clbits: {sorted(written)})"
-        )
+        if missing:  # ValueError, not assert: must survive ``python -O``
+            raise ValueError(
+                f"z_clbits {sorted(missing)} are never measured "
+                f"(written data clbits: {sorted(written)})"
+            )
     letters = list(string.ascii_letters)
     vgate_letter = {g: letters.pop() for g in range(len(virt.vgates))}
     set_letter = letters.pop()

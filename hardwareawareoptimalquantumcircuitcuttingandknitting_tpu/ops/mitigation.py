@@ -56,7 +56,19 @@ def mitigate_readout(
     vals = np.asarray(dist.values, np.float64).reshape(-1)
     for j in range(k):
         q = bit_qubits[j] if bit_qubits is not None else j
-        m = np.linalg.inv(np.asarray(nm.readout_matrix(q), np.float64))
+        mat = np.asarray(nm.readout_matrix(q), np.float64)
+        # det(readout_matrix) = 1 - p01 - p10: rates summing to ~1 make
+        # the channel (near-)singular — inversion would amplify noise
+        # unboundedly or raise a bare LinAlgError; name the offender
+        det = float(np.linalg.det(mat))
+        if abs(det) < 1e-6:
+            raise ValueError(
+                f"readout channel on clbit {dist.bit_positions[j]} "
+                f"(device qubit {q}) is numerically singular "
+                f"(readout01+readout10 ~ 1, det={det:.2e}); its inverse "
+                "is unusable — fix the calibration rates"
+            )
+        m = np.linalg.inv(mat)
         high, low = 1 << (k - 1 - j), 1 << j
         v3 = vals.reshape(high, 2, low)
         vals = np.einsum("ab,hbl->hal", m, v3).reshape(-1)
@@ -135,12 +147,19 @@ def zne_expectation_z(
     ``noise``: NoiseModel or per-fragment list (each entry scaled).
     ``method``: "richardson" (polynomial, ``order``) or "exp"
     (:func:`exponential_extrapolate` — prefer it when the observable is
-    a parity that damps multiplicatively, e.g. GHZ <Z...Z>).
+    a parity that damps multiplicatively, e.g. GHZ <Z...Z>; the exp fit
+    is a fixed 2-parameter model, so ``order`` must be left None).
     Returns ``(zne_estimate, per_scale_values)`` — the raw values let
     callers inspect the fit and the scale-1 (unmitigated) baseline.
     """
     from .streamed import streamed_expectation_z
 
+    if method == "exp" and order is not None:
+        raise ValueError(
+            "method='exp' fits the 2-parameter model a*e^{-b*s}; the "
+            f"order={order} polynomial degree does not apply — drop it "
+            "or use method='richardson'"
+        )
     vals = []
     for i, f in enumerate(scales):
         if isinstance(noise, (list, tuple)):

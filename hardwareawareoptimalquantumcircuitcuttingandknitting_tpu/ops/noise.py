@@ -219,11 +219,14 @@ def gate_noise_sites(nm: NoiseModel, frag_axes, dev_axes):
     ``frag_axes`` mapped to device qubits ``dev_axes``: the depolarising
     site (one per gate, on the first qubit — the uncut/cut paths share
     this convention so both circuit forms carry comparable noise
-    burdens), then one thermal-relaxation site per touched qubit when
-    the model carries T1/T2, then — with ``nm.pec`` — the signed
-    quasi-inverse of the depolarising site (:func:`pec_inverse_site`).
-    ``weights4`` is None for ordinary (probability) sites; PEC sites
-    carry the per-branch signed row weights."""
+    burdens), then — with ``nm.pec`` — the signed quasi-inverse of the
+    depolarising site (:func:`pec_inverse_site`) IMMEDIATELY after it
+    (relaxation is non-unital and does not commute with depolarising;
+    interleaving relaxation between D and D^-1 would compose
+    D^-1∘R∘D != R and bias the mitigated channel by O(p·(gamma+lam))),
+    then one thermal-relaxation site per touched qubit when the model
+    carries T1/T2.  ``weights4`` is None for ordinary (probability)
+    sites; PEC sites carry the per-branch signed row weights."""
     sites = []
     if len(frag_axes) == 1:
         p = nm.rate_1q(dev_axes[0])
@@ -232,13 +235,13 @@ def gate_noise_sites(nm: NoiseModel, frag_axes, dev_axes):
         p = nm.rate_2q(dev_axes[0], dev_axes[1])
         dur = nm.gate_time_2q
     sites.append((frag_axes[0], *_depol_site(p), None))
+    if nm.pec and p > 0.0:
+        sites.append((frag_axes[0], *pec_inverse_site(p)))
     if nm.has_relaxation:
         for fq, dq in zip(frag_axes, dev_axes):
             gamma, lam = nm.relax_gamma_lambda(dq, dur)
             if gamma > 0.0 or lam > 0.0:
                 sites.append((fq, *_relax_site(gamma, lam), None))
-    if nm.pec and p > 0.0:
-        sites.append((frag_axes[0], *pec_inverse_site(p)))
     return sites
 
 

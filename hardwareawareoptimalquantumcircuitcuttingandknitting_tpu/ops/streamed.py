@@ -884,10 +884,11 @@ def streamed_expectation_z(
         if c < virt.num_clbits
     }
     missing = set(z_clbits) - written
-    assert not missing, (
-        f"z_clbits {sorted(missing)} are never measured "
-        f"(written data clbits: {sorted(written)})"
-    )
+    if missing:  # ValueError, not assert: must survive ``python -O``
+        raise ValueError(
+            f"z_clbits {sorted(missing)} are never measured "
+            f"(written data clbits: {sorted(written)})"
+        )
     models = _resolve_noise(virt, noise)
     traj_eff = max(
         [trajectories or nm.trajectories for nm in models if nm is not None],

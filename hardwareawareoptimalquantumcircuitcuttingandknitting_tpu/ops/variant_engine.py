@@ -759,6 +759,14 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
                 noise_sites.append(
                     (op_i, op[2][0], *_depol_site(p_half), None)
                 )
+                # the PEC quasi-inverse must sit IMMEDIATELY after its
+                # depolarising site, before the (non-unital,
+                # non-commuting) relaxation sites — same ordering as
+                # ops/noise.gate_noise_sites
+                if noise.pec and p_half > 0.0:
+                    noise_sites.append(
+                        (op_i, op[2][0], *pec_inverse_site(p_half))
+                    )
                 if noise.has_relaxation:
                     gamma, lam = noise.relax_gamma_lambda(
                         dev, noise.gate_time_2q
@@ -767,10 +775,6 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
                         noise_sites.append(
                             (op_i, op[2][0], *_relax_site(gamma, lam), None)
                         )
-                if noise.pec and p_half > 0.0:
-                    noise_sites.append(
-                        (op_i, op[2][0], *pec_inverse_site(p_half))
-                    )
     sites_after: dict[int, list[int]] = {}
     for s_i, (op_i, *_rest) in enumerate(noise_sites):
         sites_after.setdefault(op_i, []).append(s_i)
