@@ -36,6 +36,7 @@ class Cutter:
         maxNCuts: int | None = None,
         maxCutsPerPartitions: int | None = None,
         costModel=None,
+        gammaMode: bool = False,
     ) -> None:
         self.logger = get_logger(__name__)
         self.inputCirc = inputCirc.copy()
@@ -86,6 +87,22 @@ class Cutter:
                 f"maxNPartitions={maxNPartitions} exceeds the circuit's "
                 f"{self.graph.num_vertices} cut-graph vertices"
             )
+        # angle-aware objective (cutter/gamma.py): the per-cut cost is the
+        # TRUE QPD 1-norm (gamma(cp(theta)) -> 1 for small theta) instead
+        # of the reference's flat 6/8 multipliers (Cutter.py:452-471) —
+        # opt-in; the parity table stays the default
+        if gammaMode:
+            if costModel is not None:
+                raise ValueError(
+                    "gammaMode derives per-cut costs from the QPD tables; "
+                    "a custom costModel cannot apply"
+                )
+            if forceNWireCuts:
+                raise ValueError(
+                    "gammaMode searches gate-cut-only static plans; "
+                    "forceNWireCuts > 0 cannot be satisfied "
+                    "(see cutter/gamma.py for the rationale)"
+                )
         cost_kwargs = {}
         if costModel is not None:
             # utils.config.CostModel (or duck-typed equivalent): replaces
@@ -114,6 +131,7 @@ class Cutter:
             max_n_qpd_cuts=maxNQpdCuts,
             max_cuts_per_partition=maxCutsPerPartitions,
             spare_capacity=sum(caps) - inputCirc.num_qubits,
+            gamma_mode=gammaMode,
             **cost_kwargs,
         )
         self.plan: CutPlan | None = None

@@ -69,6 +69,9 @@ class SolverConfig:
     gate_qpd_cost: tuple = GATE_QPD_COST
     wire_qpd_cost: tuple = WIRE_QPD_COST
     tele_cost: tuple = TELE_COST
+    # angle-aware objective: minimise the TRUE QPD 1-norm product instead
+    # of the parity 6/8 multipliers (cutter/gamma.py; Cutter(gammaMode=...))
+    gamma_mode: bool = False
 
     def has_default_costs(self) -> bool:
         return (
@@ -340,6 +343,10 @@ def plan_signature(plan: CutPlan) -> tuple:
 
 def solve(graph: CutGraph, cfg: SolverConfig) -> CutPlan | None:
     """Solve with the native C++ solver when available, else pure Python."""
+    if cfg.gamma_mode:
+        from .gamma import solve_gamma
+
+        return solve_gamma(graph, cfg)
     if graph.num_vertices == 0:
         return solve_python(graph, cfg)  # trivial cut-free plan
     try:

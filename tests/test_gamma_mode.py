@@ -1,0 +1,245 @@
+"""Angle-aware (gamma-mode) cut search — cutter/gamma.py.
+
+Locks VERDICT r3 action #1: the solver objective is the TRUE QPD 1-norm
+product (gamma(cp(theta)) -> 1 as theta -> 0) instead of the reference's
+flat 6/8 multipliers (/root/reference/src/HwAwareCutter/Cutter.py:452-471
+vs /root/reference/third_party/qvm/qvm/virtual_gates.py:262-291), and the
+solved plan feeds the sampled engine end-to-end (qft-8-scale twin of the
+qft-16 TPU delivery, benchmarks/qft16_sampled.py).
+"""
+import math
+
+import numpy as np
+import pytest
+
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.circuit import (
+    Circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
+    Cutter,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.gamma import (
+    gamma_of_edge,
+    gamma_of_spec,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.graph import (
+    read_circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.qft import (
+    library_qft,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.tables import (
+    spec_for,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (
+    VirtualCircuit,
+)
+
+
+def _qft_gamma_analytic(n: int) -> float:
+    """gamma_total of the n-1 cp cuts isolating an end qubit of qft-n:
+    gamma(cp(theta)) = 1 + 2|sin(theta/2)| with theta = pi/2^d."""
+    return math.prod(
+        1 + 2 * math.sin(math.pi / 2 ** (d + 1)) for d in range(1, n)
+    )
+
+
+def test_gamma_of_spec_values():
+    assert gamma_of_spec(spec_for("cz")) == pytest.approx(3.0)
+    assert gamma_of_spec(spec_for("cx")) == pytest.approx(3.0)
+    assert gamma_of_spec(spec_for("cy")) == pytest.approx(3.0)
+    assert gamma_of_spec(spec_for("move")) == pytest.approx(4.0)
+    for theta in (math.pi / 2, math.pi / 8, 0.3):
+        assert gamma_of_spec(spec_for("cp", (theta,))) == pytest.approx(
+            1 + 2 * abs(math.sin(theta / 2))
+        )
+        # rzz(theta) = exp(-i theta/2 ZZ): gamma = 1 + 2|sin(theta)|
+        # (the Piveteau-Sutter optimal for exp(i alpha ZZ) is
+        # 1 + 2|sin(2 alpha)|; cp(theta) ~ rzz(-theta/2) + local frames,
+        # hence its 1 + 2|sin(theta/2)| above)
+        assert gamma_of_spec(spec_for("rzz", (theta,))) == pytest.approx(
+            1 + 2 * abs(math.sin(theta))
+        )
+
+
+def test_gamma_of_edge_kinds():
+    c = Circuit(3, 0)
+    c.cp(math.pi / 4, 0, 1)
+    c.cx(1, 2)
+    g = read_circuit(c)
+    gate_edges = [i for i, e in enumerate(g.edges) if e[2] == 1]
+    wire_edges = [i for i, e in enumerate(g.edges) if e[2] == 0]
+    assert gamma_of_edge(g, gate_edges[0]) == pytest.approx(
+        1 + 2 * math.sin(math.pi / 8)
+    )
+    assert gamma_of_edge(g, gate_edges[1]) == pytest.approx(3.0)
+    assert gamma_of_edge(g, wire_edges[0]) == pytest.approx(4.0)
+
+
+def test_qft8_gamma_solve_matches_analytic_and_runtime_budget():
+    """qft-8, P2 Q7: the optimum isolates an end qubit (7 cp cuts whose
+    angles are pi/2..pi/2^7); solver S == analytic gamma == the sampled
+    engine's own cut_gammas product (solver objective and runtime budget
+    MUST be the same number)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        cut_gammas,
+        sampling_overhead,
+    )
+
+    circ = library_qft(8)
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=7,
+                    gammaMode=True)
+    assert cutter.solve()
+    m = cutter.plan.metrics
+    assert m.S == pytest.approx(_qft_gamma_analytic(8))
+    assert m.n_gate_cuts == 7 and m.n_wire_cuts == 0
+    assert sorted(m.Q_p) == [1, 7]
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    assert float(np.prod(cut_gammas(virt))) == pytest.approx(m.S)
+    assert sampling_overhead(virt)["kappa"] == pytest.approx(m.S * m.S)
+
+
+def test_parity_vs_gamma_objective_differ_on_qft():
+    """The parity objective is angle-blind (S = 6^cuts); gamma mode's S
+    is ~8.4 on the same qft-8 — the whole point of the mode."""
+    circ = library_qft(8)
+    parity = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=7,
+                    maxNQpdCuts=7, maxNCuts=7)
+    assert parity.solve()
+    assert parity.plan.metrics.S == 6**7
+    gamma = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=7,
+                   gammaMode=True)
+    assert gamma.solve()
+    assert gamma.plan.metrics.S < 9.0
+
+
+def test_gamma_mode_ghz_picks_single_cheap_cut():
+    """GHZ chain: one cx cut (gamma 3) splits the line; tie-break on Q
+    picks the balanced split."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
+        genCirc,
+    )
+
+    circ = genCirc("ghz", 8, 1)
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=4,
+                    gammaMode=True)
+    assert cutter.solve()
+    m = cutter.plan.metrics
+    assert m.S == pytest.approx(3.0)
+    assert m.n_gate_cuts == 1
+    assert sorted(m.Q_p) == [4, 4]
+
+
+def test_gamma_mode_constraints():
+    circ = library_qft(8)
+    with pytest.raises(ValueError, match="forceNWireCuts"):
+        Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=7,
+               gammaMode=True, forceNWireCuts=1)
+    # K8 interaction graph: any bipartition crosses >= 7 gates
+    tight = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=7,
+                   gammaMode=True, maxNCuts=5)
+    assert not tight.solve()
+    ok = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=7,
+                gammaMode=True, forceNGateCuts=7)
+    assert ok.solve()
+    assert ok.plan.metrics.n_gate_cuts == 7
+
+
+def test_gamma_mode_uncuttable_gates_bind_qubits():
+    """A swap (not virtualizable) forces its qubits into one partition."""
+    c = Circuit(4, 0)
+    c.cp(math.pi / 2, 0, 1)
+    c.swap(1, 2)
+    c.cz(2, 3)
+    cutter = Cutter(c, maxNPartitions=2, maxNQubitsPerPartition=3,
+                    gammaMode=True)
+    assert cutter.solve()
+    plan = cutter.plan
+    g = read_circuit(c.decompose())
+    part_of_qubit = {}
+    for v_idx, p in enumerate(plan.assignment):
+        part_of_qubit.setdefault(g.vertices[v_idx].qubit, p)
+    assert part_of_qubit[1] == part_of_qubit[2]
+    # cheapest crossing: the cp(pi/2) cut (gamma 2.414) not the cz (3)
+    assert plan.metrics.S == pytest.approx(1 + 2 * math.sin(math.pi / 4))
+
+
+def test_gamma_mode_resolve_enumeration():
+    """Repeat solve() enumerates further static plans, gamma
+    non-decreasing (Cutter.py:96-102 re-solve parity)."""
+    circ = library_qft(6)
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=5,
+                    gammaMode=True)
+    assert cutter.solve()
+    s0 = cutter.plan.metrics.S
+    first = tuple(cutter.plan.assignment)
+    assert cutter.solve()
+    assert tuple(cutter.plan.assignment) != first
+    assert cutter.plan.metrics.S >= s0 - 1e-12
+
+
+def test_gamma_plan_roundtrips_and_rewrites():
+    """Float-S plans serialize and the rewrite fragments them cleanly."""
+    circ = library_qft(6)
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=5,
+                    gammaMode=True)
+    assert cutter.solve()
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.plan import (
+        CutPlan,
+    )
+
+    plan2 = CutPlan.from_json(cutter.plan.to_json())
+    assert plan2.metrics.S == pytest.approx(cutter.plan.metrics.S)
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    assert len(virt.fragments) == 2
+    sizes = sorted(p.num_data_qubits for p in virt.programs.values())
+    assert sizes == [1, 5]
+
+
+def test_qft8_sampled_machinery_cpu_scale():
+    """The qft-16 TPU delivery's machinery at CPU scale: gamma-mode plan
+    -> sampled engine (LHS + control variate) -> marginal vs the exact
+    uncut oracle.  A random product-state input makes the output
+    distribution non-degenerate (plain QFT|0..0> is uniform)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        sampled_knit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+        simulate_circuit_host,
+    )
+
+    n = 8
+    rng = np.random.default_rng(7)
+    circ = Circuit(n, n)
+    for q in range(n):
+        circ.h(q)
+        circ.rz(float(rng.uniform(0, 2 * math.pi)), q)
+    body = library_qft(n)
+    for ins in body.instructions:
+        circ.instructions.append(ins.copy())
+    for q in range(n):
+        circ.measure(q, q)
+
+    cutter = Cutter(circ, maxNPartitions=2,
+                    maxNQubitsPerPartition=n - 1, gammaMode=True)
+    assert cutter.solve()
+    assert cutter.plan.metrics.S == pytest.approx(_qft_gamma_analytic(n))
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+
+    keep = [0, 1, 2]
+    est, se = sampled_knit(
+        virt, 60_000, seed=11, keep_clbits=keep, with_stderr=True,
+        method="lhs", control_variate=True,
+    )
+    probs = np.asarray(simulate_circuit_host(circ).values, np.float64)
+    v = probs.reshape([2] * n)  # axis n-1-j carries clbit j
+    marg = v.sum(axis=tuple(range(n - len(keep))))  # keep clbits 2,1,0
+    oracle = np.array([
+        marg[tuple((b >> j) & 1 for j in reversed(keep))]
+        for b in range(1 << len(keep))
+    ])
+    err = np.abs(np.asarray(est.values, np.float64) - oracle)
+    # within 5 sigma of the estimator's own stderr, and small in absolute
+    # terms (the artifact's eps-style bound)
+    assert float(err.max()) <= max(5.0 * float(se.max()), 1e-4)
+    assert float(err.max()) < 0.02
