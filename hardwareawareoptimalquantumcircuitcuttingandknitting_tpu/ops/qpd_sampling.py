@@ -334,6 +334,204 @@ def _marginalize_rows(t, positions, keep_clbits):
     return t, positions
 
 
+def _measured_here(virt, frag_name) -> dict[int, np.ndarray]:
+    """vgate -> bool[n_inst]: does THIS fragment hold the measuring
+    endpoint of variant v?  (The measuring side is always the owner —
+    virt/tables.py owner_side convention — so exactly one fragment
+    measures per measuring variant.)"""
+    prog = virt.programs[frag_name]
+    out: dict[int, np.ndarray] = {}
+    for slot in prog.slots:
+        spec = virt.vgates[slot.vgate_idx].spec
+        m = np.array(
+            [pair[slot.side].measure for pair in spec.endpoints], bool
+        )
+        g = slot.vgate_idx
+        out[g] = out[g] | m if g in out else m
+    return out
+
+
+def _label_has_measure(virt, labels: np.ndarray) -> np.ndarray:
+    """bool[L]: does the label's variant measure on ANY cut (either
+    side)?  Labels without measuring variants are collapse-noise-free."""
+    lab = np.asarray(labels)
+    has = np.zeros(lab.shape[0], bool)
+    for g, vg in enumerate(virt.vgates):
+        m = np.array(
+            [p[0].measure or p[1].measure for p in vg.spec.endpoints], bool
+        )
+        has |= m[lab[:, g]]
+    return has
+
+
+def _expand_measuring_counts(virt, uniq, counts, cap=None):
+    """Replicate measuring unique labels so every SAMPLE gets its own
+    independent collapse draw (collapse-mode rows are one-draw stochastic
+    estimates; sharing a draw across a label's count would make the
+    second-moment stderr underestimate the collapse noise — measured 7+
+    sigma on qft-6 before this fix).  ``cap`` bounds replicas per label
+    (cap=None = full per-sample independence, the honest default); with a
+    cap the residual stderr understatement is <= count/cap on the capped
+    (heavy, low-collapse-noise) labels.  Returns (labels [L', G],
+    float_counts [L']) with sum(float_counts) == sum(counts)."""
+    has = _label_has_measure(virt, uniq)
+    c = counts.astype(np.int64)
+    r = np.where(has, c if cap is None else np.minimum(c, int(cap)), 1)
+    r = np.maximum(r, 1)
+    labels = np.repeat(uniq, r, axis=0)
+    fcounts = np.repeat(counts / r, r)
+    return labels, fcounts
+
+
+def _expand_measuring_mass(virt, rows, w, reps):
+    """Head-path twin of :func:`_expand_measuring_counts`: exact-mass
+    labels have no counts, so measuring labels get a fixed ``reps``
+    independent draws (mass split evenly)."""
+    has = _label_has_measure(virt, np.asarray(rows))
+    r = np.where(has, max(1, int(reps)), 1)
+    return np.repeat(rows, r, axis=0), np.repeat(np.asarray(w) / r, r)
+
+
+def _collapse_flags(virt, collapse) -> list[bool]:
+    """Per-fragment collapse-mode decision.  ``collapse``: True / False /
+    "auto" — auto collapses a fragment when its ancilla-extended width
+    is infeasible (> 2^24 states) or the deferral ancillas inflate the
+    row width by > 2^8 over the data qubits (qft-16's lone-qubit
+    fragment: 1 data + 15 ancillas)."""
+    if isinstance(collapse, (list, tuple)):
+        return [bool(c) for c in collapse]
+    out = []
+    for reg in virt.fragments:
+        prog = virt.programs[reg.name]
+        if collapse == "auto":
+            out.append(
+                prog.num_sim_qubits > 24
+                or prog.num_sim_qubits - prog.num_data_qubits > 8
+            )
+        else:
+            out.append(bool(collapse))
+    return out
+
+
+def _simulate_label_rows_collapse(virt, frag_name, lab, seed: int,
+                                  dtype=None):
+    """[L, 2^d] per-unique-label probability rows with vgate measurements
+    COLLAPSED in-sim (variant_engine.collapse_qubit) and the fold weights
+    already applied — the state width stays at the data qubits however
+    many cuts measure (the ancilla path needs 2^(data+cuts): qft-16's
+    15|1 split would be 2^30).  Rows are unbiased one-draw estimates of
+    the exact folded rows; ``positions`` are the data clbits only.
+
+    PARITY-CRITICAL: the weight convention must match
+    :func:`_fold_rows_per_label` — variants measuring HERE fold at the
+    collapse site with ``w[v, b]``; every other variant multiplies by
+    ``w[v, 0]`` (owner-non-measuring coefficient, or 1 for non-owner
+    rows).  Equality-in-expectation is locked by
+    tests/test_collapse_mode.py."""
+    fn, positions, n_sites, _w = _collapse_row_builder(
+        virt, frag_name, dtype=dtype
+    )
+    rng = np.random.default_rng(seed)
+    L = int(np.asarray(lab).shape[0])
+    u = jnp.asarray(rng.random((L, max(1, n_sites))).astype(np.float32))
+    rows, _pos = fn(jnp.asarray(lab), u)
+    return rows, positions
+
+
+def _collapse_row_builder(virt, frag_name, dtype=None):
+    """(fn, positions, n_collapse_sites, width_qubits) for a collapse-mode
+    fragment: ``fn(lab [l, G], u [l, >=n_sites]) -> (rows [l, 2^d],
+    positions)`` is traceable (jit/scan-safe; the uniform draws come in
+    as an argument) and returns rows FULLY folded over the vgate
+    clbits."""
+    prog = virt.programs[frag_name]
+    sim_one, _, positions, _ = make_sim_fn(
+        virt, frag_name, build_matrices=False, collapse=True, dtype=dtype,
+    )
+    tables = _slot_tables(prog, [vg.spec for vg in virt.vgates],
+                          fused=False)
+    weights = _sign_weights(virt, frag_name)
+    ti_of = {g: i for i, g in enumerate(prog.touching)}
+    mh = _measured_here(virt, frag_name)
+    site_meta = []
+    for ui, sid in enumerate(sim_one.collapse_slots):
+        slot = prog.slots[sid]
+        spec = virt.vgates[slot.vgate_idx].spec
+        mrow = np.array(
+            [1.0 if p[slot.side].measure else 0.0 for p in spec.endpoints],
+            np.float32,
+        )
+        w = np.asarray(weights[ti_of[slot.vgate_idx]], np.float32)
+        site_meta.append((sid, ui, slot.vgate_idx, mrow, w))
+    nonmeas = [
+        np.where(mh[g], 1.0, np.asarray(weights[ti])[:, 0]).astype(
+            np.float32
+        )
+        for ti, g in enumerate(prog.touching)
+    ]
+
+    def fn(lab, u):
+        cargs = {}
+        for sid, ui, g, mrow, w in site_meta:
+            v = lab[:, g]
+            cargs[sid] = (
+                u[:, ui],
+                jnp.asarray(mrow)[v],
+                jnp.asarray(w[:, 0])[v],
+                jnp.asarray(w[:, 1])[v],
+            )
+        if prog.slots:
+            mats = [
+                tuple(jnp.asarray(t, dtype=dtype)[lab[:, slot.vgate_idx]]
+                      for t in tabs)
+                for slot, tabs in zip(prog.slots, tables)
+            ]
+            rows = jax.vmap(sim_one)(mats, cargs)
+        else:
+            row = sim_one([], {})
+            rows = jnp.broadcast_to(row, (lab.shape[0], row.shape[0]))
+        for ti, g in enumerate(prog.touching):
+            rows = rows * jnp.asarray(nonmeas[ti], rows.dtype)[
+                lab[:, g]][:, None]
+        return rows, list(positions)
+
+    width = max(len(sim_one.active_final), len(positions))
+    return fn, positions, len(site_meta), width
+
+
+def _ancilla_row_builder(virt, frag_name, dtype=None):
+    """Exact-path twin of :func:`_collapse_row_builder`: ``fn(lab, u)``
+    (u ignored) simulates with deferral ancillas then folds the vgate
+    clbits per label.  Same (fn, positions, n_sites, width) contract so
+    :func:`_scan_core` treats both modes uniformly."""
+    prog = virt.programs[frag_name]
+    sim_one, _, positions, _ = make_sim_fn(
+        virt, frag_name, build_matrices=False, fused_slots=True,
+        dtype=dtype,
+    )
+    tables = _slot_tables(
+        prog, [vg.spec for vg in virt.vgates], fused=True
+    )
+
+    def fn(lab, u):
+        if prog.slots:
+            mats = [
+                tuple(jnp.asarray(t, dtype=dtype)[lab[:, slot.vgate_idx]]
+                      for t in tabs)
+                for slot, tabs in zip(prog.slots, tables)
+            ]
+            rows = jax.vmap(sim_one)(mats)
+        else:
+            row = sim_one([])
+            rows = jnp.broadcast_to(row, (lab.shape[0], row.shape[0]))
+        return _fold_rows_per_label(
+            virt, frag_name, rows, lab, positions
+        )
+
+    width = max(len(sim_one.active_final), len(positions))
+    return fn, positions, 0, width
+
+
 def _simulate_label_rows(virt, frag_name, lab, dtype=None):
     """[L, 2^k] probability rows for a fragment at each unique label —
     slot tables gathered by the label's per-vgate variant index (the
@@ -463,6 +661,197 @@ def _noise_models(virt: VirtualCircuit, noise):
     return None if all(m is None for m in models) else models
 
 
+def _label_budget() -> int:
+    """Per-scan-block float budget (labels x 2^width) — the tunneled
+    TPU's compile time scales with the largest program buffer (verify
+    SKILL.md: keep <= 2^20 floats); CPU compiles locally and larger
+    blocks amortise dispatch."""
+    return (1 << 23) if jax.default_backend() == "cpu" else (1 << 19)
+
+
+def _scan_core(
+    virt: VirtualCircuit,
+    labels: np.ndarray,
+    mass: np.ndarray,
+    *,
+    z_sets=None,
+    keep_clbits=None,
+    second_moment: bool = False,
+    control_stats: bool = False,
+    gamma_override: float | None = None,
+    dtype=None,
+    flags=None,
+    collapse_seed: int = 0,
+    block: int = 32,
+):
+    """Blocked twin of :func:`_estimate` / :func:`_estimate_z`: one
+    ``lax.scan`` over label chunks accumulates the weighted knit (and the
+    optional second-moment / control-variate statistics), so the peak
+    buffer is ``block x 2^width`` instead of ``L x 2^width`` — the only
+    way to run qft-16-class sampled estimates (L ~ 10^5 rows of 2^15)
+    on the tunneled TPU, whose compile time scales with the largest
+    program buffer.  One jit, one dispatch.  Estimator semantics are
+    identical (the per-label pipeline is the same code; the tests assert
+    equality vs the unblocked path on CPU-scale circuits)."""
+    from jax import lax
+
+    gamma_total = (
+        sampling_overhead(virt)["gamma_total"]
+        if gamma_override is None else float(gamma_override)
+    )
+    lab_np = np.asarray(labels, np.int32)
+    mass = np.asarray(mass, np.float64)
+    L, G = lab_np.shape
+    flags = flags if flags is not None else [False] * len(virt.fragments)
+
+    builders = []
+    u_cols = []
+    pos_static = []
+    for fi, reg in enumerate(virt.fragments):
+        if flags[fi]:
+            fn, pos, ns, _w = _collapse_row_builder(
+                virt, reg.name, dtype=dtype
+            )
+            rng = np.random.default_rng(collapse_seed + 7919 * fi)
+            u = rng.random((L, max(1, ns))).astype(np.float32)
+            pos_f = list(pos)
+        else:
+            fn, pos, _ns, _w = _ancilla_row_builder(
+                virt, reg.name, dtype=dtype
+            )
+            u = np.zeros((L, 1), np.float32)
+            pos_f = [p for p in pos if p < virt.num_clbits]
+        if keep_clbits is not None:
+            pos_f = [p for p in pos_f if p in set(keep_clbits)]
+        builders.append(fn)
+        u_cols.append(u)
+        pos_static.append(pos_f)
+
+    nb = max(1, -(-L // block))
+    pad = nb * block - L
+    if pad:
+        pad_lab = np.zeros((pad, G), np.int32) if L == 0 else \
+            np.repeat(lab_np[:1], pad, axis=0)
+        lab_np = np.concatenate([lab_np, pad_lab])
+        mass = np.concatenate([mass, np.zeros(pad)])
+        u_cols = [
+            np.concatenate(
+                [u, np.full((pad, u.shape[1]), 0.5, np.float32)]
+            )
+            for u in u_cols
+        ]
+    w_all = (mass * gamma_total).astype(np.float32)
+    w2_all = (mass * (gamma_total * gamma_total)).astype(np.float32)
+
+    # output layout (dist mode): LAST fragment = LOW bits (knit_values
+    # convention), then one permutation to ascending clbit order
+    src_bits: list[int] = []
+    for pos_f in reversed(pos_static):
+        src_bits.extend(pos_f)
+    dst_bits = sorted(src_bits)
+    if z_sets is None:
+        out_w = 1 << len(src_bits)
+    else:
+        out_w = len(z_sets)
+
+    def _comb(w_c, rows_list):
+        operands = [w_c, [0]]
+        for i, rows in enumerate(rows_list):
+            operands += [rows, [0, 1 + i]]
+        return jnp.einsum(
+            *operands, list(range(1, 1 + len(rows_list)))
+        ).reshape(-1)
+
+    def body(carry, x):
+        lab_c, w_c, w2_c, u_c = x
+        rows_list = []
+        for fi, fn in enumerate(builders):
+            rows, pos = fn(lab_c, u_c[fi])
+            if keep_clbits is not None:
+                rows, pos = _marginalize_rows(rows, pos, keep_clbits)
+            assert pos == pos_static[fi], (pos, pos_static[fi])
+            rows_list.append(rows)
+        if z_sets is None:
+            val = _comb(w_c, rows_list)
+            val2 = (
+                _comb(w2_c, [r * r for r in rows_list])
+                if (second_moment or control_stats) else jnp.zeros(())
+            )
+        else:
+            prodmat = None
+            for rows, pos in zip(rows_list, pos_static):
+                sc = rows @ _z_sign_matrix(pos, z_sets, rows.dtype)
+                prodmat = sc if prodmat is None else prodmat * sc
+            val = w_c @ prodmat
+            val2 = (
+                w2_c @ (prodmat * prodmat)
+                if (second_moment or control_stats) else jnp.zeros(())
+            )
+        if control_stats:
+            totals = rows_list[0].sum(axis=1)
+            for r in rows_list[1:]:
+                totals = totals * r.sum(axis=1)
+            ym = jnp.vdot(w_c, totals)
+            y2 = jnp.vdot(w2_c, totals * totals)
+            if z_sets is None:
+                xy = _comb(w2_c * totals, rows_list)
+            else:
+                xy = (w2_c * totals) @ prodmat
+        else:
+            ym = y2 = jnp.zeros(())
+            xy = jnp.zeros(())
+        est, m2, ym0, y20, xy0 = carry
+        return (est + val, m2 + val2, ym0 + ym, y20 + y2, xy0 + xy), None
+
+    def run(lab_x, w_x, w2_x, u_xs):
+        xs = (
+            lab_x.reshape(nb, block, G),
+            w_x.reshape(nb, block),
+            w2_x.reshape(nb, block),
+            tuple(u.reshape(nb, block, -1) for u in u_xs),
+        )
+        carry0 = (
+            jnp.zeros(out_w, jnp.float32),
+            jnp.zeros(out_w, jnp.float32)
+            if (second_moment or control_stats) else jnp.zeros(()),
+            jnp.zeros(()), jnp.zeros(()),
+            jnp.zeros(out_w, jnp.float32)
+            if control_stats else jnp.zeros(()),
+        )
+        carry, _ = lax.scan(body, carry0, xs)
+        est, m2, ym, y2, xy = carry
+        if z_sets is None and src_bits:
+            est = permute_bits_flat(est, src_bits, dst_bits)
+            if second_moment or control_stats:
+                m2 = permute_bits_flat(m2, src_bits, dst_bits)
+            if control_stats:
+                xy = permute_bits_flat(xy, src_bits, dst_bits)
+        return est, m2, ym, y2, xy
+
+    est, m2, ym, y2, xy = jax.jit(run)(
+        jnp.asarray(lab_np), jnp.asarray(w_all), jnp.asarray(w2_all),
+        tuple(jnp.asarray(u) for u in u_cols),
+    )
+    if z_sets is None:
+        est_out = Distribution(
+            np.asarray(est), dst_bits, virt.num_clbits
+        )
+    else:
+        est_out = np.asarray(est, np.float64)
+    if not (second_moment or control_stats):
+        return est_out
+    out = [est_out]
+    if second_moment:
+        out.append(np.asarray(m2, np.float64))
+    if control_stats:
+        out.append({
+            "y_mean": float(ym),
+            "y2": float(y2),
+            "xy": np.asarray(xy, np.float64),
+        })
+    return tuple(out)
+
+
 def _estimate(
     virt: VirtualCircuit,
     labels: np.ndarray,
@@ -474,6 +863,8 @@ def _estimate(
     control_stats: bool = False,
     noise=None,
     noise_seed: int = 0,
+    collapse=None,
+    collapse_seed: int = 0,
 ):
     """Core estimator: ``sum_l mass[l] * gamma_total * signed_knit(l)``.
 
@@ -506,23 +897,48 @@ def _estimate(
         sampling_overhead(virt)["gamma_total"]
         if gamma_override is None else float(gamma_override)
     )
+    flags = collapse if collapse is not None else \
+        [False] * len(virt.fragments)
     lab_np = np.asarray(labels, np.int32)
+    mass = np.asarray(mass, np.float64)
+    if noise is None and len(lab_np):
+        max_w = max(
+            virt.programs[r.name].num_data_qubits if flags[fi]
+            else virt.programs[r.name].num_sim_qubits
+            for fi, r in enumerate(virt.fragments)
+        )
+        blk = max(1, _label_budget() >> max_w)
+        if len(lab_np) > blk:
+            return _scan_core(
+                virt, lab_np, mass, keep_clbits=keep_clbits,
+                second_moment=second_moment,
+                control_stats=control_stats,
+                gamma_override=gamma_override, dtype=dtype,
+                flags=flags, collapse_seed=collapse_seed, block=blk,
+            )
     lab = jnp.asarray(lab_np)
     frag_rows = []
     frag_positions = []
     for fi, reg in enumerate(virt.fragments):
         nm = noise[fi] if noise is not None else None
-        if nm is None:
-            rows, positions = _simulate_label_rows(
-                virt, reg.name, lab, dtype=dtype
+        if nm is None and flags[fi]:
+            # collapse mode folds the vgate clbits in-sim
+            rows, positions = _simulate_label_rows_collapse(
+                virt, reg.name, lab,
+                seed=collapse_seed + 7919 * fi, dtype=dtype,
             )
         else:
-            rows, positions = _simulate_label_rows_noisy(
-                virt, reg.name, lab_np, nm, seed=noise_seed + fi
+            if nm is None:
+                rows, positions = _simulate_label_rows(
+                    virt, reg.name, lab, dtype=dtype
+                )
+            else:
+                rows, positions = _simulate_label_rows_noisy(
+                    virt, reg.name, lab_np, nm, seed=noise_seed + fi
+                )
+            rows, positions = _fold_rows_per_label(
+                virt, reg.name, rows, lab, positions
             )
-        rows, positions = _fold_rows_per_label(
-            virt, reg.name, rows, lab, positions
-        )
         if keep_clbits is not None:
             rows, positions = _marginalize_rows(
                 rows, positions, keep_clbits
@@ -614,6 +1030,8 @@ def sampled_knit_adaptive(
     control_variate: bool = False,
     noise=None,
     noise_seed: int = 0,
+    collapse="auto",
+    collapse_reps: int | None = None,
 ):
     """eps-targeted sampling: grow the budget until the worst per-outcome
     EMPIRICAL standard error is <= ``eps``, then stop.
@@ -653,6 +1071,7 @@ def sampled_knit_adaptive(
             with_stderr=True, dtype=dtype, head_labels=head_labels,
             method=method, control_variate=control_variate,
             noise=noise, noise_seed=noise_seed + round_idx,
+            collapse=collapse, collapse_reps=collapse_reps,
         )
         worst = float(se.max()) if se.size else 0.0
         if worst <= eps or n >= max_samples:
@@ -683,6 +1102,8 @@ def sampled_knit(
     control_variate: bool = False,
     noise=None,
     noise_seed: int = 0,
+    collapse="auto",
+    collapse_reps: int | None = None,
 ):
     """Unbiased Monte-Carlo estimate of the knitted distribution from
     ``num_samples`` QPD samples — only the sampled labels' instances are
@@ -727,18 +1148,31 @@ def sampled_knit(
     if noise is not None and dtype is not None:
         raise ValueError("noise and bf16 dtype are exclusive "
                          "(the trajectory-noise path is f32)")
+    cflags = _collapse_flags(virt, collapse)
+    if noise is not None and any(cflags):
+        raise ValueError("collapse mode is exact-path only; fragments "
+                         "with noise models cannot collapse")
+    ckw = dict(collapse=cflags)
     split = stratified_split(virt, head_labels) if head_labels else None
     if split is None:
         uniq, counts = sample_label_counts(virt, num_samples, seed,
                                            method=method)
-        mass = counts.astype(np.float64) / num_samples
+        if any(cflags):
+            uniq, fc = _expand_measuring_counts(
+                virt, uniq, counts.astype(np.float64), cap=collapse_reps
+            )
+            mass = fc / num_samples
+        else:
+            mass = counts.astype(np.float64) / num_samples
         if not (with_stderr or control_variate):
             return _estimate(virt, uniq, mass, keep_clbits, dtype=dtype,
-                             noise=noise, noise_seed=noise_seed)
+                             noise=noise, noise_seed=noise_seed,
+                             collapse_seed=seed * 31 + 17, **ckw)
         est, m2, *rest = _estimate(
             virt, uniq, mass, keep_clbits, second_moment=True,
             dtype=dtype, control_stats=control_variate,
             noise=noise, noise_seed=noise_seed,
+            collapse_seed=seed * 31 + 17, **ckw,
         )
         vals = np.asarray(est.values)
         if control_variate:
@@ -751,11 +1185,16 @@ def sampled_knit(
         return est, np.sqrt(var / num_samples)
 
     head_rows, head_w, thresh, gamma_head, gamma_tail = split
+    if any(cflags):
+        head_rows, head_w = _expand_measuring_mass(
+            virt, head_rows, head_w, collapse_reps or 16
+        )
     # head masses ARE the final per-label weights (gamma_override=1)
     head_out = _estimate(
         virt, head_rows, head_w, keep_clbits, dtype=dtype,
         gamma_override=1.0, control_stats=control_variate,
         noise=noise, noise_seed=noise_seed,
+        collapse_seed=seed * 31 + 29, **ckw,
     )
     head, head_stats = head_out if control_variate else (head_out, None)
     if gamma_tail <= 0.0:
@@ -764,11 +1203,18 @@ def sampled_knit(
             if with_stderr else head
     uniq, counts = _sample_tail_counts(virt, num_samples, thresh, seed,
                                        method=method)
-    mass = counts.astype(np.float64) / num_samples
+    if any(cflags):
+        uniq, fc = _expand_measuring_counts(
+            virt, uniq, counts.astype(np.float64), cap=collapse_reps
+        )
+        mass = fc / num_samples
+    else:
+        mass = counts.astype(np.float64) / num_samples
     if not (with_stderr or control_variate):
         tail = _estimate(virt, uniq, mass, keep_clbits, dtype=dtype,
                          gamma_override=gamma_tail,
-                         noise=noise, noise_seed=noise_seed + 503)
+                         noise=noise, noise_seed=noise_seed + 503,
+                         collapse_seed=seed * 31 + 43, **ckw)
         return Distribution(
             np.asarray(head.values) + np.asarray(tail.values),
             head.bit_positions, virt.num_clbits,
@@ -777,6 +1223,7 @@ def sampled_knit(
         virt, uniq, mass, keep_clbits, second_moment=True, dtype=dtype,
         gamma_override=gamma_tail, control_stats=control_variate,
         noise=noise, noise_seed=noise_seed + 503,
+        collapse_seed=seed * 31 + 43, **ckw,
     )
     # only the tail carries variance (the head is enumerated exactly)
     tail_vals = np.asarray(tail.values)
@@ -826,6 +1273,8 @@ def _estimate_z(
     control_stats: bool = False,
     noise=None,
     noise_seed: int = 0,
+    collapse=None,
+    collapse_seed: int = 0,
 ):
     """Core observable estimator: ``[num_sets]`` vector of
     ``sum_l mass[l] * gamma * prod_f <Z_S>_f(l)``.
@@ -843,23 +1292,47 @@ def _estimate_z(
         sampling_overhead(virt)["gamma_total"]
         if gamma_override is None else float(gamma_override)
     )
+    flags = collapse if collapse is not None else \
+        [False] * len(virt.fragments)
     lab_np = np.asarray(labels, np.int32)
+    mass = np.asarray(mass, np.float64)
+    if noise is None and len(lab_np):
+        max_w = max(
+            virt.programs[r.name].num_data_qubits if flags[fi]
+            else virt.programs[r.name].num_sim_qubits
+            for fi, r in enumerate(virt.fragments)
+        )
+        blk = max(1, _label_budget() >> max_w)
+        if len(lab_np) > blk:
+            return _scan_core(
+                virt, lab_np, mass, z_sets=z_sets,
+                second_moment=second_moment,
+                control_stats=control_stats,
+                gamma_override=gamma_override, dtype=dtype,
+                flags=flags, collapse_seed=collapse_seed, block=blk,
+            )
     lab = jnp.asarray(lab_np)
     prodmat = None
     totals = None
     for fi, reg in enumerate(virt.fragments):
         nm = noise[fi] if noise is not None else None
-        if nm is None:
-            rows, positions = _simulate_label_rows(
-                virt, reg.name, lab, dtype=dtype
+        if nm is None and flags[fi]:
+            rows, positions = _simulate_label_rows_collapse(
+                virt, reg.name, lab,
+                seed=collapse_seed + 7919 * fi, dtype=dtype,
             )
         else:
-            rows, positions = _simulate_label_rows_noisy(
-                virt, reg.name, lab_np, nm, seed=noise_seed + fi
+            if nm is None:
+                rows, positions = _simulate_label_rows(
+                    virt, reg.name, lab, dtype=dtype
+                )
+            else:
+                rows, positions = _simulate_label_rows_noisy(
+                    virt, reg.name, lab_np, nm, seed=noise_seed + fi
+                )
+            rows, positions = _fold_rows_per_label(
+                virt, reg.name, rows, lab, positions
             )
-        rows, positions = _fold_rows_per_label(
-            virt, reg.name, rows, lab, positions
-        )
         sc = rows @ _z_sign_matrix(positions, z_sets, rows.dtype)
         prodmat = sc if prodmat is None else prodmat * sc
         t = rows.sum(axis=1)
@@ -895,6 +1368,8 @@ def sampled_expectation_z(
     head_labels: int = 0,
     noise=None,
     noise_seed: int = 0,
+    collapse="auto",
+    collapse_reps: int | None = None,
 ):
     """Unbiased Monte-Carlo estimate of ``<prod_{c in S} Z_c>`` for each
     ``S`` in ``z_sets``, from ``num_samples`` QPD label samples — the
@@ -918,18 +1393,31 @@ def sampled_expectation_z(
     if noise is not None and dtype is not None:
         raise ValueError("noise and bf16 dtype are exclusive "
                          "(the trajectory-noise path is f32)")
+    cflags = _collapse_flags(virt, collapse)
+    if noise is not None and any(cflags):
+        raise ValueError("collapse mode is exact-path only; fragments "
+                         "with noise models cannot collapse")
+    ckw = dict(collapse=cflags)
     split = stratified_split(virt, head_labels) if head_labels else None
     if split is None:
         uniq, counts = sample_label_counts(virt, num_samples, seed,
                                            method=method)
-        mass = counts.astype(np.float64) / num_samples
+        if any(cflags):
+            uniq, fc = _expand_measuring_counts(
+                virt, uniq, counts.astype(np.float64), cap=collapse_reps
+            )
+            mass = fc / num_samples
+        else:
+            mass = counts.astype(np.float64) / num_samples
         if not (with_stderr or control_variate):
             return _estimate_z(virt, uniq, mass, z_sets, dtype=dtype,
-                               noise=noise, noise_seed=noise_seed)
+                               noise=noise, noise_seed=noise_seed,
+                               collapse_seed=seed * 31 + 17, **ckw)
         est, m2, *rest = _estimate_z(
             virt, uniq, mass, z_sets, second_moment=True, dtype=dtype,
             control_stats=control_variate,
             noise=noise, noise_seed=noise_seed,
+            collapse_seed=seed * 31 + 17, **ckw,
         )
         if control_variate:
             est, var = _cv_adjust(est, m2, rest[0], 1.0)
@@ -940,26 +1428,39 @@ def sampled_expectation_z(
         return est, np.sqrt(var / num_samples)
 
     head_rows, head_w, thresh, gamma_head, gamma_tail = split
+    if any(cflags):
+        head_rows, head_w = _expand_measuring_mass(
+            virt, head_rows, head_w, collapse_reps or 16
+        )
     head_out = _estimate_z(
         virt, head_rows, head_w, z_sets, dtype=dtype, gamma_override=1.0,
         control_stats=control_variate,
         noise=noise, noise_seed=noise_seed,
+        collapse_seed=seed * 31 + 29, **ckw,
     )
     head, head_stats = head_out if control_variate else (head_out, None)
     if gamma_tail <= 0.0:
         return (head, np.zeros_like(head)) if with_stderr else head
     uniq, counts = _sample_tail_counts(virt, num_samples, thresh, seed,
                                        method=method)
-    mass = counts.astype(np.float64) / num_samples
+    if any(cflags):
+        uniq, fc = _expand_measuring_counts(
+            virt, uniq, counts.astype(np.float64), cap=collapse_reps
+        )
+        mass = fc / num_samples
+    else:
+        mass = counts.astype(np.float64) / num_samples
     if not (with_stderr or control_variate):
         tail = _estimate_z(virt, uniq, mass, z_sets, dtype=dtype,
                            gamma_override=gamma_tail,
-                           noise=noise, noise_seed=noise_seed + 503)
+                           noise=noise, noise_seed=noise_seed + 503,
+                           collapse_seed=seed * 31 + 43, **ckw)
         return head + tail
     tail, m2, *rest = _estimate_z(
         virt, uniq, mass, z_sets, second_moment=True, dtype=dtype,
         gamma_override=gamma_tail, control_stats=control_variate,
         noise=noise, noise_seed=noise_seed + 503,
+        collapse_seed=seed * 31 + 43, **ckw,
     )
     # only the tail carries variance (the head is enumerated exactly)
     if control_variate:
@@ -986,6 +1487,8 @@ def sampled_expectation_z_adaptive(
     max_samples: int = 2_000_000,
     noise=None,
     noise_seed: int = 0,
+    collapse="auto",
+    collapse_reps: int | None = None,
 ):
     """eps-targeted observable estimation: grow the budget until every
     z-set's EMPIRICAL standard error is <= ``eps`` — the observable twin
@@ -1009,6 +1512,7 @@ def sampled_expectation_z_adaptive(
             control_variate=control_variate, dtype=dtype,
             head_labels=head_labels,
             noise=noise, noise_seed=noise_seed + round_idx,
+            collapse=collapse, collapse_reps=collapse_reps,
         )
         worst = float(se.max()) if se.size else 0.0
         if worst <= eps or n >= max_samples:

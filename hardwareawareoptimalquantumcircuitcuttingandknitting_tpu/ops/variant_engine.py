@@ -262,14 +262,48 @@ def truncate_labels(specs, gstride: dict, n_inst: dict, total: int,
     return kept, dropped
 
 
+def collapse_qubit(state, q: int, m: int, u, mflag, w0, w1):
+    """Mid-circuit measure-and-collapse of qubit ``q`` on a flat real-rep
+    ``[2, 2^m]`` state — the sampled-measurement alternative to the
+    deferred-measurement ancilla (which costs a qubit per measuring cut:
+    qft-16's 15|1 split would need 2^30 sim states on the ancilla path).
+
+    ``u`` ~ U(0,1) picks the branch at its Born probability; the branch
+    is projected and rescaled by sqrt(total/p_b) so the returned
+    per-sample weight ``w_b`` makes ``E[w_b * |psi_b|^2] =
+    sum_b w_b |P_b psi|^2`` exactly (importance sampling at the Born
+    distribution — the textbook full-QPD-sampling execution, where each
+    sample runs ONE mid-circuit-measured instance).  ``mflag`` gates the
+    whole step per variant (non-measuring variants pass through with
+    weight 1).  All branch-free: vmap/jit-safe."""
+    st = state.reshape(2, 1 << q, 2, 1 << (m - 1 - q))
+    sq = st.astype(jnp.float32)
+    sq = sq * sq
+    p0 = jnp.sum(sq[:, :, 0, :])
+    p1 = jnp.sum(sq[:, :, 1, :])
+    tot = p0 + p1
+    b = (u * tot >= p0).astype(jnp.float32)  # 0/1 branch pick
+    pb = p0 + b * (p1 - p0)
+    scale = jnp.sqrt(tot / jnp.maximum(pb, 1e-30)).astype(state.dtype)
+    keep = jnp.stack([1.0 - b, b]).astype(state.dtype)
+    projected = st * keep[None, None, :, None] * scale
+    out = jnp.where(mflag > 0, projected.reshape(2, -1), state)
+    weight = jnp.where(mflag > 0, w0 + b * (w1 - w0), 1.0)
+    return out, weight
+
+
 def exec_plan_steps(state, m, steps, slot_mats, pauli_mats=None,
-                    slot_masks=None):
+                    slot_masks=None, collapse_args=None):
     """Run a slice of a fragment's lazy execution plan (the step list
     built by :func:`make_sim_fn`) on a flat real-rep ``[2, 2^m]`` state.
     ``slot_mats`` maps slot id -> (pre, m4, post) real blocks (list or
     dict — plans index it by slot id).  ``slot_masks`` (slot id -> union
     nonzero pattern of the slot's fused table) routes fused slot blocks
-    through the masked slice-combine apply.  Returns ``(state, m)``."""
+    through the masked slice-combine apply.  Returns ``(state, m)`` —
+    or ``(state, m, weight)`` when ``collapse_args`` is given (slot id
+    -> (u, mflag, w0, w1) per-variant scalars for the plan's "collapse"
+    steps; see :func:`collapse_qubit`)."""
+    weight = None if collapse_args is None else jnp.float32(1.0)
     for stp in steps:
         kind = stp[0]
         if kind == "ins":
@@ -284,6 +318,12 @@ def exec_plan_steps(state, m, steps, slot_mats, pauli_mats=None,
         elif kind == "pauli":
             if pauli_mats is not None:
                 state = apply_matrix(state, pauli_mats[stp[1]], stp[2], m)
+        elif kind == "collapse":
+            u, mflag, w0, w1 = collapse_args[stp[1]]
+            state, w_step = collapse_qubit(
+                state, stp[2][0], m, u, mflag, w0, w1
+            )
+            weight = weight * w_step
         elif kind == "slot":
             # fused endpoint: one composed (post @ meas @ pre) block
             state = apply_matrix(
@@ -298,7 +338,9 @@ def exec_plan_steps(state, m, steps, slot_mats, pauli_mats=None,
                 else m4 if kind == "slot_meas" else post
             )
             state = apply_matrix(state, blk, stp[2], m)
-    return state, m
+    if collapse_args is None:
+        return state, m
+    return state, m, weight
 
 
 def _fuse_slot_ops(prog_ops: list) -> list:
@@ -640,7 +682,8 @@ def make_split_fns(sim_one, sp: SplitPlan):
 
 def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
                 build_matrices: bool = True, fuse_qubits: int = 3,
-                fused_slots: bool = False, dtype=None):
+                fused_slots: bool = False, dtype=None,
+                collapse: bool = False):
     """Build the per-variant simulation closure for a fragment.
 
     ``fused_slots``: exact path only — collapse each slot's
@@ -668,12 +711,29 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
     probabilities still accumulate in f32 (finish_row).  Exact path
     only — per-amplitude rounding is ~2^-8 per pass, suited to
     shot-serving where shot noise dominates (see PERF.md).
+
+    ``collapse``: sampled-measurement mode (exact path only) — vgate
+    measurements COLLAPSE in-sim (:func:`collapse_qubit`) instead of
+    deferring onto ancilla qubits, so the state width stays at the data
+    qubits no matter how many cuts measure (the ancilla path costs a
+    qubit per measuring cut: qft-16's 15-cut fragment would need 2^30
+    states).  ``sim_one(slot_mats, collapse_args)`` then takes
+    ``collapse_args``: slot id -> (u, mflag, w0, w1) per-variant scalars
+    (uniform draw, measure flag, fold weights), returns the probability
+    row PRE-MULTIPLIED by the sampled fold weights, and the vgate clbits
+    are absent from ``positions`` (rows are already contracted over
+    them, stochastically).  Unbiased; used by the sampled estimator
+    (ops/qpd_sampling) for beyond-ancilla-budget fragments.
     """
     prog = virt.programs[frag_name]
     specs = [vg.spec for vg in virt.vgates]
     # the noise path needs the unfused per-step stream (slot_post noise
     # sites attach to individual endpoint ops)
     fused_slots = fused_slots and noise is None
+    if collapse:
+        if noise is not None:
+            raise ValueError("collapse mode is exact-path only")
+        fused_slots = False  # slot_meas must stay a distinct step
 
     strides, n_inst, flat_count = label_strides(specs, prog.touching)
 
@@ -694,6 +754,19 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
         # passes with one on the bandwidth-limited engines (the sharded
         # and Pallas paths, whose apply only handles 2q, stay at 2)
         source_ops = _fuse_slot_ops(prog.ops) if fused_slots else prog.ops
+        if collapse:
+            # measure in-place instead of CX-ing onto the deferral
+            # ancilla; the ancilla then never appears in any op, so the
+            # lazy-introduction pass never allocates its state bit
+            source_ops = [
+                ("collapse", op[1], (op[2][0],)) if op[0] == "slot_meas"
+                else op
+                for op in source_ops
+            ]
+            clbit_sources = {
+                c: q for c, q in prog.clbit_sources.items()
+                if c < virt.num_clbits
+            }
         skeleton, mats = fused_stream(source_ops, max_qubits=fuse_qubits)
         prog_ops = []
         bi = 0
@@ -870,12 +943,25 @@ def make_sim_fn(virt: VirtualCircuit, frag_name: str, noise=None,
     if _dtype != jnp.float32:
         assert noise is None, "bf16 serving mode is exact-path only"
 
-    def _sim_one(slot_mats, pauli_mats=None):
-        state, m = exec_plan_steps(
-            jnp.asarray(prefix_state, dtype=_dtype), m0, run_plan,
-            slot_mats, pauli_mats, slot_masks=slot_masks,
-        )
-        return finish_row(state, m, active_final, sources)
+    if collapse:
+        def _sim_one(slot_mats, collapse_args):
+            state, m, w = exec_plan_steps(
+                jnp.asarray(prefix_state, dtype=_dtype), m0, run_plan,
+                slot_mats, slot_masks=slot_masks,
+                collapse_args=collapse_args,
+            )
+            return finish_row(state, m, active_final, sources) * w
+
+        _sim_one.collapse_slots = [
+            stp[1] for stp in run_plan if stp[0] == "collapse"
+        ]
+    else:
+        def _sim_one(slot_mats, pauli_mats=None):
+            state, m = exec_plan_steps(
+                jnp.asarray(prefix_state, dtype=_dtype), m0, run_plan,
+                slot_mats, pauli_mats, slot_masks=slot_masks,
+            )
+            return finish_row(state, m, active_final, sources)
 
     _sim_one.dtype = _dtype
     _sim_one.noise_sites = noise_sites
