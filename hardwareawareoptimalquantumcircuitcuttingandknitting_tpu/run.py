@@ -93,6 +93,7 @@ def run_virtual_circuit(
     sample_eps: float | None = None,
     sample_cv: bool = False,
     keep_clbits=None,
+    teleport: str = "qpd",
 ) -> tuple[Distribution, RunTimeInfo]:
     """``engine``: "auto" (batched unrolled programs, switching to the
     streamed scan above ``AUTO_STREAM_LABELS`` global labels), "xla"
@@ -170,6 +171,13 @@ def run_virtual_circuit(
     bf16_ab_probe.json) with ~2^-8-per-pass rounding; pair with
     ``shots`` where sampling noise dominates.  Exact-parity work stays
     on the f32 default.
+
+    ``teleport``: "qpd" (default — reference parity: teleport-flagged
+    cuts execute through the QPD route, Cutter.py:574 FIXME) or
+    "execute" — expand teleport cuts into the real EPR-gadget protocol
+    (virt/teleport.py): teleport-connected fragments merge (the
+    simulator stands in for the quantum channel) and the cuts cost NO
+    sampling overhead, exactly as the plan's S metric promises.
     """
     from .utils.profiling import Tracer
 
@@ -177,6 +185,13 @@ def run_virtual_circuit(
         "auto", "xla", "streamed", "pallas", "sharded", "sampled"
     ):
         raise ValueError(f"unknown engine {engine!r}")
+    if teleport not in ("qpd", "execute"):
+        raise ValueError(f"unknown teleport mode {teleport!r}")
+    if teleport == "execute":
+        from .virt.teleport import expand_teleport_cuts, has_teleport_cuts
+
+        if has_teleport_cuts(virt._circuit):
+            virt = VirtualCircuit(expand_teleport_cuts(virt._circuit))
     log = get_logger(__name__)
     tracer = tracer or Tracer()
     if trunc_eps and engine not in ("auto", "streamed"):
