@@ -1,0 +1,220 @@
+"""Instance-spread brackets for the noisy parity table (VERDICT r3 #4).
+
+The reference's recorded noisy fidelities are single numbers averaged
+over 3 UNSEEDED random-circuit draws (helper_functions.py:67 passes
+seed=None; the .ods table averages 3 runs), so comparing our one pinned
+instance against them conflates model error with instance spread.  This
+driver runs K instances (fresh generator seeds) of the spread-sensitive
+configs — sup-12 / sup-20 / syc-12 — and, per instance, 3 independent
+shot-seed pairs of the cut leg, recording min/median/max brackets next
+to the reference's value.
+
+Writes ``noisy_spread.json`` incrementally and appends the bracket
+section to ``NOISY_TABLE.md``; ``tests/test_noisy_parity.py`` locks the
+brackets' conclusions.
+
+Usage: python benchmarks/noisy_spread.py [--configs sup_12,syc_12,sup_20]
+           [--instances 5] [--cut-seeds 3]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import statistics
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from noisy_parity import (  # noqa: E402  (sets JAX_PLATFORMS=cpu on import)
+    CONFIGS,
+    STREAM_LABELS,
+)
+
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (  # noqa: E402,E501
+    Cutter,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (  # noqa: E402,E501
+    hellinger_fidelity,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (  # noqa: E402,E501
+    genCirc,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.knit import (  # noqa: E402,E501
+    prune_distribution,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.noise import (  # noqa: E402,E501
+    fake_kolkata_v2,
+    simulate_noisy_circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.sampling import (  # noqa: E402,E501
+    sample_distribution,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (  # noqa: E402,E501
+    simulate_circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.run import (  # noqa: E402,E501
+    run_virtual_circuit,
+)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import (  # noqa: E402,E501
+    VirtualCircuit,
+)
+
+SPREAD_CONFIGS = ["sup_12_1_2_10", "sup_20_1_2_10", "syc_12_2_2_10"]
+
+
+def _bracket(vals):
+    v = sorted(float(x) for x in vals)
+    return {"min": v[0], "median": statistics.median(v), "max": v[-1],
+            "n": len(v), "values": v}
+
+
+def run_spread(name, n, depth, P, Q, ref_o, ref_c, instances, cut_seeds,
+               shots, seed, log=print):
+    t0 = time.time()
+    orig_vals = []
+    cut_vals = []
+    for i in range(instances):
+        # i=0 reproduces noisy_parity.py's pinned instance (seed+42)
+        inst = seed + 42 + 1000 * i
+        circ = genCirc(name, n, depth, seed=inst)
+        cutter = Cutter(
+            circ, maxNPartitions=P, maxNQubitsPerPartition=Q,
+            maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5,
+        )
+        assert cutter.solve(), f"{name}-{n} unsat"
+        virt = VirtualCircuit(cutter.getResultCircs()[3])
+        labels = 1
+        for vg in virt.vgates:
+            labels *= vg.spec.num_instantiations
+
+        nm = fake_kolkata_v2()
+        nm.untranspiled = True
+        ideal = simulate_circuit(circ)
+        ideal_s = sample_distribution(ideal, shots, seed + i)
+        noisy = simulate_noisy_circuit(circ, nm, shots=shots,
+                                       seed=seed + 7 + i)
+        orig_vals.append(hellinger_fidelity(ideal_s, noisy))
+        log(f"[{name}-{n} inst {i}] fid_orig={orig_vals[-1]:.6g} "
+            f"({time.time()-t0:.0f}s)")
+
+        if labels > STREAM_LABELS:
+            from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.sparse_knit import (  # noqa: E501
+                sampled_sparse_fragment_rows,
+                sparse_knit,
+            )
+
+            def leg(sd):
+                rows = {
+                    reg.name: sampled_sparse_fragment_rows(
+                        virt, reg.name, shots, seed=sd * 131 + fi
+                    )
+                    for fi, reg in enumerate(virt.fragments)
+                }
+                q = sparse_knit(virt, rows=rows)
+                return q.nearest_probability_distribution().to_dict()
+        else:
+            def leg(sd):
+                d, _ = run_virtual_circuit(virt, shots=shots, seed=sd)
+                return prune_distribution(d)
+
+        for j in range(cut_seeds):
+            a = leg(seed + 2 + 10 * j + 100 * i)
+            b = leg(seed + 3 + 10 * j + 100 * i)
+            cut_vals.append(hellinger_fidelity(a, b))
+            log(f"[{name}-{n} inst {i} pair {j}] "
+                f"fid_cut={cut_vals[-1]:.6g} ({time.time()-t0:.0f}s)")
+
+    ob, cb = _bracket(orig_vals), _bracket(cut_vals)
+    out = {
+        "config": f"{name}_{n}_{depth}_{P}_{Q}",
+        "instances": instances,
+        "cut_seed_pairs_per_instance": cut_seeds,
+        "shots": shots,
+        "reference_orig": ref_o,
+        "reference_cut": ref_c,
+        "fid_orig_bracket": ob,
+        "fid_cut_bracket": cb,
+        "ref_orig_in_bracket": bool(ob["min"] <= ref_o <= ob["max"]),
+        "ref_cut_in_bracket": bool(cb["min"] <= ref_c <= cb["max"]),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    log(f"[{name}-{n}] orig [{ob['min']:.3g}, {ob['median']:.3g}, "
+        f"{ob['max']:.3g}] ref {ref_o:.3g} in={out['ref_orig_in_bracket']}"
+        f" | cut [{cb['min']:.3g}, {cb['median']:.3g}, {cb['max']:.3g}] "
+        f"ref {ref_c:.3g} in={out['ref_cut_in_bracket']}")
+    return out
+
+
+def append_table(results: dict, path: pathlib.Path):
+    lines = [
+        "",
+        "## Instance-spread brackets (r4)",
+        "",
+        "The reference's values are single recorded numbers over UNSEEDED",
+        "random instances; these brackets run K instances x 3 cut-leg",
+        "shot-seed pairs each (`benchmarks/noisy_spread.py`) so the",
+        "single-value comparisons above carry error bars.",
+        "",
+        "| Config | ref orig | ours orig [min, med, max] | in? |"
+        " ref cut | ours cut [min, med, max] | in? |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for key in SPREAD_CONFIGS:
+        r = results.get(key)
+        if not r:
+            continue
+        ob, cb = r["fid_orig_bracket"], r["fid_cut_bracket"]
+        lines.append(
+            f"| {key} ({r['instances']}x{r['cut_seed_pairs_per_instance']})"
+            f" | {r['reference_orig']:.3g} |"
+            f" [{ob['min']:.3g}, {ob['median']:.3g}, {ob['max']:.3g}] |"
+            f" {'yes' if r['ref_orig_in_bracket'] else 'NO'} |"
+            f" {r['reference_cut']:.3g} |"
+            f" [{cb['min']:.3g}, {cb['median']:.3g}, {cb['max']:.3g}] |"
+            f" {'yes' if r['ref_cut_in_bracket'] else 'NO'} |"
+        )
+    text = path.read_text() if path.exists() else ""
+    marker = "## Instance-spread brackets (r4)"
+    if marker in text:
+        text = text[: text.index(marker)].rstrip() + "\n"
+        lines = lines[1:]
+    path.write_text(text + "\n".join(lines) + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="sup_12,syc_12,sup_20")
+    ap.add_argument("--instances", type=int, default=5)
+    ap.add_argument("--cut-seeds", type=int, default=3)
+    ap.add_argument("--shots", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=0)
+    root = pathlib.Path(__file__).resolve().parent.parent
+    ap.add_argument("--out", default=str(root / "noisy_spread.json"))
+    ap.add_argument("--table", default=str(root / "NOISY_TABLE.md"))
+    args = ap.parse_args()
+
+    out = pathlib.Path(args.out)
+    results = json.loads(out.read_text()) if out.exists() else {}
+    wanted = [w for w in args.configs.split(",") if w]
+    for (name, n, d, P, Q, ref_o, ref_c) in CONFIGS:
+        key = f"{name}_{n}_{d}_{P}_{Q}"
+        if key not in SPREAD_CONFIGS:
+            continue
+        if wanted and not any(w in (name, f"{name}_{n}") for w in wanted):
+            continue
+        results[key] = run_spread(
+            name, n, d, P, Q, ref_o, ref_c,
+            args.instances, args.cut_seeds, args.shots, args.seed,
+        )
+        out.write_text(json.dumps(results, indent=2))
+        append_table(results, pathlib.Path(args.table))
+    print(json.dumps({k: {
+        "ref_cut_in_bracket": v["ref_cut_in_bracket"],
+        "ref_orig_in_bracket": v["ref_orig_in_bracket"],
+    } for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,294 @@
+"""Whole-variant-in-VMEM Pallas kernel (the r4 bandwidth-gap attempt).
+
+The XLA scan applies each gate as a separate HLO op, so every gate
+streams the full ``[chunk, 2, 2^n]`` state through HBM — measured 216-267
+GB/s sustained and ~3x minimal bytes (PERF.md).  For fragments whose
+state fits VMEM (n <= 19: 2 x 2^n x 4 B <= 8 MB), the whole per-variant
+simulation can instead run RESIDENT in VMEM: grid over variants, one
+kernel invocation simulates all gates and writes only the final
+probability row to HBM.  HBM traffic collapses from
+``O(gates x 2^n)`` to ``O(2^n)`` per variant; the cost moves to VPU
+passes.
+
+Layout: the flat real-rep state ``[2, 2^n]`` (qubit 0 = MSB) is held as
+``[2, R, 128]`` with R = 2^(n-7): flat bit j < 7 is a LANE bit, j >= 7 a
+ROW (sublane-major) bit.  Gate application is XOR-pairing:
+
+  * row-bit partner  = flip of the size-2 axis in a static reshape;
+  * lane-bit partner = two ``jnp.roll``s along lanes + bit-mask select;
+  * the 2/4 gate coefficients are selected per position by the OWN bit
+    values (broadcasted iota masks), so fixed gates are constants and
+    QPD slot gates read per-variant complex entries gathered on host.
+
+This is attempt #2 at the VERDICT r3 "fused suffix" item (attempt #1,
+ops/pallas_sv.py, lost at 0.58x with per-gate HBM passes — the design
+error this kernel fixes).  Opt-in, like every Mosaic path on the
+tunneled backend (minutes-scale remote compiles, amortised into the
+one-time deploy).  Correctness is locked against the XLA engine in
+tests/test_pallas_variant.py (interpret mode on CPU).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..virt.virtual_circuit import VirtualCircuit
+from .variant_engine import (
+    FragmentResult,
+    _slot_tables,
+    label_strides,
+    variant_index_table,
+)
+
+LANE_BITS = 7  # 128 lanes
+
+
+def _to_complex(block: np.ndarray) -> np.ndarray:
+    """Real (2, m, 2, m) block -> complex (m, m)."""
+    return block[0, :, 0, :] + 1j * block[1, :, 0, :]
+
+
+def _plan_ops(virt: VirtualCircuit, frag_name: str):
+    """(prefix_ops, suffix_steps, slot_ms, n) — the same fused-slot op
+    stream the XLA engines execute, split at the first slot.  Suffix
+    steps: ("u", complex mat, axes) | ("slot", slot_pos, m, axes)."""
+    from .fusion import fused_stream
+    from .variant_engine import _fuse_slot_ops
+
+    prog = virt.programs[frag_name]
+    skeleton, mats = fused_stream(
+        _fuse_slot_ops(prog.ops), max_qubits=2
+    )
+    ops = []
+    bi = 0
+    for op in skeleton:
+        if op[0] == "u":
+            ops.append(("u", np.asarray(mats[bi], complex), op[1]))
+            bi += 1
+        else:  # ("slot", sid, axes)
+            ops.append(op)
+    first = next(
+        (i for i, op in enumerate(ops) if op[0] != "u"), len(ops)
+    )
+    return ops[:first], ops[first:], prog
+
+
+def _bitval(j: int, R: int):
+    """[R, 128] int32 value of flat bit j (j<7: lane bit, else row)."""
+    if j < LANE_BITS:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        return (lane >> j) & 1
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    return (row >> (j - LANE_BITS)) & 1
+
+
+def _partner(x, j: int, R: int):
+    """XOR-partner of [R, 128] x along flat bit j."""
+    if j < LANE_BITS:
+        fwd = jnp.roll(x, 1 << j, axis=1)    # lane -> lane + 2^j
+        bwd = jnp.roll(x, -(1 << j), axis=1)  # lane -> lane - 2^j
+        b = _bitval(j, R)
+        return jnp.where(b == 1, fwd, bwd)
+    rb = j - LANE_BITS
+    hi = R >> (rb + 1)
+    x4 = x.reshape(hi, 2, (1 << rb) * 128)
+    return jnp.flip(x4, axis=1).reshape(R, 128)
+
+
+def _sel2(b, e0, e1):
+    return jnp.where(b == 1, e1, e0)
+
+
+def _sel4(ba, bb, e):
+    """e: callable(m) -> scalar; select e[2*ba+bb] per position."""
+    return jnp.where(
+        ba == 1,
+        jnp.where(bb == 1, e(3), e(2)),
+        jnp.where(bb == 1, e(1), e(0)),
+    )
+
+
+def _apply_1q(re, im, j, R, ur, ui):
+    """ur/ui: callable(r, c) -> scalar (traced or python float)."""
+    b = _bitval(j, R)
+    kr = _sel2(b, ur(0, 0), ur(1, 1))
+    ki = _sel2(b, ui(0, 0), ui(1, 1))
+    sr = _sel2(b, ur(0, 1), ur(1, 0))
+    si = _sel2(b, ui(0, 1), ui(1, 0))
+    pre = _partner(re, j, R)
+    pim = _partner(im, j, R)
+    nre = kr * re - ki * im + sr * pre - si * pim
+    nim = kr * im + ki * re + sr * pim + si * pre
+    return nre, nim
+
+
+def _apply_2q(re, im, ja, jb, R, ur, ui):
+    """General 2q gate; ja = gate MSB's flat bit.  ur/ui: (r, c) ->
+    scalar.  out = sum over the 4 XOR-sources, coefficient selected by
+    the position's own (ba, bb)."""
+    ba = _bitval(ja, R)
+    bb = _bitval(jb, R)
+    pa_re, pa_im = _partner(re, ja, R), _partner(im, ja, R)
+    pb_re, pb_im = _partner(re, jb, R), _partner(im, jb, R)
+    pab_re, pab_im = _partner(pa_re, jb, R), _partner(pa_im, jb, R)
+    nre = jnp.zeros_like(re)
+    nim = jnp.zeros_like(im)
+    for flip, (sre, sim) in (
+        (0, (re, im)), (2, (pa_re, pa_im)),
+        (1, (pb_re, pb_im)), (3, (pab_re, pab_im)),
+    ):
+        cr = _sel4(ba, bb, lambda m, f=flip: ur(m, m ^ f))
+        ci = _sel4(ba, bb, lambda m, f=flip: ui(m, m ^ f))
+        nre = nre + cr * sre - ci * sim
+        nim = nim + cr * sim + ci * sre
+    return nre, nim
+
+
+def make_pallas_variant_fn(
+    virt: VirtualCircuit, frag_name: str, interpret: bool = False,
+):
+    """Build ``fn(slot_entries) -> [V_padded, 2^n] probability rows``
+    (flat full-width |psi|^2 — marginalise outside) plus the gathered
+    per-variant slot-entry arrays.  Returns None when the fragment does
+    not fit the kernel (state > VMEM budget or < 1 row of lanes)."""
+    from .statevector import apply_matrix_host
+
+    prefix_ops, suffix, prog = _plan_ops(virt, frag_name)
+    specs = [vg.spec for vg in virt.vgates]
+    n = prog.num_sim_qubits
+    if n < LANE_BITS + 1 or n > 19:
+        return None
+    R = 1 << (n - LANE_BITS)
+
+    # host-shared prefix at full width
+    st = np.zeros((2, 1 << n), np.float32)
+    st[0, 0] = 1.0
+    for op in prefix_ops:
+        st = apply_matrix_host(st, op[1], op[2], n)
+    prefix_state = st.reshape(2, R, 128)
+
+    # per-variant complex slot entries, gathered by label
+    strides, n_inst, flat_count = label_strides(specs, prog.touching)
+    padded = flat_count  # grid over every label; callers slice
+    vidx = variant_index_table(
+        prog.touching, strides, n_inst, padded, clamp_to=flat_count
+    )
+    touch_col = {g: i for i, g in enumerate(prog.touching)}
+    fused_tabs = _slot_tables(prog, specs, fused=True)
+    slot_steps = [op for op in suffix if op[0] == "slot"]
+    slot_inputs = []
+    slot_m = {}
+    for op in slot_steps:
+        sid = op[1]
+        tab = fused_tabs[sid][0]  # [nI, 2, m, 2, m] real blocks
+        m = tab.shape[2]
+        slot_m[sid] = m
+        cx = np.stack([_to_complex(t) for t in tab])  # [nI, m, m]
+        ent = np.stack([cx.real, cx.imag], axis=1).astype(np.float32)
+        col = touch_col[prog.slots[sid].vgate_idx]
+        slot_inputs.append(ent[vidx[:, col]])  # [V, 2, m, m]
+
+    def kernel(*refs):
+        slot_refs = refs[: len(slot_steps)]
+        prefix_ref = refs[len(slot_steps)]
+        out_ref = refs[len(slot_steps) + 1]
+        re = prefix_ref[0]
+        im = prefix_ref[1]
+        si = 0
+        for op in suffix:
+            if op[0] == "u":
+                mat, axes = op[1], op[2]
+                js = [n - 1 - q for q in axes]
+                if len(axes) == 1:
+                    ur = lambda r, c, M=mat: float(M[r, c].real)
+                    ui = lambda r, c, M=mat: float(M[r, c].imag)
+                    re, im = _apply_1q(re, im, js[0], R, ur, ui)
+                else:
+                    ur = lambda r, c, M=mat: float(M[r, c].real)
+                    ui = lambda r, c, M=mat: float(M[r, c].imag)
+                    re, im = _apply_2q(re, im, js[0], js[1], R, ur, ui)
+            else:
+                sid, axes = op[1], op[2]
+                ref = slot_refs[si]
+                si += 1
+                js = [n - 1 - q for q in axes]
+                ur = lambda r, c, _r=ref: _r[0, 0, r, c]
+                ui = lambda r, c, _r=ref: _r[0, 1, r, c]
+                if len(axes) == 1:
+                    re, im = _apply_1q(re, im, js[0], R, ur, ui)
+                else:
+                    re, im = _apply_2q(re, im, js[0], js[1], R, ur, ui)
+        out_ref[0] = (re * re + im * im).reshape(1 << n)
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 2, slot_m[op[1]], slot_m[op[1]]),
+            lambda v: (v, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for op in slot_steps
+    ] + [
+        pl.BlockSpec(
+            (2, R, 128), lambda v: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+    ]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(padded,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1 << n), lambda v: (v, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((padded, 1 << n), jnp.float32),
+        interpret=interpret,
+    )
+
+    def fn(slot_entries):
+        return call(*slot_entries, jnp.asarray(prefix_state))
+
+    meta = {
+        "flat_count": flat_count,
+        "positions": sorted(prog.clbit_sources),
+        "sources": [
+            prog.clbit_sources[c] for c in sorted(prog.clbit_sources)
+        ],
+        "n": n,
+    }
+    return fn, [jnp.asarray(s) for s in slot_inputs], meta
+
+
+def run_fragment_pallas_variant(
+    virt: VirtualCircuit, frag_name: str, interpret: bool = False,
+) -> FragmentResult | None:
+    """Execute one fragment's fan-out through the VMEM kernel and return
+    the standard FragmentResult (rows marginalised to the written
+    clbits in XLA — one cheap pass over the kernel's output)."""
+    built = make_pallas_variant_fn(virt, frag_name, interpret=interpret)
+    if built is None:
+        return None
+    fn, slot_entries, meta = built
+    rows_full = fn(slot_entries)
+
+    from .statevector import marginalize_flat
+
+    n = meta["n"]
+    sources = meta["sources"]
+
+    @jax.jit
+    def finish(rows):
+        return jax.vmap(
+            lambda p: marginalize_flat(p, n, sources)
+        )(rows)
+
+    rows = np.asarray(finish(rows_full))[: meta["flat_count"]]
+    prog = virt.programs[frag_name]
+    return FragmentResult(
+        frag_name, rows, meta["positions"], list(prog.touching)
+    )

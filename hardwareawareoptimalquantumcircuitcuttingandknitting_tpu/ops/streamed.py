@@ -97,12 +97,33 @@ def default_bank_budget(dtype=None) -> int:
     return 512 << 20
 
 
+def _pick_fuse_qubits(virt, name, nm, fused_slots, dtype) -> int:
+    """Model-driven fusion width for one fragment: build the plan at
+    width 3 and 5 and keep 5 only when the counted per-variant HBM bytes
+    drop by >= 8% (the k>3 blocks pay the einsum lowering the <=3q
+    slice-combine paths avoid, so a marginal byte win is a wash —
+    measured 1.08x at a ~20% byte drop on sup-25 frag0)."""
+    if nm is not None:
+        return 3  # the noise path keeps the unfused per-gate stream
+    from .variant_engine import _steps_hbm_bytes
+
+    sizes = {}
+    for fq in (3, 5):
+        s, _, _, _ = make_sim_fn(
+            virt, name, build_matrices=False, fused_slots=fused_slots,
+            dtype=dtype, fuse_qubits=fq,
+        )
+        sizes[fq], _ = _steps_hbm_bytes(s.run_plan, s.prefix_width)
+    return 5 if sizes[5] <= 0.92 * sizes[3] else 3
+
+
 def make_streamed_knit(
     virt: VirtualCircuit, chunk: int = 512, keep_clbits=None,
     noise=None, trajectories: int | None = None, seed: int = 0,
     z_clbits=None, share_prefix: bool = False,
     bank_budget_bytes: int | None = None, fused_slots: bool = True,
     hoist_banks: bool = False, dtype=None, trunc_eps: float = 0.0,
+    fuse_qubits: int | str = "auto",
 ):
     """Build (step_fn, xs, meta): ``step_fn(xs)`` scans all global label
     chunks and returns the flat knitted quasi-distribution values.
@@ -235,9 +256,17 @@ def make_streamed_knit(
         prog = virt.programs[name]
         nm = models[fi]
         frag_fused = fused_slots and nm is None
+        # fusion width: "auto" picks 5 over the default 3 when the
+        # host byte model predicts a real win for THIS fragment (wider
+        # blocks halve passes on deep fixed-gate runs but pay the k>3
+        # einsum lowering; measured 1.08x on sup-25 frag0, PERF.md item
+        # 3 — now defaulted by prediction instead of left opt-in)
+        fq = fuse_qubits
+        if fq == "auto":
+            fq = _pick_fuse_qubits(virt, name, nm, frag_fused, dtype)
         sim_one, _, positions, _local_count = make_sim_fn(
             virt, name, noise=nm, build_matrices=False,
-            fused_slots=frag_fused, dtype=dtype,
+            fused_slots=frag_fused, dtype=dtype, fuse_qubits=fq,
         )
         sim_ones[name] = sim_one
         slot_tables.append([
