@@ -98,7 +98,10 @@ def _partner(x, j: int, R: int):
     rb = j - LANE_BITS
     hi = R >> (rb + 1)
     x4 = x.reshape(hi, 2, (1 << rb) * 128)
-    return jnp.flip(x4, axis=1).reshape(R, 128)
+    # swap the size-2 axis via slice+concat (lax.rev has no Mosaic
+    # lowering)
+    sw = jnp.concatenate([x4[:, 1:2], x4[:, 0:1]], axis=1)
+    return sw.reshape(R, 128)
 
 
 def _sel2(b, e0, e1):
@@ -224,7 +227,7 @@ def make_pallas_variant_fn(
                     re, im = _apply_1q(re, im, js[0], R, ur, ui)
                 else:
                     re, im = _apply_2q(re, im, js[0], js[1], R, ur, ui)
-        out_ref[0] = (re * re + im * im).reshape(1 << n)
+        out_ref[0] = re * re + im * im
 
     in_specs = [
         pl.BlockSpec(
@@ -243,15 +246,18 @@ def make_pallas_variant_fn(
         kernel,
         grid=(padded,),
         in_specs=in_specs,
+        # TPU lowering requires the trailing two block dims be (8k, 128k)
+        # or the full array dims — block only the variant axis
         out_specs=pl.BlockSpec(
-            (1, 1 << n), lambda v: (v, 0), memory_space=pltpu.VMEM
+            (1, R, 128), lambda v: (v, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((padded, 1 << n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((padded, R, 128), jnp.float32),
         interpret=interpret,
     )
 
     def fn(slot_entries):
-        return call(*slot_entries, jnp.asarray(prefix_state))
+        rows = call(*slot_entries, jnp.asarray(prefix_state))
+        return rows.reshape(padded, 1 << n)
 
     meta = {
         "flat_count": flat_count,
