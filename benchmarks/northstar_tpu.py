@@ -64,8 +64,18 @@ def run_config(key: str, reps: int, shots: int | None = None,
         make_streamed_knit,
     )
 
+    import jax.numpy as jnp
+
     name, n, depth, q, chunk = CONFIGS[key]
     out = {"config": key, "device": jax.devices()[0].device_kind}
+    # load proxy (measurement-hygiene policy, PERF.md): the first
+    # trivial-dispatch latency annotates which tunnel-load regime this
+    # row was measured under — rows are only comparable within a regime
+    t0 = time.perf_counter()
+    float(jnp.zeros((8,)).sum())
+    out["load_proxy_first_dispatch_s"] = round(
+        time.perf_counter() - t0, 3
+    )
     t_all = time.perf_counter()
     circ = genCirc(name, n, depth)
     t0 = time.perf_counter()

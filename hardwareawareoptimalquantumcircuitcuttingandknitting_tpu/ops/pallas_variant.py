@@ -178,10 +178,12 @@ def make_pallas_variant_fn(
 
     # per-variant complex slot entries, gathered by label
     strides, n_inst, flat_count = label_strides(specs, prog.touching)
-    padded = flat_count  # grid over every label; callers slice
     vidx = variant_index_table(
-        prog.touching, strides, n_inst, padded, clamp_to=flat_count
+        prog.touching, strides, n_inst, flat_count, clamp_to=flat_count
     )
+    # the grid follows the index table's row count — the A/B probe
+    # slices it to bound the full-width row output on big fragments
+    padded = int(vidx.shape[0])
     touch_col = {g: i for i, g in enumerate(prog.touching)}
     fused_tabs = _slot_tables(prog, specs, fused=True)
     slot_steps = [op for op in suffix if op[0] == "slot"]
