@@ -122,3 +122,45 @@ def test_live_syc12_parity():
                      log=lambda *a: None)
     assert res["fid_orig"] < 0.35
     assert res["fid_cut"] > 0.6
+
+
+# ---------------------------------------------------------------------------
+# Instance-spread brackets (r4, VERDICT #4): benchmarks/noisy_spread.py
+# runs K instances x 3 cut-leg seed pairs of the spread-sensitive
+# configs; the committed artifact must bracket the reference's single
+# recorded values wherever instance spread is the explanation.
+# ---------------------------------------------------------------------------
+
+SPREAD_ART = pathlib.Path(__file__).parent.parent / "noisy_spread.json"
+
+
+@pytest.fixture(scope="module")
+def spread():
+    return json.loads(SPREAD_ART.read_text())
+
+
+def test_spread_brackets_recorded(spread):
+    for key, r in spread.items():
+        assert r["instances"] >= 5, key
+        assert r["cut_seed_pairs_per_instance"] >= 3, key
+        ob, cb = r["fid_orig_bracket"], r["fid_cut_bracket"]
+        assert ob["min"] <= ob["median"] <= ob["max"], key
+        assert cb["min"] <= cb["median"] <= cb["max"], key
+        assert len(cb["values"]) >= 15, key  # 5 instances x 3 pairs
+        # the recorded in-bracket flags match the recorded values
+        assert r["ref_orig_in_bracket"] == (
+            ob["min"] <= r["reference_orig"] <= ob["max"]
+        ), key
+        assert r["ref_cut_in_bracket"] == (
+            cb["min"] <= r["reference_cut"] <= cb["max"]
+        ), key
+
+
+def test_reference_values_inside_spread_brackets(spread):
+    """sup-12 and syc-12: both reference legs fall INSIDE the measured
+    instance-spread brackets — the single-value residuals of the main
+    table are instance spread, not model error."""
+    for key in ("sup_12_1_2_10", "syc_12_2_2_10"):
+        r = spread[key]
+        assert r["ref_orig_in_bracket"], (key, r["fid_orig_bracket"])
+        assert r["ref_cut_in_bracket"], (key, r["fid_cut_bracket"])
