@@ -137,29 +137,35 @@ def _apply_2q(re, im, ja, jb, R, ur, ui):
     the position's own (ba, bb)."""
     ba = _bitval(ja, R)
     bb = _bitval(jb, R)
-    pa_re, pa_im = _partner(re, ja, R), _partner(im, ja, R)
-    pb_re, pb_im = _partner(re, jb, R), _partner(im, jb, R)
-    pab_re, pab_im = _partner(pa_re, jb, R), _partner(pa_im, jb, R)
-    nre = jnp.zeros_like(re)
-    nim = jnp.zeros_like(im)
-    for flip, (sre, sim) in (
-        (0, (re, im)), (2, (pa_re, pa_im)),
-        (1, (pb_re, pb_im)), (3, (pab_re, pab_im)),
-    ):
+
+    def acc(nre, nim, flip, sre, sim):
         cr = _sel4(ba, bb, lambda m, f=flip: ur(m, m ^ f))
         ci = _sel4(ba, bb, lambda m, f=flip: ui(m, m ^ f))
-        nre = nre + cr * sre - ci * sim
-        nim = nim + cr * sim + ci * sre
+        return nre + cr * sre - ci * sim, nim + cr * sim + ci * sre
+
+    # sequence the XOR-sources so at most ONE partner pair (plus the
+    # Pa pair feeding Pab) is live at a time — the all-at-once version
+    # blew Mosaic's 16 MB scoped-VMEM budget at n=18
+    nre, nim = acc(jnp.zeros_like(re), jnp.zeros_like(im), 0, re, im)
+    nre, nim = acc(nre, nim, 1, _partner(re, jb, R), _partner(im, jb, R))
+    pa_re, pa_im = _partner(re, ja, R), _partner(im, ja, R)
+    nre, nim = acc(nre, nim, 2, pa_re, pa_im)
+    nre, nim = acc(
+        nre, nim, 3, _partner(pa_re, jb, R), _partner(pa_im, jb, R)
+    )
     return nre, nim
 
 
-def make_pallas_variant_fn(
-    virt: VirtualCircuit, frag_name: str, interpret: bool = False,
-):
-    """Build ``fn(slot_entries) -> [V_padded, 2^n] probability rows``
-    (flat full-width |psi|^2 — marginalise outside) plus the gathered
-    per-variant slot-entry arrays.  Returns None when the fragment does
-    not fit the kernel (state > VMEM budget or < 1 row of lanes)."""
+def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
+                interpret: bool = False):
+    """Shared kernel construction: ``(call, entry_tables, entry_gids,
+    prefix_state, n, R)`` with ``call(*entries, prefix) ->
+    [grid_count, R, 128]`` full-width probability rows.  ``entries`` are
+    per-variant complex slot entries ``[grid_count, 2, m, m]``
+    (``entry_tables[k][variant_index]``, variant index = entry k's
+    GLOBAL vgate ``entry_gids[k]``'s label component).  Returns None
+    when the fragment does not fit (state > VMEM budget or < 1 lane
+    row)."""
     from .statevector import apply_matrix_host
 
     prefix_ops, suffix, prog = _plan_ops(virt, frag_name)
@@ -176,18 +182,10 @@ def make_pallas_variant_fn(
         st = apply_matrix_host(st, op[1], op[2], n)
     prefix_state = st.reshape(2, R, 128)
 
-    # per-variant complex slot entries, gathered by label
-    strides, n_inst, flat_count = label_strides(specs, prog.touching)
-    vidx = variant_index_table(
-        prog.touching, strides, n_inst, flat_count, clamp_to=flat_count
-    )
-    # the grid follows the index table's row count — the A/B probe
-    # slices it to bound the full-width row output on big fragments
-    padded = int(vidx.shape[0])
-    touch_col = {g: i for i, g in enumerate(prog.touching)}
     fused_tabs = _slot_tables(prog, specs, fused=True)
     slot_steps = [op for op in suffix if op[0] == "slot"]
-    slot_inputs = []
+    entry_tables = []
+    entry_gids = []
     slot_m = {}
     for op in slot_steps:
         sid = op[1]
@@ -196,28 +194,26 @@ def make_pallas_variant_fn(
         slot_m[sid] = m
         cx = np.stack([_to_complex(t) for t in tab])  # [nI, m, m]
         ent = np.stack([cx.real, cx.imag], axis=1).astype(np.float32)
-        col = touch_col[prog.slots[sid].vgate_idx]
-        slot_inputs.append(ent[vidx[:, col]])  # [V, 2, m, m]
+        entry_tables.append(ent)
+        entry_gids.append(prog.slots[sid].vgate_idx)
+    padded = grid_count
 
     def kernel(*refs):
         slot_refs = refs[: len(slot_steps)]
         prefix_ref = refs[len(slot_steps)]
         out_ref = refs[len(slot_steps) + 1]
-        re = prefix_ref[0]
-        im = prefix_ref[1]
+        st_ref = refs[len(slot_steps) + 2]  # VMEM scratch [2, R, 128]
+        st_ref[0] = prefix_ref[0]
+        st_ref[1] = prefix_ref[1]
         si = 0
         for op in suffix:
+            re = st_ref[0]
+            im = st_ref[1]
             if op[0] == "u":
                 mat, axes = op[1], op[2]
                 js = [n - 1 - q for q in axes]
-                if len(axes) == 1:
-                    ur = lambda r, c, M=mat: float(M[r, c].real)
-                    ui = lambda r, c, M=mat: float(M[r, c].imag)
-                    re, im = _apply_1q(re, im, js[0], R, ur, ui)
-                else:
-                    ur = lambda r, c, M=mat: float(M[r, c].real)
-                    ui = lambda r, c, M=mat: float(M[r, c].imag)
-                    re, im = _apply_2q(re, im, js[0], js[1], R, ur, ui)
+                ur = lambda r, c, M=mat: float(M[r, c].real)
+                ui = lambda r, c, M=mat: float(M[r, c].imag)
             else:
                 sid, axes = op[1], op[2]
                 ref = slot_refs[si]
@@ -225,10 +221,16 @@ def make_pallas_variant_fn(
                 js = [n - 1 - q for q in axes]
                 ur = lambda r, c, _r=ref: _r[0, 0, r, c]
                 ui = lambda r, c, _r=ref: _r[0, 1, r, c]
-                if len(axes) == 1:
-                    re, im = _apply_1q(re, im, js[0], R, ur, ui)
-                else:
-                    re, im = _apply_2q(re, im, js[0], js[1], R, ur, ui)
+            if len(axes) == 1:
+                re, im = _apply_1q(re, im, js[0], R, ur, ui)
+            else:
+                re, im = _apply_2q(re, im, js[0], js[1], R, ur, ui)
+            # write back: the scratch is the only value live across
+            # steps, bounding Mosaic's scoped-VMEM working set
+            st_ref[0] = re
+            st_ref[1] = im
+        re = st_ref[0]
+        im = st_ref[1]
         out_ref[0] = re * re + im * im
 
     in_specs = [
@@ -254,8 +256,44 @@ def make_pallas_variant_fn(
             (1, R, 128), lambda v: (v, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((padded, R, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, R, 128), jnp.float32)],
+        # n=18 programs peak ~34 MB of scoped VMEM across the unrolled
+        # gate chain (partner/coefficient temporaries) — above the
+        # compiler's 16 MB default but within the core's physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )
+
+    return call, entry_tables, entry_gids, prefix_state, n, R
+
+
+def make_pallas_variant_fn(
+    virt: VirtualCircuit, frag_name: str, interpret: bool = False,
+):
+    """Build ``fn(slot_entries) -> [V, 2^n] probability rows`` (flat
+    full-width |psi|^2 — marginalise outside) plus the host-gathered
+    per-variant slot-entry arrays.  Returns None when the fragment does
+    not fit the kernel."""
+    prog = virt.programs[frag_name]
+    specs = [vg.spec for vg in virt.vgates]
+    strides, n_inst, flat_count = label_strides(specs, prog.touching)
+    vidx = variant_index_table(
+        prog.touching, strides, n_inst, flat_count, clamp_to=flat_count
+    )
+    # the grid follows the index table's row count — the A/B probe
+    # slices it to bound the full-width row output on big fragments
+    padded = int(vidx.shape[0])
+    built = _build_call(virt, frag_name, padded, interpret=interpret)
+    if built is None:
+        return None
+    call, entry_tables, entry_gids, prefix_state, n, _R = built
+    touch_col = {g: i for i, g in enumerate(prog.touching)}
+    slot_inputs = [
+        jnp.asarray(tab[vidx[:, touch_col[gid]]])
+        for tab, gid in zip(entry_tables, entry_gids)
+    ]
 
     def fn(slot_entries):
         rows = call(*slot_entries, jnp.asarray(prefix_state))
@@ -269,7 +307,41 @@ def make_pallas_variant_fn(
         ],
         "n": n,
     }
-    return fn, [jnp.asarray(s) for s in slot_inputs], meta
+    return fn, slot_inputs, meta
+
+
+def make_chunk_kernel(
+    virt: VirtualCircuit, frag_name: str, chunk: int,
+    interpret: bool = False,
+):
+    """Streamed-engine integration point: ``(rows_fn, positions)``
+    where ``rows_fn(vidx_chunk)`` maps a ``[chunk, num_vgates]``
+    per-label variant-index block (traced — the streamed scan's xs,
+    columns = GLOBAL vgate ids) to ``[chunk, 2^len(positions)]`` rows
+    marginalised onto the written clbits, matching the XLA sim path's
+    row contract exactly.  Returns None when the fragment does not fit
+    the kernel."""
+    built = _build_call(virt, frag_name, chunk, interpret=interpret)
+    if built is None:
+        return None
+    call, entry_tables, entry_gids, prefix_state, n, _R = built
+    prog = virt.programs[frag_name]
+    positions = sorted(prog.clbit_sources)
+    sources = [prog.clbit_sources[c] for c in positions]
+    tabs_dev = [jnp.asarray(t) for t in entry_tables]
+    prefix_dev = jnp.asarray(prefix_state)
+
+    from .statevector import marginalize_flat
+
+    def rows_fn(vidx_chunk):
+        entries = [
+            tab[vidx_chunk[:, gid]]
+            for tab, gid in zip(tabs_dev, entry_gids)
+        ]
+        rows = call(*entries, prefix_dev).reshape(chunk, 1 << n)
+        return jax.vmap(lambda p: marginalize_flat(p, n, sources))(rows)
+
+    return rows_fn, positions
 
 
 def run_fragment_pallas_variant(

@@ -124,6 +124,7 @@ def make_streamed_knit(
     bank_budget_bytes: int | None = None, fused_slots: bool = True,
     hoist_banks: bool = False, dtype=None, trunc_eps: float = 0.0,
     fuse_qubits: int | str = "auto",
+    pallas_variant: bool = False,
 ):
     """Build (step_fn, xs, meta): ``step_fn(xs)`` scans all global label
     chunks and returns the flat knitted quasi-distribution values.
@@ -246,6 +247,7 @@ def make_streamed_knit(
     fold_plans = []    # per fragment: list of (bit_offset | None)
     data_positions = []
     splits = []  # per fragment: None | (SplitPlan, prefix_one, stages, r_anc)
+    pallas_rows = []  # per fragment: None | VMEM-kernel row producer
 
     def _chunked(a: np.ndarray) -> np.ndarray:
         return np.ascontiguousarray(
@@ -297,6 +299,31 @@ def make_streamed_knit(
                 sp, prog, specs, gstride, chunk if kept is None else -1
             )
             splits.append((sp, prefix_one, stages, r_anc))
+
+        # opt-in whole-variant-in-VMEM kernel (ops/pallas_variant.py):
+        # replaces this fragment's per-chunk sim (and its bank/staging —
+        # the kernel shares its prefix in VMEM) when the fragment fits.
+        # Mosaic compiles are minutes-slow through the tunnel — strictly
+        # opt-in, deploy-once (engine="pallas" / make_streamed_knit(
+        # pallas_variant=True)).
+        pallas_rows.append(None)
+        if (
+            pallas_variant and nm is None
+            and (dtype is None or np.dtype(dtype).itemsize == 4)
+        ):
+            from .pallas_variant import make_chunk_kernel
+
+            # CPU backend: interpret mode (Mosaic is TPU-only) — lets
+            # the CPU test suite exercise this exact path
+            built = make_chunk_kernel(
+                virt, name, chunk,
+                interpret=jax.default_backend() == "cpu",
+            )
+            if built is not None:
+                rows_fn, pos_pv = built
+                assert pos_pv == list(positions), (pos_pv, positions)
+                pallas_rows[fi] = rows_fn
+                splits[fi] = None
 
         if nm is None:
             xs_pauli.append(np.zeros((n_chunks, chunk, 0, 0), np.int32))
@@ -429,6 +456,8 @@ def make_streamed_knit(
 
     def _rows_for_fragment(fi, name, vidx_chunk, pidx, bank=None):
         sim_one = sim_ones[name]
+        if pallas_rows[fi] is not None:
+            return pallas_rows[fi](vidx_chunk)
         if splits[fi] is not None:
             # staged suffix: each stage runs once per group of r_out
             # consecutive labels (suffix_stages — in-chunk tree sharing),
@@ -806,7 +835,7 @@ def run_virtual_circuit_streamed(
         virt, chunk, keep_clbits=keep_clbits,
         noise=noise, trajectories=trajectories, seed=seed,
         share_prefix=share_prefix if share_prefix is not None else True,
-        dtype=dtype, trunc_eps=trunc_eps,
+        dtype=dtype, trunc_eps=trunc_eps, pallas_variant=pallas_variant,
     )
     # NOTE: the chunk is NOT auto-rounded to meta["stage_align"].  The
     # staged suffix engages when the caller's chunk is already aligned;

@@ -44,27 +44,13 @@ def _run_fragments(
             )
     if engine in ("xla", "auto"):
         return run_all_fragments(virt, chunk_size)
-    if engine == "sharded":
-        from .ops.sharded_fragment import run_all_fragments_sharded
+    assert engine == "sharded", engine
+    from .ops.sharded_fragment import run_all_fragments_sharded
 
-        return run_all_fragments_sharded(
-            virt, max_local_qubits=max_local_qubits, mesh=mesh,
-            dtype=dtype,
-        )
-    from .ops.pallas_sv import run_fragment_pallas
-
-    results = []
-    for reg in virt.fragments:
-        res = run_fragment_pallas(virt, reg.name)
-        if res is None:
-            # only engine="pallas" reaches here (auto/xla/sharded/streamed
-            # returned above) and pallas is strictly opt-in: unsupported
-            # fragments are an explicit error, never a silent fallback
-            raise ValueError(
-                f"fragment {reg.name} not supported by the pallas engine"
-            )
-        results.append(res)
-    return results
+    return run_all_fragments_sharded(
+        virt, max_local_qubits=max_local_qubits, mesh=mesh,
+        dtype=dtype,
+    )
 
 
 @dataclass
@@ -104,8 +90,11 @@ def run_virtual_circuit(
     "sampled" (Monte-Carlo QPD sampling, ops/qpd_sampling.py — ``shots``
     is the label-sample budget; unbiased with std ~ gamma/sqrt(shots),
     for cut counts whose label grid is too large to enumerate), or
-    "pallas" (fused VMEM kernel — strictly opt-in: Mosaic compiles
-    through the tunneled TPU backend are slow and high-variance at scale).
+    "pallas" (the streamed scan with each eligible fragment's per-chunk
+    sim replaced by the whole-variant-in-VMEM Mosaic kernel,
+    ops/pallas_variant.py — measured 1.7x on sup-20's fan-out.  Strictly
+    opt-in: Mosaic compiles through the tunneled TPU backend are
+    minutes-slow, amortised into the one-time deploy).
 
     ``mesh`` (engine="sharded"): a jax Mesh with axes ("dp", "amp"); with
     ``mesh=None`` each fragment gets its own split sized so no device
@@ -288,7 +277,14 @@ def run_virtual_circuit(
                 f"{AUTO_STREAM_LABELS} -> streamed scan"
             )
             engine = "streamed"
-    if engine == "streamed":
+    if engine in ("streamed", "pallas"):
+        # engine="pallas" (r4): the streamed scan with each eligible
+        # fragment's per-chunk sim replaced by the whole-variant-in-VMEM
+        # Mosaic kernel (ops/pallas_variant.py; measured 1.7x on sup-20's
+        # fan-out, pallas_variant_probe.json).  Still strictly opt-in:
+        # Mosaic compiles through the tunneled backend are minutes-slow
+        # (deploy-once).  Ineligible fragments (width outside [8, 19],
+        # noisy, bf16) keep the XLA sim inside the same scan.
         from .ops.streamed import run_virtual_circuit_streamed
 
         now = time.perf_counter()
@@ -300,6 +296,7 @@ def run_virtual_circuit(
                 virt, chunk=chunk_size, project=project,
                 shots=shots, seed=seed, checkpoint_dir=checkpoint_dir,
                 dtype=dtype, trunc_eps=trunc_eps, keep_clbits=keep_clbits,
+                pallas_variant=engine == "pallas",
             )
         return dist, RunTimeInfo(time.perf_counter() - now, 0.0)
     frag_sizes = tuple(p.num_data_qubits for p in virt.programs.values())

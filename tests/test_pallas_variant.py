@@ -83,3 +83,20 @@ def test_width_gate():
     """Fragments outside [8, 19] sim qubits are declined, not wrong."""
     virt = _chain_cut(8)
     assert make_pallas_variant_fn(virt, "frag1", interpret=True) is None
+
+
+def test_streamed_engine_with_pallas_rows_matches():
+    """engine='pallas' route: the streamed scan with the VMEM kernel as
+    the per-chunk row producer must equal the plain streamed scan."""
+    import jax
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
+        make_streamed_knit,
+    )
+
+    virt = _chain_cut(8)
+    s1, xs1, _ = make_streamed_knit(virt, chunk=18)
+    s2, xs2, _ = make_streamed_knit(virt, chunk=18, pallas_variant=True)
+    a = np.asarray(jax.jit(s1)(xs1))
+    b = np.asarray(jax.jit(s2)(xs2))
+    np.testing.assert_allclose(a, b, atol=2e-6)
