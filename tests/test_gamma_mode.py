@@ -243,3 +243,38 @@ def test_qft8_sampled_machinery_cpu_scale():
     # terms (the artifact's eps-style bound)
     assert float(err.max()) <= max(5.0 * float(se.max()), 1e-4)
     assert float(err.max()) < 0.02
+
+
+def test_gamma_mode_three_partitions():
+    """P=3 qubit-level B&B: ghz-9 at caps 3 needs exactly 2 cx cuts
+    (gamma 3 each) splitting the chain into thirds."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
+        genCirc,
+    )
+
+    cutter = Cutter(genCirc("ghz", 9, 1), maxNPartitions=3,
+                    maxNQubitsPerPartition=3, gammaMode=True)
+    assert cutter.solve()
+    m = cutter.plan.metrics
+    assert m.S == pytest.approx(9.0)
+    assert m.n_gate_cuts == 2
+    assert sorted(m.Q_p) == [3, 3, 3]
+    # the plan executes end-to-end at fidelity 1
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (
+        hellinger_fidelity,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+        simulate_circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.run import (
+        run_virtual_circuit,
+    )
+
+    circ = genCirc("ghz", 9, 1)
+    cutter2 = Cutter(circ, maxNPartitions=3, maxNQubitsPerPartition=3,
+                     gammaMode=True)
+    assert cutter2.solve()
+    dist, _ = run_virtual_circuit(
+        VirtualCircuit(cutter2.getResultCircs()[3])
+    )
+    assert hellinger_fidelity(simulate_circuit(circ), dist) > 1 - 1e-6
