@@ -117,26 +117,121 @@ def _sel4(ba, bb, e):
     )
 
 
+def _z(v) -> bool:
+    
+    """Trace-time zero test: True only for host-known zero coefficients
+    (fixed-gate entries are python floats; slot entries are tracers)."""
+    return isinstance(v, (int, float)) and v == 0.0
+
+
+def _cmac(accr, acci, cr, ci, sr, si):
+    """acc += (cr + i ci) * (sr + i si), skipping host-known zeros."""
+    if not _z(cr):
+        accr = sr * cr if accr is None else accr + sr * cr
+        acci = si * cr if acci is None else acci + si * cr
+    if not _z(ci):
+        accr = (-ci) * si if accr is None else accr - ci * si
+        acci = ci * sr if acci is None else acci + ci * sr
+    return accr, acci
+
+
 def _apply_1q(re, im, j, R, ur, ui):
-    """ur/ui: callable(r, c) -> scalar (traced or python float)."""
+    """ur/ui: callable(r, c) -> scalar (traced or python float).
+    Diagonal fixed gates skip the partner fetch entirely."""
     b = _bitval(j, R)
     kr = _sel2(b, ur(0, 0), ur(1, 1))
     ki = _sel2(b, ui(0, 0), ui(1, 1))
+    nre = kr * re - ki * im
+    nim = kr * im + ki * re
+    off = (ur(0, 1), ur(1, 0), ui(0, 1), ui(1, 0))
+    if all(_z(v) for v in off):
+        return nre, nim
     sr = _sel2(b, ur(0, 1), ur(1, 0))
     si = _sel2(b, ui(0, 1), ui(1, 0))
     pre = _partner(re, j, R)
     pim = _partner(im, j, R)
-    nre = kr * re - ki * im + sr * pre - si * pim
-    nim = kr * im + ki * re + sr * pim + si * pre
+    return nre + sr * pre - si * pim, nim + sr * pim + si * pre
+
+
+def _apply_1q_row(re, im, j, R, ur, ui):
+    """1q gate on a ROW bit: direct slice arithmetic on the two
+    half-blocks — no partner materialisation, no masks, host-known zero
+    coefficients skipped at trace time."""
+    rb = j - LANE_BITS
+    sh = (R >> (rb + 1), 2, (1 << rb) * 128)
+    xr = re.reshape(sh)
+    xi = im.reshape(sh)
+    outs = []
+    for a in (0, 1):
+        accr = acci = None
+        for i in (0, 1):
+            accr, acci = _cmac(
+                accr, acci, ur(a, i), ui(a, i), xr[:, i], xi[:, i]
+            )
+        if accr is None:
+            accr = jnp.zeros_like(xr[:, 0])
+            acci = jnp.zeros_like(xi[:, 0])
+        outs.append((accr, acci))
+    nre = jnp.stack([outs[0][0], outs[1][0]], axis=1).reshape(R, 128)
+    nim = jnp.stack([outs[0][1], outs[1][1]], axis=1).reshape(R, 128)
+    return nre, nim
+
+
+def _apply_2q_rowrow(re, im, ja, jb, R, ur, ui):
+    """2q gate with BOTH qubits on row bits: direct slice arithmetic on
+    the four quarter-blocks (16 complex MACs, zeros skipped)."""
+    rb_a, rb_b = ja - LANE_BITS, jb - LANE_BITS
+    hi_b, lo_b = max(rb_a, rb_b), min(rb_a, rb_b)
+    sh = (R >> (hi_b + 1), 2, 1 << (hi_b - lo_b - 1), 2,
+          (1 << lo_b) * 128)
+    xr = re.reshape(sh)
+    xi = im.reshape(sh)
+
+    def mval(i, j):  # gate index: ja is the gate MSB
+        return 2 * i + j if rb_a == hi_b else 2 * j + i
+
+    rows = []
+    for a in (0, 1):
+        cols = []
+        for b in (0, 1):
+            accr = acci = None
+            for i in (0, 1):
+                for j_ in (0, 1):
+                    accr, acci = _cmac(
+                        accr, acci,
+                        ur(mval(a, b), mval(i, j_)),
+                        ui(mval(a, b), mval(i, j_)),
+                        xr[:, i, :, j_], xi[:, i, :, j_],
+                    )
+            if accr is None:
+                accr = jnp.zeros_like(xr[:, 0, :, 0])
+                acci = jnp.zeros_like(xi[:, 0, :, 0])
+            cols.append((accr, acci))
+        rows.append(cols)
+    nre = jnp.stack([
+        jnp.stack([rows[0][0][0], rows[0][1][0]], axis=2),
+        jnp.stack([rows[1][0][0], rows[1][1][0]], axis=2),
+    ], axis=1).reshape(R, 128)
+    nim = jnp.stack([
+        jnp.stack([rows[0][0][1], rows[0][1][1]], axis=2),
+        jnp.stack([rows[1][0][1], rows[1][1][1]], axis=2),
+    ], axis=1).reshape(R, 128)
     return nre, nim
 
 
 def _apply_2q(re, im, ja, jb, R, ur, ui):
     """General 2q gate; ja = gate MSB's flat bit.  ur/ui: (r, c) ->
     scalar.  out = sum over the 4 XOR-sources, coefficient selected by
-    the position's own (ba, bb)."""
+    the position's own (ba, bb); XOR-source groups whose four
+    coefficients are all host-known zeros are skipped (diagonal /
+    block-sparse fixed gates need no partner fetches)."""
     ba = _bitval(ja, R)
     bb = _bitval(jb, R)
+
+    def group_zero(f):
+        return all(
+            _z(ur(m, m ^ f)) and _z(ui(m, m ^ f)) for m in range(4)
+        )
 
     def acc(nre, nim, flip, sre, sim):
         cr = _sel4(ba, bb, lambda m, f=flip: ur(m, m ^ f))
@@ -147,12 +242,21 @@ def _apply_2q(re, im, ja, jb, R, ur, ui):
     # Pa pair feeding Pab) is live at a time — the all-at-once version
     # blew Mosaic's 16 MB scoped-VMEM budget at n=18
     nre, nim = acc(jnp.zeros_like(re), jnp.zeros_like(im), 0, re, im)
-    nre, nim = acc(nre, nim, 1, _partner(re, jb, R), _partner(im, jb, R))
-    pa_re, pa_im = _partner(re, ja, R), _partner(im, ja, R)
-    nre, nim = acc(nre, nim, 2, pa_re, pa_im)
-    nre, nim = acc(
-        nre, nim, 3, _partner(pa_re, jb, R), _partner(pa_im, jb, R)
-    )
+    if not group_zero(1):
+        nre, nim = acc(
+            nre, nim, 1, _partner(re, jb, R), _partner(im, jb, R)
+        )
+    need_a = not group_zero(2)
+    need_ab = not group_zero(3)
+    if need_a or need_ab:
+        pa_re, pa_im = _partner(re, ja, R), _partner(im, ja, R)
+        if need_a:
+            nre, nim = acc(nre, nim, 2, pa_re, pa_im)
+        if need_ab:
+            nre, nim = acc(
+                nre, nim, 3,
+                _partner(pa_re, jb, R), _partner(pa_im, jb, R),
+            )
     return nre, nim
 
 
@@ -222,7 +326,12 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
                 ur = lambda r, c, _r=ref: _r[0, 0, r, c]
                 ui = lambda r, c, _r=ref: _r[0, 1, r, c]
             if len(axes) == 1:
-                re, im = _apply_1q(re, im, js[0], R, ur, ui)
+                if js[0] >= LANE_BITS:
+                    re, im = _apply_1q_row(re, im, js[0], R, ur, ui)
+                else:
+                    re, im = _apply_1q(re, im, js[0], R, ur, ui)
+            elif min(js) >= LANE_BITS:
+                re, im = _apply_2q_rowrow(re, im, js[0], js[1], R, ur, ui)
             else:
                 re, im = _apply_2q(re, im, js[0], js[1], R, ur, ui)
             # write back: the scratch is the only value live across
