@@ -782,6 +782,7 @@ def run_virtual_circuit_streamed(
     dtype=None,
     trunc_eps: float = 0.0,
     keep_clbits=None,
+    pallas_variant: bool = False,
 ) -> Distribution:
     """End-to-end streamed execution on the default device.  ``chunk`` is
     capped by :func:`auto_chunk` to bound device memory.

@@ -164,3 +164,18 @@ def test_reference_values_inside_spread_brackets(spread):
         r = spread[key]
         assert r["ref_orig_in_bracket"], (key, r["fid_orig_bracket"])
         assert r["ref_cut_in_bracket"], (key, r["fid_cut_bracket"])
+
+
+def test_sup20_cut_residual_explained_by_spread(spread):
+    """The r3 table's 25x sup-20 cut residual (ours 5.2e-2 vs ref
+    2.07e-3, single instance) is instance/seed spread: across 5
+    instances x 3 seed pairs the bracket contains the reference value.
+    The orig leg lives at the 1000-shot sampling floor of a 2^20-outcome
+    near-flat distribution — both ours and the reference's recorded
+    value are ~1e-5-scale 'zero at sampling resolution'."""
+    r = spread["sup_20_1_2_10"]
+    assert r["ref_cut_in_bracket"], r["fid_cut_bracket"]
+    assert r["fid_cut_bracket"]["min"] <= 2.07e-3 <= \
+        r["fid_cut_bracket"]["max"]
+    assert r["reference_orig"] < 2e-5
+    assert r["fid_orig_bracket"]["max"] < 2e-5
