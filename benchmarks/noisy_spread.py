@@ -61,7 +61,17 @@ from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circu
     VirtualCircuit,
 )
 
-SPREAD_CONFIGS = ["sup_12_1_2_10", "sup_20_1_2_10", "syc_12_2_2_10"]
+SPREAD_CONFIGS = ["sup_12_1_2_10", "sup_20_1_2_10", "syc_12_2_2_10",
+                  "ghz_24_1_2_12"]
+# ghz-24's uncut noisy leg is a 2^24 trajectory sim (~8 min/instance on
+# this 1-core host) and GHZ has no instance randomness — spread only the
+# cut leg's shot seeds there, in the reference's ACTUAL metric form:
+# hellinger(uncut ideal @1000 shots, knitted cut @1000 shots)
+# (Utilities.py:222-224 — ONE QPD-noisy side), through the
+# reference-exact sparse counts->QuasiDistr->hierarchical-knit pipeline.
+# The main table's two-knit form double-counts the QPD shot noise, which
+# is what made the r3 single value (0.982) read low vs the ref 0.99979.
+CUT_ONLY = {"ghz_24_1_2_12"}
 
 
 def _bracket(vals):
@@ -71,10 +81,12 @@ def _bracket(vals):
 
 
 def run_spread(name, n, depth, P, Q, ref_o, ref_c, instances, cut_seeds,
-               shots, seed, log=print):
+               shots, seed, log=print, cut_only=False):
     t0 = time.time()
     orig_vals = []
     cut_vals = []
+    if cut_only:
+        instances = 1  # deterministic generator (no instance randomness)
     for i in range(instances):
         # i=0 reproduces noisy_parity.py's pinned instance (seed+42)
         inst = seed + 42 + 1000 * i
@@ -89,17 +101,18 @@ def run_spread(name, n, depth, P, Q, ref_o, ref_c, instances, cut_seeds,
         for vg in virt.vgates:
             labels *= vg.spec.num_instantiations
 
-        nm = fake_kolkata_v2()
-        nm.untranspiled = True
-        ideal = simulate_circuit(circ)
-        ideal_s = sample_distribution(ideal, shots, seed + i)
-        noisy = simulate_noisy_circuit(circ, nm, shots=shots,
-                                       seed=seed + 7 + i)
-        orig_vals.append(hellinger_fidelity(ideal_s, noisy))
-        log(f"[{name}-{n} inst {i}] fid_orig={orig_vals[-1]:.6g} "
-            f"({time.time()-t0:.0f}s)")
+        if not cut_only:
+            nm = fake_kolkata_v2()
+            nm.untranspiled = True
+            ideal = simulate_circuit(circ)
+            ideal_s = sample_distribution(ideal, shots, seed + i)
+            noisy = simulate_noisy_circuit(circ, nm, shots=shots,
+                                           seed=seed + 7 + i)
+            orig_vals.append(hellinger_fidelity(ideal_s, noisy))
+            log(f"[{name}-{n} inst {i}] fid_orig={orig_vals[-1]:.6g} "
+                f"({time.time()-t0:.0f}s)")
 
-        if labels > STREAM_LABELS:
+        if cut_only or labels > STREAM_LABELS:
             from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.sparse_knit import (  # noqa: E501
                 sampled_sparse_fragment_rows,
                 sparse_knit,
@@ -119,13 +132,24 @@ def run_spread(name, n, depth, P, Q, ref_o, ref_c, instances, cut_seeds,
                 d, _ = run_virtual_circuit(virt, shots=shots, seed=sd)
                 return prune_distribution(d)
 
+        if cut_only:
+            ideal = simulate_circuit(circ)
         for j in range(cut_seeds):
-            a = leg(seed + 2 + 10 * j + 100 * i)
-            b = leg(seed + 3 + 10 * j + 100 * i)
+            if cut_only:
+                # the reference's recorded quantity: uncut ideal SAMPLE
+                # vs the knitted cut run (one QPD-noisy side)
+                a = sample_distribution(ideal, shots, seed + 100 + j)
+                b = leg(seed + 2 + 10 * j + 100 * i)
+            else:
+                a = leg(seed + 2 + 10 * j + 100 * i)
+                b = leg(seed + 3 + 10 * j + 100 * i)
             cut_vals.append(hellinger_fidelity(a, b))
             log(f"[{name}-{n} inst {i} pair {j}] "
                 f"fid_cut={cut_vals[-1]:.6g} ({time.time()-t0:.0f}s)")
 
+    if cut_only:
+        orig_vals = [ref_o]  # not re-measured (deterministic circuit;
+        # the main table's single value stands) — bracket is degenerate
     ob, cb = _bracket(orig_vals), _bracket(cut_vals)
     out = {
         "config": f"{name}_{n}_{depth}_{P}_{Q}",
@@ -207,6 +231,7 @@ def main():
         results[key] = run_spread(
             name, n, d, P, Q, ref_o, ref_c,
             args.instances, args.cut_seeds, args.shots, args.seed,
+            cut_only=key in CUT_ONLY,
         )
         out.write_text(json.dumps(results, indent=2))
         append_table(results, pathlib.Path(args.table))
