@@ -179,3 +179,14 @@ def test_sup20_cut_residual_explained_by_spread(spread):
         r["fid_cut_bracket"]["max"]
     assert r["reference_orig"] < 2e-5
     assert r["fid_orig_bracket"]["max"] < 2e-5
+
+
+def test_ghz24_cut_bracket_contains_reference(spread):
+    """r3's ghz-24 cut residual (0.982 vs ref 0.99979) was a metric-form
+    mismatch: in the reference's actual quantity — hellinger(uncut ideal
+    sample, knitted cut), ONE QPD-noisy side (Utilities.py:222-224) —
+    the 9-seed bracket through the reference-exact sparse pipeline
+    contains the reference value."""
+    r = spread["ghz_24_1_2_12"]
+    assert r["ref_cut_in_bracket"], r["fid_cut_bracket"]
+    assert r["fid_cut_bracket"]["n"] >= 9
