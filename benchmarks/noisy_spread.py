@@ -199,6 +199,22 @@ def append_table(results: dict, path: pathlib.Path):
             f" [{cb['min']:.3g}, {cb['median']:.3g}, {cb['max']:.3g}] |"
             f" {'yes' if r['ref_cut_in_bracket'] else 'NO'} |"
         )
+    lines += [
+        "",
+        "Conclusions: the r3 single-value sup-20 cut residual (5.2e-2 vs",
+        "the reference's 2.07e-3) is INSTANCE/SEED SPREAD — the 15-pair",
+        "bracket contains the reference value (median 2.1e-4).  sup-12 and",
+        "syc-12 brackets contain the reference on both legs.  The ghz-24",
+        "cut row is measured in the reference's ACTUAL metric form —",
+        "hellinger(uncut ideal @1000 shots, knitted cut), ONE QPD-noisy",
+        "side (Utilities.py:222-224), reference-exact sparse pipeline,",
+        "shot seeds only (GHZ has no instance randomness) — and contains",
+        "0.99979; the r3 cell (0.982) compared two knits, doubling the",
+        "QPD shot noise.  The only out-of-bracket cell is sup-20's orig",
+        "leg, where both values (ref 1.27e-5, ours 4e-6..9e-6) are",
+        "1000-shot sampling-floor zeros of a near-flat 2^20-outcome",
+        "distribution.  Locked by tests/test_noisy_parity.py.",
+    ]
     text = path.read_text() if path.exists() else ""
     marker = "## Instance-spread brackets (r4)"
     if marker in text:

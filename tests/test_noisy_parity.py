@@ -141,12 +141,15 @@ def spread():
 
 def test_spread_brackets_recorded(spread):
     for key, r in spread.items():
-        assert r["instances"] >= 5, key
+        cut_only = key == "ghz_24_1_2_12"  # shot seeds only: GHZ has no
+        # instance randomness (benchmarks/noisy_spread.py CUT_ONLY)
+        if not cut_only:
+            assert r["instances"] >= 5, key
         assert r["cut_seed_pairs_per_instance"] >= 3, key
         ob, cb = r["fid_orig_bracket"], r["fid_cut_bracket"]
         assert ob["min"] <= ob["median"] <= ob["max"], key
         assert cb["min"] <= cb["median"] <= cb["max"], key
-        assert len(cb["values"]) >= 15, key  # 5 instances x 3 pairs
+        assert len(cb["values"]) >= (9 if cut_only else 15), key
         # the recorded in-bracket flags match the recorded values
         assert r["ref_orig_in_bracket"] == (
             ob["min"] <= r["reference_orig"] <= ob["max"]
