@@ -56,7 +56,7 @@ CONFIGS = {
 
 def run_config(key: str, reps: int, shots: int | None = None,
                share: bool = True, bank_mb: int | None = None,
-               dtype: str = "f32") -> dict:
+               dtype: str = "f32", pallas: bool = False) -> dict:
     import jax
 
     from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (
@@ -110,9 +110,11 @@ def run_config(key: str, reps: int, shots: int | None = None,
     out["share_prefix"] = bool(share)
     out["bank_mb_budget"] = bank_mb
     out["dtype"] = dtype
+    out["engine"] = "pallas" if pallas else "streamed"
     step_fn, xs, meta = make_streamed_knit(
         virt, out["chunk"], share_prefix=share,
         bank_budget_bytes=bank_mb << 20, hoist_banks=share, dtype=_dt,
+        pallas_variant=pallas,
     )
     # staging is NOT forced by shrinking the chunk — measured neutral on
     # the v5e (staged_ab_probe.json); ladders record what engaged anyway
@@ -200,6 +202,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="aqft16,hwe16")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--pallas", action="store_true",
+                    help="whole-variant-in-VMEM kernel rows "
+                    "(ops/pallas_variant.py; Mosaic deploy compile)")
     ap.add_argument("--shots", type=int, default=None,
                     help="additionally time the on-device project+sample "
                          "serving leg at this shot count")
@@ -220,7 +225,7 @@ def main() -> None:
         print(f"[northstar] {key} ...", flush=True)
         row = run_config(
             key.strip(), args.reps, args.shots, share=args.share == "on",
-            bank_mb=args.bank_mb, dtype=args.dtype,
+            bank_mb=args.bank_mb, dtype=args.dtype, pallas=args.pallas,
         )
         print(f"[northstar] {row}", flush=True)
         # persist after EVERY config — a crash in config N must not lose
@@ -229,6 +234,7 @@ def main() -> None:
         def _key(r):
             return (
                 r["config"], r.get("bank_mb_budget"), r.get("dtype", "f32"),
+                r.get("engine", "streamed"),
             )
 
         existing = []
