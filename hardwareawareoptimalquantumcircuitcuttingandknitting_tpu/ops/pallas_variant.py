@@ -29,7 +29,6 @@ tests/test_pallas_variant.py (interpret mode on CPU).
 """
 from __future__ import annotations
 
-import math
 
 import numpy as np
 
