@@ -278,3 +278,29 @@ def test_gamma_mode_three_partitions():
         VirtualCircuit(cutter2.getResultCircs()[3])
     )
     assert hellinger_fidelity(simulate_circuit(circ), dist) > 1 - 1e-6
+
+
+@pytest.mark.parametrize("name,n,depth,cap,expect", [
+    ("aqft", 16, 1, 15, None),   # 5 kept cp gates cross the 15|1 split
+    ("hwe", 16, 5, 10, 3.0**5),  # cx cuts: textbook gamma 3 each
+    ("add", 10, 1, 9, 3.0),      # single cx cut
+])
+def test_gamma_mode_generality(name, n, depth, cap, expect):
+    """The solver's gamma objective equals the sampled engine's own
+    budget (prod cut_gammas) across circuit families — angle-dependent
+    (aqft cp) and fixed (hwe/add cx) cuts alike."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
+        genCirc,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        cut_gammas,
+    )
+
+    cutter = Cutter(genCirc(name, n, depth), maxNPartitions=2,
+                    maxNQubitsPerPartition=cap, gammaMode=True)
+    assert cutter.solve()
+    m = cutter.plan.metrics
+    if expect is not None:
+        assert m.S == pytest.approx(expect)
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    assert float(np.prod(cut_gammas(virt))) == pytest.approx(m.S)

@@ -100,3 +100,28 @@ def test_streamed_engine_with_pallas_rows_matches():
     a = np.asarray(jax.jit(s1)(xs1))
     b = np.asarray(jax.jit(s2)(xs2))
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_run_virtual_circuit_engine_pallas():
+    """The public engine='pallas' route (CPU: interpret mode) matches the
+    default engine and the uncut oracle."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.evaluate import (
+        hellinger_fidelity,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import (
+        genCirc,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (
+        simulate_circuit,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.run import (
+        run_virtual_circuit,
+    )
+
+    circ = genCirc("ghz", 10, 1)
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=5,
+                    maxNQpdCuts=2, maxNCuts=2)
+    assert cutter.solve()
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    dist, _ = run_virtual_circuit(virt, engine="pallas", chunk_size=12)
+    assert hellinger_fidelity(simulate_circuit(circ), dist) > 1 - 1e-6
