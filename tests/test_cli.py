@@ -36,7 +36,8 @@ def test_benchmark_cli_simulate(tmp_path):
 
 @pytest.mark.parametrize(
     "script", ["simple.py", "wire_cut.py", "fid.py", "qasm_migration.py",
-               "variational.py", "vqe.py", "qaoa.py", "population.py"]
+               "variational.py", "vqe.py", "qaoa.py", "population.py",
+               "gamma_sampled.py"]
 )
 def test_examples_run(script):
     """Every (fast) example must run end-to-end — stale examples are a
