@@ -28,6 +28,7 @@ CONFIGS = {
     "sup25": ("sup", 25, 1, 13),
     "sup20": ("sup", 20, 1, 10),
     "hwe16": ("hwe", 16, 5, 10),
+    "syc32": ("syc", 32, 3, 17),
 }
 
 

@@ -274,7 +274,10 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
     prefix_ops, suffix, prog = _plan_ops(virt, frag_name)
     specs = [vg.spec for vg in virt.vgates]
     n = prog.num_sim_qubits
-    if n < LANE_BITS + 1 or n > 19:
+    # width gate: 2^n state (2 x 4 B/amp) + working set must fit VMEM;
+    # n=20 (syc-32 fragments) compiles within the raised 100 MB scoped
+    # budget after the row-direct fast paths cut the live temporaries
+    if n < LANE_BITS + 1 or n > 20:
         return None
     R = 1 << (n - LANE_BITS)
 

@@ -159,3 +159,20 @@ def test_teleport_execute_noop_without_tele_cuts():
     assert expand_teleport_cuts(cut) is cut
     dist, _ = run_virtual_circuit(VirtualCircuit(cut), teleport="execute")
     assert hellinger_fidelity(simulate_circuit(circ), dist) > 1 - 1e-6
+
+
+def test_teleport_composes_with_sampled_engine():
+    """teleport='execute' + engine='sampled': the merged-fragment plan's
+    remaining QPD cut runs through the Monte-Carlo estimator."""
+    circ = genCirc("ghz", 9, 1)
+    cutter = Cutter(circ, maxNPartitions=3, maxNQubitsPerPartition=4,
+                    maxNQpdCuts=1)
+    assert cutter.solve()
+    assert any(c.teleport for c in cutter.plan.cuts)
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    dist, _ = run_virtual_circuit(
+        virt, teleport="execute", engine="sampled", shots=20000,
+        sample_method="lhs", sample_cv=True,
+    )
+    oracle = simulate_circuit(circ)
+    assert hellinger_fidelity(oracle, dist) > 1 - 5e-3
