@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--keep", type=int, nargs="+", default=[0, 1, 2, 3])
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--max-qubits", type=int, default=17)
+    ap.add_argument("--pallas", action="store_true",
+                    help="whole-variant-in-VMEM kernel rows "
+                    "(ops/pallas_variant.py)")
     args = ap.parse_args()
 
     import logging
@@ -80,7 +83,8 @@ def main() -> None:
           file=sys.stderr, flush=True)
 
     step, xs, meta = make_streamed_knit(virt, chunk=args.chunk,
-                                        keep_clbits=keep)
+                                        keep_clbits=keep,
+                                        pallas_variant=args.pallas)
     jitted = jax.jit(step)
     t = time.perf_counter()
     vals = jitted(xs)
@@ -102,6 +106,7 @@ def main() -> None:
 
     print(json.dumps({
         "metric": f"syc{args.n}_d{args.depth}_marginal_knit",
+        "engine": "pallas" if args.pallas else "streamed",
         "keep_clbits": sorted(keep),
         "global_labels": meta["global_labels"],
         "solve_s": round(solve_s, 3),
