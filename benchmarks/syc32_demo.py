@@ -66,6 +66,13 @@ def main() -> None:
 
     get_logger().setLevel(logging.WARNING)
     import jax
+    import jax.numpy as jnp
+
+    # load proxy (measurement-hygiene policy, PERF.md): first trivial
+    # dispatch latency names the tunnel-load regime of this row
+    t = time.perf_counter()
+    float(jnp.zeros((8, 8)).sum())
+    load_proxy_s = time.perf_counter() - t
 
     keep = set(args.keep)
     t0 = time.perf_counter()
@@ -90,9 +97,12 @@ def main() -> None:
     vals = jitted(xs)
     host = np.asarray(vals)  # tiny: 2^len(keep)
     first_s = time.perf_counter() - t
-    t = time.perf_counter()
-    host = np.asarray(jitted(xs))
-    steady_s = time.perf_counter() - t
+    reps = []
+    for _ in range(3):
+        t = time.perf_counter()
+        host = np.asarray(jitted(xs))
+        reps.append(time.perf_counter() - t)
+    steady_s = sorted(reps)[len(reps) // 2]
 
     marg = Distribution(host, meta["positions"], virt.num_clbits)
     pre = lightcone_circuit(circ, keep)
@@ -112,6 +122,8 @@ def main() -> None:
         "solve_s": round(solve_s, 3),
         "first_call_s": round(first_s, 2),
         "steady_s": round(steady_s, 3),
+        "steady_reps_s": [round(r, 3) for r in reps],
+        "load_proxy_first_dispatch_s": round(load_proxy_s, 3),
         "marginal_total": float(host.sum()),
         "fidelity_vs_lightcone": fid,
         "max_abs_err": err,

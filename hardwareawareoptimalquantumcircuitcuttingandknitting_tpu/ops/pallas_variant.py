@@ -3,7 +3,7 @@
 The XLA scan applies each gate as a separate HLO op, so every gate
 streams the full ``[chunk, 2, 2^n]`` state through HBM — measured 216-267
 GB/s sustained and ~3x minimal bytes (PERF.md).  For fragments whose
-state fits VMEM (n <= 19: 2 x 2^n x 4 B <= 8 MB), the whole per-variant
+state fits VMEM (n <= 20 under the raised 100 MB scoped budget), the whole per-variant
 simulation can instead run RESIDENT in VMEM: grid over variants, one
 kernel invocation simulates all gates and writes only the final
 probability row to HBM.  HBM traffic collapses from
