@@ -102,7 +102,7 @@ def _oracle_z(probs, n, z_sets):
     return outs
 
 
-def _run_leg(name, circ, n, samples, keep_bits, seed):
+def _run_leg(name, circ, n, samples, keep_bits, seed, pallas=False):
     import numpy as np
 
     from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (  # noqa: E501
@@ -139,7 +139,7 @@ def _run_leg(name, circ, n, samples, keep_bits, seed):
     t = time.perf_counter()
     est, se = sampled_knit(
         virt, samples, seed=seed, keep_clbits=keep, with_stderr=True,
-        method="lhs", control_variate=True,
+        method="lhs", control_variate=True, pallas_variant=pallas,
     )
     est_v = np.asarray(est.values, np.float64)
     float(est_v.sum())
@@ -148,7 +148,7 @@ def _run_leg(name, circ, n, samples, keep_bits, seed):
     t = time.perf_counter()
     est2, se2 = sampled_knit(
         virt, samples, seed=seed, keep_clbits=keep, with_stderr=True,
-        method="lhs", control_variate=True,
+        method="lhs", control_variate=True, pallas_variant=pallas,
     )
     float(np.asarray(est2.values).sum())
     marg_steady_s = time.perf_counter() - t
@@ -157,7 +157,7 @@ def _run_leg(name, circ, n, samples, keep_bits, seed):
     t = time.perf_counter()
     z_est, z_se = sampled_expectation_z(
         virt, z_sets, samples, seed=seed + 1, method="lhs",
-        with_stderr=True, control_variate=True,
+        with_stderr=True, control_variate=True, pallas_variant=pallas,
     )
     z_s = time.perf_counter() - t
 
@@ -172,6 +172,7 @@ def _run_leg(name, circ, n, samples, keep_bits, seed):
     hell = float(np.square(np.sqrt(p * oracle_m).sum()))
     leg = {
         "circuit": name,
+        "engine": "pallas" if pallas else "xla",
         "solve_s": round(solve_s, 4),
         "n_gate_cuts": m.n_gate_cuts,
         "gamma_per_cut": [round(g, 6) for g in over["gammas"]],
@@ -209,6 +210,9 @@ def main():
     ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--out", default="qft16_sampled.json")
     ap.add_argument("--platform", default=None, choices=[None, "cpu"])
+    ap.add_argument("--pallas", action="store_true",
+                    help="collapse-mode VMEM kernel rows "
+                    "(ops/pallas_variant.make_collapse_chunk_kernel)")
     args = ap.parse_args()
 
     import jax
@@ -240,12 +244,12 @@ def main():
     legs.append(_run_leg(
         f"qft-{args.n} (reference parity config)",
         _build(args.n, prepped=False), args.n, args.samples, args.keep,
-        args.seed,
+        args.seed, pallas=args.pallas,
     ))
     legs.append(_run_leg(
         f"qft-{args.n} on random product state",
         _build(args.n, prepped=True), args.n, args.samples, args.keep,
-        args.seed,
+        args.seed, pallas=args.pallas,
     ))
     out = {
         "claim": (

@@ -455,6 +455,250 @@ def make_chunk_kernel(
     return rows_fn, positions
 
 
+def _finalize_plan_collapse(sim_one):
+    """Hoist every remaining lazy-width "ins" step of a collapse-mode
+    plan into the host prefix and translate all surviving steps' axes to
+    FINAL active positions -> (prefix_state [2, 2^n], steps, n).
+
+    A lazily-introduced qubit has no ops before its "ins", so tensoring
+    its |0> bit in early commutes with every intervening step on other
+    qubits — the kernel then runs shape-static at the final width (the
+    whole point: the state lives in VMEM, width changes would re-tile
+    it)."""
+    plan = sim_one.run_plan
+    m0 = sim_one.prefix_width
+    st = np.asarray(sim_one.prefix_state, np.float32)
+    active: list[int] = list(range(m0))
+    nxt = m0
+    translated = []  # (kind, payload, token_axes)
+    for stp in plan:
+        if stp[0] == "ins":
+            pos = stp[1]
+            r = st.reshape(2, 1 << pos, -1)
+            st = np.stack([r, np.zeros_like(r)], axis=2).reshape(2, -1)
+            active.insert(pos, nxt)
+            nxt += 1
+        else:
+            translated.append(
+                (stp[0], stp[1], tuple(active[a] for a in stp[2]))
+            )
+    final_pos = {tok: i for i, tok in enumerate(active)}
+    steps = [
+        (k, p, tuple(final_pos[t] for t in toks))
+        for k, p, toks in translated
+    ]
+    n = len(active)
+    return st.reshape(2, 1 << n), steps, n
+
+
+def _build_call_collapse(virt: VirtualCircuit, frag_name: str,
+                         grid_count: int, interpret: bool = False):
+    """Collapse-mode twin of :func:`_build_call`: grid over SAMPLED
+    LABELS, each kernel invocation simulates one label's instance with
+    mid-circuit measure-and-collapse (ops/variant_engine.collapse_qubit
+    semantics, branch picked by a per-label uniform draw) executed
+    IN-KERNEL — the whole point of collapse mode (state width stays at
+    the data qubits; qft-16's 15-cut fragment runs at 2^15 instead of
+    the ancilla path's 2^30) compounds with the whole point of this
+    kernel (state resident in VMEM, one HBM row write per label).
+
+    Returns ``(call, entry_tables, entry_gids, site_meta, prefix_state,
+    n, R, positions, active_final, sources)`` or None when the fragment
+    does not fit.  ``call(*entries, cscal, prefix)`` takes per-label
+    slot-entry blocks ``[grid, 2, 2, 2]`` (one per slot_pre/slot_post
+    step, gather key = ``entry_gids[k]``'s label component), a
+    ``[grid, n_sites, 4]`` per-label collapse-scalar block (u, mflag,
+    w0, w1 per site — see site_meta: (slot_id, vgate_idx) in plan
+    order), and the shared prefix; rows come back as full-width
+    ``[grid, R, 128]`` probabilities PRE-MULTIPLIED by the sampled fold
+    weights (qpd_sampling._collapse_row_builder's contract)."""
+    from .variant_engine import make_sim_fn
+
+    prog = virt.programs[frag_name]
+    specs = [vg.spec for vg in virt.vgates]
+    sim_one, _, positions, _ = make_sim_fn(
+        virt, frag_name, build_matrices=False, collapse=True,
+        fuse_qubits=2,
+    )
+    prefix_state, steps, n = _finalize_plan_collapse(sim_one)
+    if n < LANE_BITS + 1 or n > 20:
+        return None
+    R = 1 << (n - LANE_BITS)
+    prefix_state = prefix_state.reshape(2, R, 128)
+
+    tables = _slot_tables(prog, specs, fused=False)
+    entry_steps = [s for s in steps if s[0] in ("slot_pre", "slot_post")]
+    entry_tables = []
+    entry_gids = []
+    for s in entry_steps:
+        sid = s[1]
+        tab = tables[sid][0 if s[0] == "slot_pre" else 2]
+        cx = np.stack([_to_complex(t) for t in tab])  # [nI, 2, 2]
+        entry_tables.append(
+            np.stack([cx.real, cx.imag], axis=1).astype(np.float32)
+        )
+        entry_gids.append(prog.slots[sid].vgate_idx)
+
+    site_meta = [
+        (s[1], prog.slots[s[1]].vgate_idx)
+        for s in steps if s[0] == "collapse"
+    ]
+    n_sites = max(1, len(site_meta))
+
+    def kernel(*refs):
+        e_refs = refs[: len(entry_steps)]
+        c_ref = refs[len(entry_steps)]
+        prefix_ref = refs[len(entry_steps) + 1]
+        out_ref = refs[len(entry_steps) + 2]
+        st_ref = refs[len(entry_steps) + 3]
+        st_ref[0] = prefix_ref[0]
+        st_ref[1] = prefix_ref[1]
+        weight = jnp.float32(1.0)
+        ei = 0
+        ci = 0
+        for op in steps:
+            re = st_ref[0]
+            im = st_ref[1]
+            if op[0] == "collapse":
+                # collapse_qubit semantics, VMEM-resident: Born pick of
+                # one branch at the per-label draw, project + rescale by
+                # sqrt(tot/p_b), fold weight w_b (variant_engine.py:265)
+                j = n - 1 - op[2][0]
+                b1 = _bitval(j, R).astype(jnp.float32)
+                sq = re * re + im * im
+                tot = jnp.sum(sq)
+                p1 = jnp.sum(sq * b1)
+                p0 = tot - p1
+                u = c_ref[0, ci, 0]
+                mflag = c_ref[0, ci, 1]
+                w0 = c_ref[0, ci, 2]
+                w1 = c_ref[0, ci, 3]
+                ci += 1
+                b = (u * tot >= p0).astype(jnp.float32)
+                pb = p0 + b * (p1 - p0)
+                scale = jnp.sqrt(tot / jnp.maximum(pb, 1e-30))
+                keep = b1 * b + (1.0 - b1) * (1.0 - b)
+                fac = jnp.where(mflag > 0, keep * scale,
+                                jnp.ones_like(keep))
+                st_ref[0] = re * fac
+                st_ref[1] = im * fac
+                weight = weight * jnp.where(
+                    mflag > 0, w0 + b * (w1 - w0), jnp.float32(1.0)
+                )
+                continue
+            if op[0] == "u":
+                cxm = _to_complex(np.asarray(op[1]))
+                axes = op[2]
+                js = [n - 1 - q for q in axes]
+                ur = lambda r, c, M=cxm: float(M[r, c].real)
+                ui = lambda r, c, M=cxm: float(M[r, c].imag)
+            else:  # slot_pre / slot_post: per-label 1q entries
+                ref = e_refs[ei]
+                ei += 1
+                axes = op[2]
+                js = [n - 1 - q for q in axes]
+                ur = lambda r, c, _r=ref: _r[0, 0, r, c]
+                ui = lambda r, c, _r=ref: _r[0, 1, r, c]
+            if len(axes) == 1:
+                if js[0] >= LANE_BITS:
+                    re, im = _apply_1q_row(re, im, js[0], R, ur, ui)
+                else:
+                    re, im = _apply_1q(re, im, js[0], R, ur, ui)
+            elif min(js) >= LANE_BITS:
+                re, im = _apply_2q_rowrow(re, im, js[0], js[1], R, ur, ui)
+            else:
+                re, im = _apply_2q(re, im, js[0], js[1], R, ur, ui)
+            st_ref[0] = re
+            st_ref[1] = im
+        re = st_ref[0]
+        im = st_ref[1]
+        out_ref[0] = (re * re + im * im) * weight
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 2, 2, 2), lambda v: (v, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in entry_steps
+    ] + [
+        pl.BlockSpec(
+            (1, n_sites, 4), lambda v: (v, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (2, R, 128), lambda v: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(grid_count,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, R, 128), lambda v: (v, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid_count, R, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, R, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    return (call, entry_tables, entry_gids, site_meta, prefix_state, n,
+            R, positions, list(sim_one.active_final),
+            list(sim_one.sources))
+
+
+def make_collapse_chunk_kernel(
+    virt: VirtualCircuit, frag_name: str, chunk: int,
+    interpret: bool = False,
+):
+    """Sampled-engine integration point (collapse mode):
+    ``(rows_fn, positions, site_meta)`` where ``rows_fn(lab_chunk,
+    cscal_chunk)`` maps a ``[chunk, G]`` global label block plus a
+    ``[chunk, n_sites, 4]`` collapse-scalar block (u, mflag, w0, w1 per
+    site, order = site_meta) to ``[chunk, 2^len(positions)]`` rows —
+    weight-folded, marginalised onto the DATA clbits, matching
+    qpd_sampling._collapse_row_builder's row contract exactly.  Returns
+    None when the fragment does not fit the kernel."""
+    built = _build_call_collapse(virt, frag_name, chunk,
+                                 interpret=interpret)
+    if built is None:
+        return None
+    (call, entry_tables, entry_gids, site_meta, prefix_state, n, _R,
+     positions, active_final, sources) = built
+    tabs_dev = [jnp.asarray(t) for t in entry_tables]
+    prefix_dev = jnp.asarray(prefix_state)
+
+    from .statevector import marginalize_flat
+
+    act_sources = [q for q in sources if q in active_final]
+    act_idx = [active_final.index(q) for q in act_sources]
+
+    def rows_fn(lab_chunk, cscal_chunk):
+        entries = [
+            tab[lab_chunk[:, gid]]
+            for tab, gid in zip(tabs_dev, entry_gids)
+        ]
+        full = call(*entries, cscal_chunk, prefix_dev)
+        full = full.reshape(chunk, 1 << n)
+        rows = jax.vmap(
+            lambda p: marginalize_flat(p, n, act_idx)
+        )(full)
+        # splice deterministic |0> bits for sources with no ops
+        # (finish_row's zero-bit rule, variant_engine.py:379)
+        for j, q in enumerate(sources):
+            if q not in active_final:
+                r = rows.reshape(chunk, -1, 1 << j)
+                rows = jnp.stack(
+                    [r, jnp.zeros_like(r)], axis=2
+                ).reshape(chunk, -1)
+        return rows
+
+    return rows_fn, positions, site_meta
+
+
 def run_fragment_pallas_variant(
     virt: VirtualCircuit, frag_name: str, interpret: bool = False,
 ) -> FragmentResult | None:

@@ -499,6 +499,71 @@ def _collapse_row_builder(virt, frag_name, dtype=None):
     return fn, positions, len(site_meta), width
 
 
+def _collapse_row_builder_pallas(virt, frag_name, chunk, dtype=None):
+    """Kernel-backed twin of :func:`_collapse_row_builder`: the per-label
+    collapse-mode simulation runs through the whole-variant-in-VMEM
+    Pallas kernel (ops/pallas_variant.make_collapse_chunk_kernel — the
+    mid-circuit collapse executes IN-KERNEL on the resident state)
+    instead of the XLA per-gate stream.  Same ``(fn, positions,
+    n_sites, width)`` contract, same weight convention, same draws ->
+    bit-identical branch picks; ``fn`` requires ``[chunk, G]`` label
+    blocks (the blocked scan's shape).  Returns None when the fragment
+    does not fit the kernel (width gate, non-f32 dtype) — callers fall
+    back to the XLA builder."""
+    if dtype is not None and dtype != jnp.float32:
+        return None
+    from .pallas_variant import make_collapse_chunk_kernel
+
+    built = make_collapse_chunk_kernel(
+        virt, frag_name, chunk,
+        interpret=jax.default_backend() == "cpu",
+    )
+    if built is None:
+        return None
+    rows_fn, positions, site_meta = built
+    prog = virt.programs[frag_name]
+    weights = _sign_weights(virt, frag_name)
+    ti_of = {g: i for i, g in enumerate(prog.touching)}
+    mh = _measured_here(virt, frag_name)
+    site_tabs = []
+    for sid, g in site_meta:
+        slot = prog.slots[sid]
+        spec = virt.vgates[slot.vgate_idx].spec
+        mrow = np.array(
+            [1.0 if p[slot.side].measure else 0.0 for p in spec.endpoints],
+            np.float32,
+        )
+        w = np.asarray(weights[ti_of[slot.vgate_idx]], np.float32)
+        site_tabs.append(
+            (g, jnp.asarray(mrow), jnp.asarray(w[:, 0]),
+             jnp.asarray(w[:, 1]))
+        )
+    nonmeas = [
+        np.where(mh[g], 1.0, np.asarray(weights[ti])[:, 0]).astype(
+            np.float32
+        )
+        for ti, g in enumerate(prog.touching)
+    ]
+
+    def fn(lab, u):
+        cols = [
+            jnp.stack([u[:, si], mrow[lab[:, g]], w0t[lab[:, g]],
+                       w1t[lab[:, g]]], axis=-1)
+            for si, (g, mrow, w0t, w1t) in enumerate(site_tabs)
+        ]
+        cscal = (
+            jnp.stack(cols, axis=1) if cols
+            else jnp.zeros((lab.shape[0], 1, 4), jnp.float32)
+        )
+        rows = rows_fn(lab, cscal)
+        for ti, g in enumerate(prog.touching):
+            rows = rows * jnp.asarray(nonmeas[ti], rows.dtype)[
+                lab[:, g]][:, None]
+        return rows, list(positions)
+
+    return fn, positions, len(site_meta), len(positions)
+
+
 def _ancilla_row_builder(virt, frag_name, dtype=None):
     """Exact-path twin of :func:`_collapse_row_builder`: ``fn(lab, u)``
     (u ignored) simulates with deferral ancillas then folds the vgate
@@ -683,6 +748,7 @@ def _scan_core(
     flags=None,
     collapse_seed: int = 0,
     block: int = 32,
+    pallas_variant: bool = False,
 ):
     """Blocked twin of :func:`_estimate` / :func:`_estimate_z`: one
     ``lax.scan`` over label chunks accumulates the weighted knit (and the
@@ -709,9 +775,18 @@ def _scan_core(
     pos_static = []
     for fi, reg in enumerate(virt.fragments):
         if flags[fi]:
-            fn, pos, ns, _w = _collapse_row_builder(
-                virt, reg.name, dtype=dtype
+            built = (
+                _collapse_row_builder_pallas(
+                    virt, reg.name, block, dtype=dtype
+                )
+                if pallas_variant else None
             )
+            if built is not None:
+                fn, pos, ns, _w = built
+            else:
+                fn, pos, ns, _w = _collapse_row_builder(
+                    virt, reg.name, dtype=dtype
+                )
             rng = np.random.default_rng(collapse_seed + 7919 * fi)
             u = rng.random((L, max(1, ns))).astype(np.float32)
             pos_f = list(pos)
@@ -865,6 +940,7 @@ def _estimate(
     noise_seed: int = 0,
     collapse=None,
     collapse_seed: int = 0,
+    pallas_variant: bool = False,
 ):
     """Core estimator: ``sum_l mass[l] * gamma_total * signed_knit(l)``.
 
@@ -915,6 +991,7 @@ def _estimate(
                 control_stats=control_stats,
                 gamma_override=gamma_override, dtype=dtype,
                 flags=flags, collapse_seed=collapse_seed, block=blk,
+                pallas_variant=pallas_variant,
             )
     lab = jnp.asarray(lab_np)
     frag_rows = []
@@ -923,10 +1000,26 @@ def _estimate(
         nm = noise[fi] if noise is not None else None
         if nm is None and flags[fi]:
             # collapse mode folds the vgate clbits in-sim
-            rows, positions = _simulate_label_rows_collapse(
-                virt, reg.name, lab,
-                seed=collapse_seed + 7919 * fi, dtype=dtype,
+            built = (
+                _collapse_row_builder_pallas(
+                    virt, reg.name, int(lab.shape[0]), dtype=dtype
+                )
+                if pallas_variant else None
             )
+            if built is not None:
+                fn_p, positions, ns_p, _w = built
+                rng = np.random.default_rng(collapse_seed + 7919 * fi)
+                u = jnp.asarray(
+                    rng.random(
+                        (int(lab.shape[0]), max(1, ns_p))
+                    ).astype(np.float32)
+                )
+                rows, positions = fn_p(lab, u)
+            else:
+                rows, positions = _simulate_label_rows_collapse(
+                    virt, reg.name, lab,
+                    seed=collapse_seed + 7919 * fi, dtype=dtype,
+                )
         else:
             if nm is None:
                 rows, positions = _simulate_label_rows(
@@ -1032,6 +1125,7 @@ def sampled_knit_adaptive(
     noise_seed: int = 0,
     collapse="auto",
     collapse_reps: int | None = None,
+    pallas_variant: bool = False,
 ):
     """eps-targeted sampling: grow the budget until the worst per-outcome
     EMPIRICAL standard error is <= ``eps``, then stop.
@@ -1072,6 +1166,7 @@ def sampled_knit_adaptive(
             method=method, control_variate=control_variate,
             noise=noise, noise_seed=noise_seed + round_idx,
             collapse=collapse, collapse_reps=collapse_reps,
+            pallas_variant=pallas_variant,
         )
         worst = float(se.max()) if se.size else 0.0
         if worst <= eps or n >= max_samples:
@@ -1104,6 +1199,7 @@ def sampled_knit(
     noise_seed: int = 0,
     collapse="auto",
     collapse_reps: int | None = None,
+    pallas_variant: bool = False,
 ):
     """Unbiased Monte-Carlo estimate of the knitted distribution from
     ``num_samples`` QPD samples — only the sampled labels' instances are
@@ -1152,7 +1248,7 @@ def sampled_knit(
     if noise is not None and any(cflags):
         raise ValueError("collapse mode is exact-path only; fragments "
                          "with noise models cannot collapse")
-    ckw = dict(collapse=cflags)
+    ckw = dict(collapse=cflags, pallas_variant=pallas_variant)
     split = stratified_split(virt, head_labels) if head_labels else None
     if split is None:
         uniq, counts = sample_label_counts(virt, num_samples, seed,
@@ -1275,6 +1371,7 @@ def _estimate_z(
     noise_seed: int = 0,
     collapse=None,
     collapse_seed: int = 0,
+    pallas_variant: bool = False,
 ):
     """Core observable estimator: ``[num_sets]`` vector of
     ``sum_l mass[l] * gamma * prod_f <Z_S>_f(l)``.
@@ -1310,6 +1407,7 @@ def _estimate_z(
                 control_stats=control_stats,
                 gamma_override=gamma_override, dtype=dtype,
                 flags=flags, collapse_seed=collapse_seed, block=blk,
+                pallas_variant=pallas_variant,
             )
     lab = jnp.asarray(lab_np)
     prodmat = None
@@ -1317,10 +1415,26 @@ def _estimate_z(
     for fi, reg in enumerate(virt.fragments):
         nm = noise[fi] if noise is not None else None
         if nm is None and flags[fi]:
-            rows, positions = _simulate_label_rows_collapse(
-                virt, reg.name, lab,
-                seed=collapse_seed + 7919 * fi, dtype=dtype,
+            built = (
+                _collapse_row_builder_pallas(
+                    virt, reg.name, int(lab.shape[0]), dtype=dtype
+                )
+                if pallas_variant else None
             )
+            if built is not None:
+                fn_p, positions, ns_p, _w = built
+                rng = np.random.default_rng(collapse_seed + 7919 * fi)
+                u = jnp.asarray(
+                    rng.random(
+                        (int(lab.shape[0]), max(1, ns_p))
+                    ).astype(np.float32)
+                )
+                rows, positions = fn_p(lab, u)
+            else:
+                rows, positions = _simulate_label_rows_collapse(
+                    virt, reg.name, lab,
+                    seed=collapse_seed + 7919 * fi, dtype=dtype,
+                )
         else:
             if nm is None:
                 rows, positions = _simulate_label_rows(
@@ -1370,6 +1484,7 @@ def sampled_expectation_z(
     noise_seed: int = 0,
     collapse="auto",
     collapse_reps: int | None = None,
+    pallas_variant: bool = False,
 ):
     """Unbiased Monte-Carlo estimate of ``<prod_{c in S} Z_c>`` for each
     ``S`` in ``z_sets``, from ``num_samples`` QPD label samples — the
@@ -1397,7 +1512,7 @@ def sampled_expectation_z(
     if noise is not None and any(cflags):
         raise ValueError("collapse mode is exact-path only; fragments "
                          "with noise models cannot collapse")
-    ckw = dict(collapse=cflags)
+    ckw = dict(collapse=cflags, pallas_variant=pallas_variant)
     split = stratified_split(virt, head_labels) if head_labels else None
     if split is None:
         uniq, counts = sample_label_counts(virt, num_samples, seed,
@@ -1489,6 +1604,7 @@ def sampled_expectation_z_adaptive(
     noise_seed: int = 0,
     collapse="auto",
     collapse_reps: int | None = None,
+    pallas_variant: bool = False,
 ):
     """eps-targeted observable estimation: grow the budget until every
     z-set's EMPIRICAL standard error is <= ``eps`` — the observable twin
@@ -1513,6 +1629,7 @@ def sampled_expectation_z_adaptive(
             head_labels=head_labels,
             noise=noise, noise_seed=noise_seed + round_idx,
             collapse=collapse, collapse_reps=collapse_reps,
+            pallas_variant=pallas_variant,
         )
         worst = float(se.max()) if se.size else 0.0
         if worst <= eps or n >= max_samples:

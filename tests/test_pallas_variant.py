@@ -125,3 +125,116 @@ def test_run_virtual_circuit_engine_pallas():
     virt = VirtualCircuit(cutter.getResultCircs()[3])
     dist, _ = run_virtual_circuit(virt, engine="pallas", chunk_size=12)
     assert hellinger_fidelity(simulate_circuit(circ), dist) > 1 - 1e-6
+
+
+def _qft_gamma_cut(n: int, q: int):
+    circ = genCirc("qft", n, 1)
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=q,
+                    gammaMode=True, maxNQpdCuts=20, maxNCuts=20,
+                    maxCutsPerPartitions=20)
+    assert cutter.solve()
+    return circ, VirtualCircuit(cutter.getResultCircs()[3])
+
+
+def test_collapse_builder_rows_exact():
+    """Collapse-mode kernel (in-kernel mid-circuit measure-and-collapse)
+    vs the XLA collapse builder: same labels + same uniform draws must
+    give the SAME branch picks and fold weights, so rows match to float
+    tolerance (qft-9 gamma-mode cut: 8 collapse sites on a 2^8 data
+    state)."""
+    import jax.numpy as jnp
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        _collapse_row_builder,
+        _collapse_row_builder_pallas,
+        sample_label_counts,
+    )
+
+    _, virt = _qft_gamma_cut(9, 8)
+    frag = next(
+        r.name for r in virt.fragments
+        if virt.programs[r.name].num_data_qubits >= 8
+    )
+    uniq, _counts = sample_label_counts(virt, 64, 3)
+    L = 16
+    lab = np.asarray(uniq[:L], np.int32)
+    if len(lab) < L:
+        lab = np.concatenate([lab, np.repeat(lab[-1:], L - len(lab), 0)])
+    fx, posx, nsx, _ = _collapse_row_builder(virt, frag)
+    built = _collapse_row_builder_pallas(virt, frag, L)
+    assert built is not None
+    fp, posp, nsp, _ = built
+    assert posx == posp and nsx == nsp
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.random((L, max(1, nsx))).astype(np.float32))
+    rx, _ = fx(jnp.asarray(lab), u)
+    rp, _ = fp(jnp.asarray(lab), u)
+    np.testing.assert_allclose(
+        np.asarray(rp), np.asarray(rx), atol=2e-6
+    )
+
+
+def test_scan_core_pallas_variant_matches_xla():
+    """The blocked sampled scan with pallas_variant=True (kernel rows,
+    interpret mode on CPU) must equal the XLA scan bit-for-bit in
+    expectation machinery: same collapse_seed -> same draws -> identical
+    estimates, for both the distribution and the z-observable paths."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        _collapse_row_builder_pallas,
+        _scan_core,
+        sample_label_counts,
+    )
+
+    _, virt = _qft_gamma_cut(9, 8)
+    # force collapse on every fragment (auto keeps the ancilla path at
+    # this CPU scale); the kernel takes the wide fragment, the narrow
+    # one falls back to the XLA builder — both routes exercised
+    flags = [True] * len(virt.fragments)
+    assert any(
+        _collapse_row_builder_pallas(virt, r.name, 32) is not None
+        for r in virt.fragments
+    )
+    uniq, counts = sample_label_counts(virt, 1000, 5)
+    mass = counts.astype(np.float64) / 1000
+    a = _scan_core(virt, uniq, mass, flags=flags, collapse_seed=11,
+                   block=32)
+    b = _scan_core(virt, uniq, mass, flags=flags, collapse_seed=11,
+                   block=32, pallas_variant=True)
+    np.testing.assert_allclose(
+        np.asarray(b.values), np.asarray(a.values), atol=1e-7
+    )
+    za = _scan_core(virt, uniq, mass, z_sets=[[0], [0, 1, 2]],
+                    flags=flags, collapse_seed=11, block=32)
+    zb = _scan_core(virt, uniq, mass, z_sets=[[0], [0, 1, 2]],
+                    flags=flags, collapse_seed=11, block=32,
+                    pallas_variant=True)
+    np.testing.assert_allclose(np.asarray(zb), np.asarray(za), atol=1e-7)
+
+
+def test_sampled_knit_pallas_variant_accuracy():
+    """Public surface: sampled_knit(pallas_variant=True) on a collapse-
+    mode qft cut estimates the exact marginal within its own stderr
+    envelope (the flag only swaps the row producer)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.lightcone import (
+        lightcone_marginal,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        sampled_knit,
+    )
+
+    circ, virt = _qft_gamma_cut(9, 8)
+    keep = {0, 1}
+    est, stderr = sampled_knit(
+        virt, 4000, seed=2, keep_clbits=keep, with_stderr=True,
+        method="lhs", control_variate=True,
+        collapse=[virt.programs[r.name].num_data_qubits >= 8
+                  for r in virt.fragments],
+        pallas_variant=True,
+    )
+    oracle = lightcone_marginal(circ, keep)
+    err = np.max(np.abs(
+        np.asarray(est.values, np.float64)
+        - np.asarray(oracle.values, np.float64)
+    ))
+    bound = 5.0 * max(float(np.max(stderr)), 1e-3)
+    assert err < bound, (err, bound)
