@@ -78,6 +78,7 @@ def run_virtual_circuit(
     sample_method: str = "iid",
     sample_eps: float | None = None,
     sample_cv: bool = False,
+    sample_pallas: bool = False,
     keep_clbits=None,
     teleport: str = "qpd",
 ) -> tuple[Distribution, RunTimeInfo]:
@@ -132,6 +133,13 @@ def run_virtual_circuit(
     Zero extra simulation; cancels the shared sign-product noise, the
     dominant variance on coherent plans.  Composes with every other
     sampled-engine knob.
+
+    ``sample_pallas`` (engine="sampled"): route collapse-mode fragments
+    through the whole-variant-in-VMEM Mosaic kernel
+    (ops/pallas_variant.make_collapse_chunk_kernel — the mid-circuit
+    collapse executes in-kernel on the resident state); fragments
+    outside the kernel's width gate fall back to the XLA builder.
+    Strictly opt-in, like engine="pallas".
 
     ``sample_eps`` (engine="sampled"): eps-targeted accuracy dial — grow
     the sample budget adaptively until the worst per-outcome EMPIRICAL
@@ -203,6 +211,12 @@ def run_virtual_circuit(
             "sample_eps (eps-targeted sampling) is a sampled-engine "
             f"feature, not engine={engine!r}"
         )
+    if sample_pallas and engine != "sampled":
+        raise ValueError(
+            "sample_pallas (collapse-mode VMEM kernel rows) is a "
+            "sampled-engine knob; for the exact engines use "
+            "engine='pallas'"
+        )
     if sample_cv and engine != "sampled":
         raise ValueError(
             "sample_cv (control-variate estimation) is a sampled-engine "
@@ -225,6 +239,7 @@ def run_virtual_circuit(
                     head_labels=head_labels, method=sample_method,
                     keep_clbits=keep_clbits, max_samples=cap,
                     control_variate=sample_cv,
+                    pallas_variant=sample_pallas,
                 )
                 log.info(
                     f"sampled engine: eps={sample_eps:g} met with "
@@ -255,7 +270,8 @@ def run_virtual_circuit(
                                 head_labels=head_labels,
                                 method=sample_method,
                                 keep_clbits=keep_clbits,
-                                control_variate=sample_cv)
+                                control_variate=sample_cv,
+                                pallas_variant=sample_pallas)
             if project:
                 dist = nearest_probability_distribution(dist)
         return dist, RunTimeInfo(time.perf_counter() - now, 0.0)

@@ -238,3 +238,30 @@ def test_sampled_knit_pallas_variant_accuracy():
     ))
     bound = 5.0 * max(float(np.max(stderr)), 1e-3)
     assert err < bound, (err, bound)
+
+
+def test_run_virtual_circuit_sample_pallas():
+    """Public engine='sampled' + sample_pallas=True route (CPU:
+    interpret mode) estimates the exact marginal; the knob is rejected
+    on non-sampled engines."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.circuit.lightcone import (
+        lightcone_marginal,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.run import (
+        run_virtual_circuit,
+    )
+
+    circ, virt = _qft_gamma_cut(9, 8)
+    dist, _info = run_virtual_circuit(
+        virt, shots=6000, engine="sampled", sample_method="lhs",
+        sample_cv=True, keep_clbits={0, 1}, sample_pallas=True,
+        project=False,
+    )
+    oracle = lightcone_marginal(circ, {0, 1})
+    err = np.max(np.abs(
+        np.asarray(dist.values, np.float64)
+        - np.asarray(oracle.values, np.float64)
+    ))
+    assert err < 0.05, err
+    with pytest.raises(ValueError, match="sample_pallas"):
+        run_virtual_circuit(virt, engine="streamed", sample_pallas=True)
