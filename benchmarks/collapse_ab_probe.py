@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--blocks", type=int, nargs="+", default=[16, 64])
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--keep", type=int, default=4)
+    ap.add_argument("--full", type=int, default=0,
+                    help="additionally interleave FULL sampled_knit "
+                    "estimates (this many QPD samples) xla-vs-pallas "
+                    "in the same process")
     ap.add_argument("--out", default="collapse_ab_probe.json")
     args = ap.parse_args()
 
@@ -147,6 +151,40 @@ def main() -> None:
             1.0, abs(rec["xla_sum"])
         ), (rec["xla_sum"], rec["pallas_sum"])
         out["results"].append(rec)
+        print(json.dumps(rec), file=sys.stderr, flush=True)
+
+    if args.full:
+        from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (  # noqa: E501
+            sampled_knit,
+        )
+
+        keep = set(range(args.keep))
+
+        def est(pallas: bool):
+            t = time.perf_counter()
+            d, se = sampled_knit(
+                virt, args.full, seed=17, keep_clbits=keep,
+                with_stderr=True, method="lhs", control_variate=True,
+                pallas_variant=pallas,
+            )
+            float(np.asarray(d.values).sum())
+            return time.perf_counter() - t
+
+        rec = {"samples": args.full}
+        rec["xla_first_s"] = round(est(False), 2)
+        rec["pallas_first_s"] = round(est(True), 2)
+        for r in range(args.reps):
+            rec.setdefault("xla_times", []).append(round(est(False), 3))
+            rec.setdefault("pallas_times", []).append(
+                round(est(True), 3)
+            )
+        for name in ("xla", "pallas"):
+            ts = sorted(rec[f"{name}_times"])
+            rec[f"{name}_steady_s"] = ts[len(ts) // 2]
+        rec["speedup"] = round(
+            rec["xla_steady_s"] / rec["pallas_steady_s"], 3
+        )
+        out["full_estimate"] = rec
         print(json.dumps(rec), file=sys.stderr, flush=True)
 
     pathlib.Path(args.out).write_text(json.dumps(out, indent=1))

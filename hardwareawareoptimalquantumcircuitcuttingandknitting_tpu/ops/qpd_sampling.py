@@ -564,6 +564,36 @@ def _collapse_row_builder_pallas(virt, frag_name, chunk, dtype=None):
     return fn, positions, len(site_meta), len(positions)
 
 
+def _ancilla_row_builder_pallas(virt, frag_name, chunk, dtype=None):
+    """Kernel-backed twin of :func:`_ancilla_row_builder` (exact path):
+    per-label rows from the whole-variant-in-VMEM kernel
+    (ops/pallas_variant.make_chunk_kernel — the label matrix IS the
+    kernel's per-chunk variant-index block, columns = global vgate ids),
+    then the per-label fold.  Same contract; None when the fragment
+    does not fit."""
+    if dtype is not None and dtype != jnp.float32:
+        return None
+    from .pallas_variant import make_chunk_kernel
+
+    built = make_chunk_kernel(
+        virt, frag_name, chunk,
+        interpret=jax.default_backend() == "cpu",
+    )
+    if built is None:
+        return None
+    rows_fn, positions = built
+
+    def fn(lab, u):
+        rows = rows_fn(lab)
+        return _fold_rows_per_label(
+            virt, frag_name, rows, lab, list(positions)
+        )
+
+    prog = virt.programs[frag_name]
+    width = max(prog.num_sim_qubits, len(positions))
+    return fn, list(positions), 0, width
+
+
 def _ancilla_row_builder(virt, frag_name, dtype=None):
     """Exact-path twin of :func:`_collapse_row_builder`: ``fn(lab, u)``
     (u ignored) simulates with deferral ancillas then folds the vgate
@@ -770,40 +800,90 @@ def _scan_core(
     L, G = lab_np.shape
     flags = flags if flags is not None else [False] * len(virt.fragments)
 
+    # scan length BUCKETING + a per-virt jit cache: a serving loop
+    # re-estimates on the same VirtualCircuit with slightly different
+    # unique-label counts; without bucketing every distinct L is a new
+    # scan length -> a new trace + lowering + (server) compile per call.
+    # Rounding nb up to a 3-bit mantissa (<= 12.5% padded work, padding
+    # rows carry zero mass) plus caching the jitted scan on the virt
+    # makes repeat estimates pure executions.  The Mosaic kernel path
+    # (pallas_variant) gains the most: its LOCAL re-lowering cost
+    # ~20 s/call on this host (collapse_ab_probe.json analysis).
+    nb = max(1, -(-L // block))
+    if nb > 8:
+        e = max(0, nb.bit_length() - 4)
+        nb = -(-nb >> e) << e
+    pad = nb * block - L
+
+    key = (
+        "scan", nb, block, G, tuple(flags), bool(pallas_variant),
+        None if keep_clbits is None else tuple(sorted(keep_clbits)),
+        None if z_sets is None
+        else tuple(tuple(sorted(s)) for s in z_sets),
+        bool(second_moment), bool(control_stats),
+        None if dtype is None else str(dtype),
+    )
+    cache = virt.__dict__.setdefault("_scan_step_cache", {})
+    ent = cache.get(key)
+
     builders = []
-    u_cols = []
+    u_specs = []  # (random?, n_cols) per fragment — u draws are data
     pos_static = []
+    pos_raw = []
+    ns_raw = []
     for fi, reg in enumerate(virt.fragments):
         if flags[fi]:
-            built = (
-                _collapse_row_builder_pallas(
-                    virt, reg.name, block, dtype=dtype
+            if ent is None:
+                built = (
+                    _collapse_row_builder_pallas(
+                        virt, reg.name, block, dtype=dtype
+                    )
+                    if pallas_variant else None
                 )
-                if pallas_variant else None
-            )
-            if built is not None:
-                fn, pos, ns, _w = built
+                if built is not None:
+                    fn, pos, ns, _w = built
+                else:
+                    fn, pos, ns, _w = _collapse_row_builder(
+                        virt, reg.name, dtype=dtype
+                    )
             else:
-                fn, pos, ns, _w = _collapse_row_builder(
-                    virt, reg.name, dtype=dtype
-                )
-            rng = np.random.default_rng(collapse_seed + 7919 * fi)
-            u = rng.random((L, max(1, ns))).astype(np.float32)
+                fn, ns = None, ent["ns"][fi]
+                pos = ent["pos_raw"][fi]
+            u_specs.append((True, max(1, ns)))
             pos_f = list(pos)
         else:
-            fn, pos, _ns, _w = _ancilla_row_builder(
-                virt, reg.name, dtype=dtype
-            )
-            u = np.zeros((L, 1), np.float32)
+            if ent is None:
+                built = (
+                    _ancilla_row_builder_pallas(
+                        virt, reg.name, block, dtype=dtype
+                    )
+                    if pallas_variant else None
+                )
+                if built is not None:
+                    fn, pos, ns, _w = built
+                else:
+                    fn, pos, ns, _w = _ancilla_row_builder(
+                        virt, reg.name, dtype=dtype
+                    )
+            else:
+                fn, ns = None, ent["ns"][fi]
+                pos = ent["pos_raw"][fi]
+            u_specs.append((False, 1))
             pos_f = [p for p in pos if p < virt.num_clbits]
         if keep_clbits is not None:
             pos_f = [p for p in pos_f if p in set(keep_clbits)]
         builders.append(fn)
-        u_cols.append(u)
         pos_static.append(pos_f)
+        pos_raw.append(list(pos))
+        ns_raw.append(ns)
 
-    nb = max(1, -(-L // block))
-    pad = nb * block - L
+    u_cols = []
+    for fi, (rand, ncols) in enumerate(u_specs):
+        if rand:
+            rng = np.random.default_rng(collapse_seed + 7919 * fi)
+            u_cols.append(rng.random((L, ncols)).astype(np.float32))
+        else:
+            u_cols.append(np.zeros((L, ncols), np.float32))
     if pad:
         pad_lab = np.zeros((pad, G), np.int32) if L == 0 else \
             np.repeat(lab_np[:1], pad, axis=0)
@@ -903,7 +983,10 @@ def _scan_core(
                 xy = permute_bits_flat(xy, src_bits, dst_bits)
         return est, m2, ym, y2, xy
 
-    est, m2, ym, y2, xy = jax.jit(run)(
+    if ent is None:
+        ent = {"run": jax.jit(run), "ns": ns_raw, "pos_raw": pos_raw}
+        cache[key] = ent
+    est, m2, ym, y2, xy = ent["run"](
         jnp.asarray(lab_np), jnp.asarray(w_all), jnp.asarray(w2_all),
         tuple(jnp.asarray(u) for u in u_cols),
     )
@@ -1021,17 +1104,26 @@ def _estimate(
                     seed=collapse_seed + 7919 * fi, dtype=dtype,
                 )
         else:
-            if nm is None:
-                rows, positions = _simulate_label_rows(
-                    virt, reg.name, lab, dtype=dtype
+            built = (
+                _ancilla_row_builder_pallas(
+                    virt, reg.name, int(lab.shape[0]), dtype=dtype
                 )
-            else:
-                rows, positions = _simulate_label_rows_noisy(
-                    virt, reg.name, lab_np, nm, seed=noise_seed + fi
-                )
-            rows, positions = _fold_rows_per_label(
-                virt, reg.name, rows, lab, positions
+                if (pallas_variant and nm is None) else None
             )
+            if built is not None:
+                rows, positions = built[0](lab, None)
+            else:
+                if nm is None:
+                    rows, positions = _simulate_label_rows(
+                        virt, reg.name, lab, dtype=dtype
+                    )
+                else:
+                    rows, positions = _simulate_label_rows_noisy(
+                        virt, reg.name, lab_np, nm, seed=noise_seed + fi
+                    )
+                rows, positions = _fold_rows_per_label(
+                    virt, reg.name, rows, lab, positions
+                )
         if keep_clbits is not None:
             rows, positions = _marginalize_rows(
                 rows, positions, keep_clbits
@@ -1436,17 +1528,26 @@ def _estimate_z(
                     seed=collapse_seed + 7919 * fi, dtype=dtype,
                 )
         else:
-            if nm is None:
-                rows, positions = _simulate_label_rows(
-                    virt, reg.name, lab, dtype=dtype
+            built = (
+                _ancilla_row_builder_pallas(
+                    virt, reg.name, int(lab.shape[0]), dtype=dtype
                 )
-            else:
-                rows, positions = _simulate_label_rows_noisy(
-                    virt, reg.name, lab_np, nm, seed=noise_seed + fi
-                )
-            rows, positions = _fold_rows_per_label(
-                virt, reg.name, rows, lab, positions
+                if (pallas_variant and nm is None) else None
             )
+            if built is not None:
+                rows, positions = built[0](lab, None)
+            else:
+                if nm is None:
+                    rows, positions = _simulate_label_rows(
+                        virt, reg.name, lab, dtype=dtype
+                    )
+                else:
+                    rows, positions = _simulate_label_rows_noisy(
+                        virt, reg.name, lab_np, nm, seed=noise_seed + fi
+                    )
+                rows, positions = _fold_rows_per_label(
+                    virt, reg.name, rows, lab, positions
+                )
         sc = rows @ _z_sign_matrix(positions, z_sets, rows.dtype)
         prodmat = sc if prodmat is None else prodmat * sc
         t = rows.sum(axis=1)

@@ -265,3 +265,32 @@ def test_run_virtual_circuit_sample_pallas():
     assert err < 0.05, err
     with pytest.raises(ValueError, match="sample_pallas"):
         run_virtual_circuit(virt, engine="streamed", sample_pallas=True)
+
+
+def test_scan_step_cache_reuse():
+    """Repeat sampled estimates on the same VirtualCircuit reuse the
+    cached jitted scan step (nb-bucketed key): same-bucket second call
+    adds no cache entry and returns the identical estimate (same seed
+    -> same draws)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        _scan_core,
+        sample_label_counts,
+    )
+
+    _, virt = _qft_gamma_cut(9, 8)
+    flags = [True] * len(virt.fragments)
+    uniq, counts = sample_label_counts(virt, 800, 5)
+    mass = counts.astype(np.float64) / 800
+    a = _scan_core(virt, uniq, mass, flags=flags, collapse_seed=3,
+                   block=32)
+    assert len(virt._scan_step_cache) == 1
+    b = _scan_core(virt, uniq, mass, flags=flags, collapse_seed=3,
+                   block=32)
+    assert len(virt._scan_step_cache) == 1
+    np.testing.assert_allclose(
+        np.asarray(b.values), np.asarray(a.values), atol=0
+    )
+    # different stats config -> a second entry, not a collision
+    _scan_core(virt, uniq, mass, flags=flags, collapse_seed=3,
+               block=32, second_moment=True)
+    assert len(virt._scan_step_cache) == 2
