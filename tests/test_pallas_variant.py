@@ -294,3 +294,24 @@ def test_scan_step_cache_reuse():
     _scan_core(virt, uniq, mass, flags=flags, collapse_seed=3,
                block=32, second_moment=True)
     assert len(virt._scan_step_cache) == 2
+
+
+def test_scan_core_ancilla_pallas_matches_xla():
+    """Exact (ancilla-mode) sampled rows through the kernel
+    (_ancilla_row_builder_pallas): flags all-False + pallas_variant=True
+    must equal the XLA scan exactly (deterministic path — no draws)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        _scan_core,
+        sample_label_counts,
+    )
+
+    _, virt = _qft_gamma_cut(9, 8)
+    flags = [False] * len(virt.fragments)
+    uniq, counts = sample_label_counts(virt, 400, 5)
+    mass = counts.astype(np.float64) / 400
+    a = _scan_core(virt, uniq, mass, flags=flags, block=16)
+    b = _scan_core(virt, uniq, mass, flags=flags, block=16,
+                   pallas_variant=True)
+    np.testing.assert_allclose(
+        np.asarray(b.values), np.asarray(a.values), atol=1e-6
+    )
