@@ -779,6 +779,7 @@ def _scan_core(
     collapse_seed: int = 0,
     block: int = 32,
     pallas_variant: bool = False,
+    mesh=None,
 ):
     """Blocked twin of :func:`_estimate` / :func:`_estimate_z`: one
     ``lax.scan`` over label chunks accumulates the weighted knit (and the
@@ -813,10 +814,17 @@ def _scan_core(
     if nb > 8:
         e = max(0, nb.bit_length() - 4)
         nb = -(-nb >> e) << e
+    # dp sharding of the label-block axis (SURVEY §2.5: the variant/label
+    # fan-out is the dominant data-parallel axis): each device scans its
+    # own nb/dp blocks, the accumulated knit carries psum over "dp"
+    dp = int(mesh.shape["dp"]) if mesh is not None else 1
+    if dp > 1:
+        nb = -(-nb // dp) * dp
     pad = nb * block - L
 
     key = (
         "scan", nb, block, G, tuple(flags), bool(pallas_variant),
+        None if mesh is None else (id(mesh), tuple(mesh.shape.items())),
         None if keep_clbits is None else tuple(sorted(keep_clbits)),
         None if z_sets is None
         else tuple(tuple(sorted(s)) for s in z_sets),
@@ -973,7 +981,28 @@ def _scan_core(
             jnp.zeros(out_w, jnp.float32)
             if control_stats else jnp.zeros(()),
         )
-        carry, _ = lax.scan(body, carry0, xs)
+        if mesh is None:
+            carry, _ = lax.scan(body, carry0, xs)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            def local(lab_s, w_s, w2_s, *u_s):
+                # the closed-over zero carry is device-invariant; mark it
+                # varying over dp so the scan's carry types line up
+                c0 = jax.tree_util.tree_map(
+                    lambda x: jax.lax.pvary(x, ("dp",)), carry0
+                )
+                c, _ = lax.scan(
+                    body, c0, (lab_s, w_s, w2_s, tuple(u_s))
+                )
+                return tuple(jax.lax.psum(x, "dp") for x in c)
+
+            ns = P("dp")
+            carry = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(ns, ns, ns) + tuple(ns for _ in xs[3]),
+                out_specs=P(),
+            )(xs[0], xs[1], xs[2], *xs[3])
         est, m2, ym, y2, xy = carry
         if z_sets is None and src_bits:
             est = permute_bits_flat(est, src_bits, dst_bits)
@@ -1024,6 +1053,7 @@ def _estimate(
     collapse=None,
     collapse_seed: int = 0,
     pallas_variant: bool = False,
+    mesh=None,
 ):
     """Core estimator: ``sum_l mass[l] * gamma_total * signed_knit(l)``.
 
@@ -1067,14 +1097,14 @@ def _estimate(
             for fi, r in enumerate(virt.fragments)
         )
         blk = max(1, _label_budget() >> max_w)
-        if len(lab_np) > blk:
+        if mesh is not None or len(lab_np) > blk:
             return _scan_core(
                 virt, lab_np, mass, keep_clbits=keep_clbits,
                 second_moment=second_moment,
                 control_stats=control_stats,
                 gamma_override=gamma_override, dtype=dtype,
                 flags=flags, collapse_seed=collapse_seed, block=blk,
-                pallas_variant=pallas_variant,
+                pallas_variant=pallas_variant, mesh=mesh,
             )
     lab = jnp.asarray(lab_np)
     frag_rows = []
@@ -1218,6 +1248,7 @@ def sampled_knit_adaptive(
     collapse="auto",
     collapse_reps: int | None = None,
     pallas_variant: bool = False,
+    mesh=None,
 ):
     """eps-targeted sampling: grow the budget until the worst per-outcome
     EMPIRICAL standard error is <= ``eps``, then stop.
@@ -1258,7 +1289,7 @@ def sampled_knit_adaptive(
             method=method, control_variate=control_variate,
             noise=noise, noise_seed=noise_seed + round_idx,
             collapse=collapse, collapse_reps=collapse_reps,
-            pallas_variant=pallas_variant,
+            pallas_variant=pallas_variant, mesh=mesh,
         )
         worst = float(se.max()) if se.size else 0.0
         if worst <= eps or n >= max_samples:
@@ -1292,6 +1323,7 @@ def sampled_knit(
     collapse="auto",
     collapse_reps: int | None = None,
     pallas_variant: bool = False,
+    mesh=None,
 ):
     """Unbiased Monte-Carlo estimate of the knitted distribution from
     ``num_samples`` QPD samples — only the sampled labels' instances are
@@ -1340,7 +1372,8 @@ def sampled_knit(
     if noise is not None and any(cflags):
         raise ValueError("collapse mode is exact-path only; fragments "
                          "with noise models cannot collapse")
-    ckw = dict(collapse=cflags, pallas_variant=pallas_variant)
+    ckw = dict(collapse=cflags, pallas_variant=pallas_variant,
+               mesh=mesh)
     split = stratified_split(virt, head_labels) if head_labels else None
     if split is None:
         uniq, counts = sample_label_counts(virt, num_samples, seed,
@@ -1464,6 +1497,7 @@ def _estimate_z(
     collapse=None,
     collapse_seed: int = 0,
     pallas_variant: bool = False,
+    mesh=None,
 ):
     """Core observable estimator: ``[num_sets]`` vector of
     ``sum_l mass[l] * gamma * prod_f <Z_S>_f(l)``.
@@ -1492,14 +1526,14 @@ def _estimate_z(
             for fi, r in enumerate(virt.fragments)
         )
         blk = max(1, _label_budget() >> max_w)
-        if len(lab_np) > blk:
+        if mesh is not None or len(lab_np) > blk:
             return _scan_core(
                 virt, lab_np, mass, z_sets=z_sets,
                 second_moment=second_moment,
                 control_stats=control_stats,
                 gamma_override=gamma_override, dtype=dtype,
                 flags=flags, collapse_seed=collapse_seed, block=blk,
-                pallas_variant=pallas_variant,
+                pallas_variant=pallas_variant, mesh=mesh,
             )
     lab = jnp.asarray(lab_np)
     prodmat = None
@@ -1586,6 +1620,7 @@ def sampled_expectation_z(
     collapse="auto",
     collapse_reps: int | None = None,
     pallas_variant: bool = False,
+    mesh=None,
 ):
     """Unbiased Monte-Carlo estimate of ``<prod_{c in S} Z_c>`` for each
     ``S`` in ``z_sets``, from ``num_samples`` QPD label samples — the
@@ -1613,7 +1648,8 @@ def sampled_expectation_z(
     if noise is not None and any(cflags):
         raise ValueError("collapse mode is exact-path only; fragments "
                          "with noise models cannot collapse")
-    ckw = dict(collapse=cflags, pallas_variant=pallas_variant)
+    ckw = dict(collapse=cflags, pallas_variant=pallas_variant,
+               mesh=mesh)
     split = stratified_split(virt, head_labels) if head_labels else None
     if split is None:
         uniq, counts = sample_label_counts(virt, num_samples, seed,
@@ -1706,6 +1742,7 @@ def sampled_expectation_z_adaptive(
     collapse="auto",
     collapse_reps: int | None = None,
     pallas_variant: bool = False,
+    mesh=None,
 ):
     """eps-targeted observable estimation: grow the budget until every
     z-set's EMPIRICAL standard error is <= ``eps`` — the observable twin
@@ -1730,7 +1767,7 @@ def sampled_expectation_z_adaptive(
             head_labels=head_labels,
             noise=noise, noise_seed=noise_seed + round_idx,
             collapse=collapse, collapse_reps=collapse_reps,
-            pallas_variant=pallas_variant,
+            pallas_variant=pallas_variant, mesh=mesh,
         )
         worst = float(se.max()) if se.size else 0.0
         if worst <= eps or n >= max_samples:

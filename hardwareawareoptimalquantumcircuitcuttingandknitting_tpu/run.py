@@ -97,6 +97,10 @@ def run_virtual_circuit(
     opt-in: Mosaic compiles through the tunneled TPU backend are
     minutes-slow, amortised into the one-time deploy).
 
+    ``mesh`` (engine="sampled"): a jax Mesh with a "dp" axis — the
+    sampled-label scan shards its block axis over dp (each device scans
+    its own label blocks, the knit carries psum over ICI).
+
     ``mesh`` (engine="sharded"): a jax Mesh with axes ("dp", "amp"); with
     ``mesh=None`` each fragment gets its own split sized so no device
     holds more than ``2^max_local_qubits`` amplitudes.
@@ -239,7 +243,7 @@ def run_virtual_circuit(
                     head_labels=head_labels, method=sample_method,
                     keep_clbits=keep_clbits, max_samples=cap,
                     control_variate=sample_cv,
-                    pallas_variant=sample_pallas,
+                    pallas_variant=sample_pallas, mesh=mesh,
                 )
                 log.info(
                     f"sampled engine: eps={sample_eps:g} met with "
@@ -271,7 +275,8 @@ def run_virtual_circuit(
                                 method=sample_method,
                                 keep_clbits=keep_clbits,
                                 control_variate=sample_cv,
-                                pallas_variant=sample_pallas)
+                                pallas_variant=sample_pallas,
+                                mesh=mesh)
             if project:
                 dist = nearest_probability_distribution(dist)
         return dist, RunTimeInfo(time.perf_counter() - now, 0.0)

@@ -88,3 +88,44 @@ def test_vqe_energy_and_grad_sharded_over_dp():
         4,
     )
     assert "vqe-dp OK" in out
+
+
+@pytest.mark.slow
+def test_sampled_scan_dp_sharded():
+    """Monte-Carlo sampled estimation over a dp mesh: the label-block
+    scan shards over 'dp' (each device scans its own blocks, knit
+    carries psum) and must match the single-device estimate to float
+    reduction order — distribution, stderr and z-observable paths."""
+    out = _run_in_subprocess(
+        """
+import numpy as np
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import Cutter
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.models.zoo import genCirc
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+    sampled_knit, sampled_expectation_z)
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.parallel.mesh import make_mesh
+from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.virt.virtual_circuit import VirtualCircuit
+
+circ = genCirc("qft", 9, 1)
+cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=8, gammaMode=True)
+assert cutter.solve()
+virt = VirtualCircuit(cutter.getResultCircs()[3])
+mesh = make_mesh(8, tp=1)
+a, sa = sampled_knit(virt, 3000, seed=3, keep_clbits={0, 1},
+                     with_stderr=True, method="lhs", control_variate=True)
+b, sb = sampled_knit(virt, 3000, seed=3, keep_clbits={0, 1},
+                     with_stderr=True, method="lhs", control_variate=True,
+                     mesh=mesh)
+err = float(np.max(np.abs(np.asarray(a.values) - np.asarray(b.values))))
+serr = float(np.max(np.abs(sa - sb)))
+assert err < 1e-5, err
+assert serr < 1e-5, serr
+za = sampled_expectation_z(virt, [{0}, {0, 1, 2}], 3000, seed=5)
+zb = sampled_expectation_z(virt, [{0}, {0, 1, 2}], 3000, seed=5, mesh=mesh)
+zerr = float(np.max(np.abs(np.asarray(za) - np.asarray(zb))))
+assert zerr < 1e-5, zerr
+print("sampled_dp OK", err, serr, zerr)
+""",
+        8,
+    )
+    assert "sampled_dp OK" in out
