@@ -315,3 +315,47 @@ def test_scan_core_ancilla_pallas_matches_xla():
     np.testing.assert_allclose(
         np.asarray(b.values), np.asarray(a.values), atol=1e-6
     )
+
+
+def test_collapse_kernel_wire_cut():
+    """VirtualMove (wire cut, 8 variants) through the collapse kernel:
+    the measuring endpoint carries a collapse site, the prep endpoint
+    has none — both fragments' kernel rows must equal the XLA builder's
+    exactly."""
+    import jax.numpy as jnp
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        _collapse_row_builder,
+        _collapse_row_builder_pallas,
+        sample_label_counts,
+    )
+
+    circ = genCirc("ghz", 18, 1)
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=10,
+                    forceNWireCuts=1, maxNQpdCuts=3, maxNCuts=3)
+    assert cutter.solve()
+    virt = VirtualCircuit(cutter.getResultCircs()[3])
+    uniq, _ = sample_label_counts(virt, 64, 3)
+    L = 16
+    lab = np.asarray(
+        np.concatenate([uniq] * (1 + L // max(1, len(uniq))))[:L],
+        np.int32,
+    )
+    hit = 0
+    for reg in virt.fragments:
+        if virt.programs[reg.name].num_data_qubits < 8:
+            continue
+        fx, posx, nsx, _ = _collapse_row_builder(virt, reg.name)
+        built = _collapse_row_builder_pallas(virt, reg.name, L)
+        assert built is not None
+        fp, posp, nsp, _ = built
+        assert (posx, nsx) == (posp, nsp)
+        rng = np.random.default_rng(7)
+        u = jnp.asarray(rng.random((L, max(1, nsx))).astype(np.float32))
+        rx, _ = fx(jnp.asarray(lab), u)
+        rp, _ = fp(jnp.asarray(lab), u)
+        np.testing.assert_allclose(
+            np.asarray(rp), np.asarray(rx), atol=2e-6
+        )
+        hit += 1
+    assert hit == 2  # both endpoints exercised the kernel
