@@ -3,7 +3,7 @@
 The XLA scan applies each gate as a separate HLO op, so every gate
 streams the full ``[chunk, 2, 2^n]`` state through HBM — measured 216-267
 GB/s sustained and ~3x minimal bytes (PERF.md).  For fragments whose
-state fits VMEM (n <= 20 under the raised 100 MB scoped budget), the whole per-variant
+state fits VMEM (n <= 20 under the raised scoped budget), the whole per-variant
 simulation can instead run RESIDENT in VMEM: grid over variants, one
 kernel invocation simulates all gates and writes only the final
 probability row to HBM.  HBM traffic collapses from
@@ -275,8 +275,13 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
     specs = [vg.spec for vg in virt.vgates]
     n = prog.num_sim_qubits
     # width gate: 2^n state (2 x 4 B/amp) + working set must fit VMEM;
-    # n=20 (syc-32 fragments) compiles within the raised 100 MB scoped
-    # budget after the row-direct fast paths cut the live temporaries
+    # n=20 (syc-32 fragments) compiles within the raised scoped budget
+    # after the row-direct fast paths cut the live temporaries.  n=21 was
+    # probed on the v5e and is a MEASURED hard boundary: the compiler
+    # reports 166.31M of VMEM needed (16M prefix window + 2x8M
+    # double-buffered output + 16M scratch + gate-chain temporaries)
+    # vs the chip's 128M physical — syc-36-class fragments stay on the
+    # XLA scan single-chip or the sharded engine (PERF.md r4 boundary)
     if n < LANE_BITS + 1 or n > 20:
         return None
     R = 1 << (n - LANE_BITS)
@@ -372,7 +377,7 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
         # gate chain (partner/coefficient temporaries) — above the
         # compiler's 16 MB default but within the core's physical VMEM
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )
@@ -640,7 +645,7 @@ def _build_call_collapse(virt: VirtualCircuit, frag_name: str,
         out_shape=jax.ShapeDtypeStruct((grid_count, R, 128), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, R, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )
