@@ -148,6 +148,27 @@ def sample_label_counts(
     :func:`sample_labels`); rows stay exchangeable, so rejection
     filtering and truncation to the remaining budget keep the accepted
     rows marginally distributed as the (conditional) target."""
+    # Dedup via a BIG-ENDIAN mixed-radix int64 packing of each row when
+    # the label grid fits in 63 bits: np.unique on int64 keys sorts in
+    # the same lexicographic order as the tuple-dict path it replaces
+    # (identical output ordering -> identical downstream collapse draws)
+    # but ~50x faster than np.unique(axis=0)'s void-dtype memcmp sort —
+    # the host-side sampler was 1.3 s of qft-16's 7.8 s steady estimate.
+    radices = [
+        max(1, len(_variant_magnitudes(vg.spec))) for vg in virt.vgates
+    ]
+    grid = 1
+    for r in radices:
+        grid *= r
+    strides = None
+    if 0 < grid <= (1 << 62) and radices:
+        strides = np.empty(len(radices), np.int64)
+        s = 1
+        for g in range(len(radices) - 1, -1, -1):
+            strides[g] = s
+            s *= radices[g]
+    packed_parts: list[np.ndarray] = []
+    count_parts: list[np.ndarray] = []
     acc: dict[tuple, int] = {}
     rng_seed = seed
     done = 0
@@ -172,17 +193,36 @@ def sample_label_counts(
             if len(labels) == 0:
                 continue
         labels = labels[: num_samples - done]
-        uniq, counts = np.unique(labels, axis=0, return_counts=True)
-        for row, c in zip(uniq, counts):
-            key = tuple(int(v) for v in row)
-            acc[key] = acc.get(key, 0) + int(c)
+        if strides is not None:
+            pk, ct = np.unique(
+                labels.astype(np.int64) @ strides, return_counts=True
+            )
+            packed_parts.append(pk)
+            count_parts.append(ct.astype(np.int64))
+        else:
+            uniq, counts = np.unique(labels, axis=0, return_counts=True)
+            for row, c in zip(uniq, counts):
+                key = tuple(int(v) for v in row)
+                acc[key] = acc.get(key, 0) + int(c)
         done += len(labels)
+    G = len(virt.vgates)
+    if strides is not None:
+        if not packed_parts:
+            return np.zeros((0, G), np.int32), np.zeros(0, np.int64)
+        allp = np.concatenate(packed_parts)
+        allc = np.concatenate(count_parts)
+        uniq_p, inv = np.unique(allp, return_inverse=True)
+        counts = np.zeros(len(uniq_p), np.int64)
+        np.add.at(counts, inv, allc)
+        uniq = np.empty((len(uniq_p), G), np.int32)
+        rem = uniq_p
+        for g in range(G - 1, -1, -1):
+            uniq[:, g] = (rem % radices[g]).astype(np.int32)
+            rem = rem // radices[g]
+        return uniq, counts
     if not acc:
-        return (np.zeros((0, len(virt.vgates)), np.int32),
-                np.zeros(0, np.int64))
-    uniq = np.array(sorted(acc), np.int32).reshape(
-        len(acc), len(virt.vgates)
-    )
+        return np.zeros((0, G), np.int32), np.zeros(0, np.int64)
+    uniq = np.array(sorted(acc), np.int32).reshape(len(acc), G)
     counts = np.array([acc[tuple(int(v) for v in r)] for r in uniq],
                       np.int64)
     return uniq, counts

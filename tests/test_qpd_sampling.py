@@ -219,6 +219,44 @@ def test_sample_label_counts_chunked_matches_total():
     assert len(uniq) == len(np.unique(uniq, axis=0))
 
 
+def test_sample_label_counts_packed_dedup_matches_dict_path():
+    """The int64 mixed-radix dedup fast path must reproduce the
+    tuple-dict reference EXACTLY — same lexicographic row order (the
+    collapse engine's branch draws are row-order-dependent) and same
+    counts — across chunking and both sampling methods."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        sample_label_counts,
+        sample_labels,
+    )
+
+    for mk in (_cut_ghz, _cut_rzz):
+        _, virt = mk()
+        for method in ("iid", "lhs"):
+            uniq, counts = sample_label_counts(
+                virt, 4000, seed=11, chunk=900, method=method
+            )
+            # reference: the pre-r4 dict accumulation, inlined
+            acc: dict[tuple, int] = {}
+            done, rng_seed = 0, 11
+            while done < 4000:
+                lab = sample_labels(
+                    virt, min(900, 4000 - done), seed=rng_seed,
+                    method=method,
+                )
+                rng_seed += 1
+                u, c = np.unique(lab, axis=0, return_counts=True)
+                for row, k in zip(u, c):
+                    key = tuple(int(v) for v in row)
+                    acc[key] = acc.get(key, 0) + int(k)
+                done += len(lab)
+            ref_u = np.array(sorted(acc), np.int32).reshape(
+                len(acc), len(virt.vgates)
+            )
+            ref_c = np.array([acc[tuple(map(int, r))] for r in ref_u])
+            np.testing.assert_array_equal(uniq, ref_u)
+            np.testing.assert_array_equal(counts, ref_c)
+
+
 def _cut_rzz(n=6, theta=0.3):
     """Plan with 2 cuts, one parameterised (rzz): non-uniform magnitudes
     exercise both the LHS allocation and the stratified head."""
