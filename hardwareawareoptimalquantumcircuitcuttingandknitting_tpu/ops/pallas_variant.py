@@ -496,8 +496,54 @@ def _finalize_plan_collapse(sim_one):
     return st.reshape(2, 1 << n), steps, n
 
 
+def _bcast_lab(v, B, R_):
+    """(B, 1, 1) per-label scalar -> (B, R_, 128): a lane broadcast
+    followed by a ``pltpu.repeat`` over sublanes.  Mosaic has no
+    combined sublane+lane vector.broadcast (measured on the v5e: 'Not
+    implemented: Broadcast in both sublanes and lanes'), and staging it
+    as two ``broadcast_to``s does not survive MLIR canonicalization
+    (broadcast-of-broadcast folds back into one) — ``tpu.repeat`` is a
+    distinct op the folder cannot merge."""
+    v = jnp.broadcast_to(v, (B, 1, 128))
+    if R_ == 1:
+        return v
+    return pltpu.repeat(v, R_, 1)
+
+
+def _apply_1q_lab(re, im, j, BR, B, ur, ui):
+    """1q gate with PER-LABEL coefficients: state ``[BR, 128]`` stacks B
+    labels on the HIGH row bits (in-label flat bits only ever read the
+    low ``log2(BR/B)`` row bits, so :func:`_bitval`/:func:`_partner`
+    are label-safe unchanged); ``ur/ui(r, c)`` return ``(B, 1, 1)``
+    arrays broadcast against the ``(B, R, 128)`` state view."""
+    R_ = BR // B
+    b = _bitval(j, BR).reshape(B, R_, 128)
+    re3 = re.reshape(B, R_, 128)
+    im3 = im.reshape(B, R_, 128)
+
+    def e(r, c):
+        return _bcast_lab(ur(r, c), B, R_)
+
+    def f(r, c):
+        return _bcast_lab(ui(r, c), B, R_)
+
+    kr = jnp.where(b == 1, e(1, 1), e(0, 0))
+    ki = jnp.where(b == 1, f(1, 1), f(0, 0))
+    nre = kr * re3 - ki * im3
+    nim = kr * im3 + ki * re3
+    sr = jnp.where(b == 1, e(1, 0), e(0, 1))
+    si = jnp.where(b == 1, f(1, 0), f(0, 1))
+    pre = _partner(re, j, BR).reshape(B, R_, 128)
+    pim = _partner(im, j, BR).reshape(B, R_, 128)
+    nre = nre + sr * pre - si * pim
+    nim = nim + sr * pim + si * pre
+    return nre.reshape(BR, 128), nim.reshape(BR, 128)
+
+
 def _build_call_collapse(virt: VirtualCircuit, frag_name: str,
-                         grid_count: int, interpret: bool = False):
+                         grid_count: int, interpret: bool = False,
+                         batch: int = 1, keep_clbits=None,
+                         z_sets=None):
     """Collapse-mode twin of :func:`_build_call`: grid over SAMPLED
     LABELS, each kernel invocation simulates one label's instance with
     mid-circuit measure-and-collapse (ops/variant_engine.collapse_qubit
@@ -516,7 +562,25 @@ def _build_call_collapse(virt: VirtualCircuit, frag_name: str,
     w0, w1 per site — see site_meta: (slot_id, vgate_idx) in plan
     order), and the shared prefix; rows come back as full-width
     ``[grid, R, 128]`` probabilities PRE-MULTIPLIED by the sampled fold
-    weights (qpd_sampling._collapse_row_builder's contract)."""
+    weights (qpd_sampling._collapse_row_builder's contract).
+
+    ``batch``: labels simulated per grid step, stacked on the HIGH row
+    bits of the VMEM state ``[2, batch*R, 128]``.  At small fragment
+    widths one label's gate op touches only ``R x 128`` elements and is
+    per-op-overhead-bound; batching amortises that overhead ``batch``-x
+    (the qft-16 flagship: n=15 => R=256, ops are ~us-scale on ~100-op
+    chains).  Must divide ``grid_count``; the width gate applies to the
+    EFFECTIVE width ``n + log2(batch) <= 20`` (the measured n=21 VMEM
+    boundary).
+
+    ``keep_clbits``: when given (and the kept outcome count is <= 128),
+    the MARGINAL over the kept data clbits is computed IN-KERNEL by
+    masked reductions and the output shrinks to ``[grid, 128]`` rows
+    (first ``2^|kept|`` lanes meaningful, column order exactly
+    qpd_sampling._marginalize_rows') — the HBM row write AND the
+    tunneled backend's buffer-size compile constraint disappear, so the
+    sampled scan can run far larger label blocks.  Returns None when
+    the kept set needs > 128 lanes (callers fall back to full rows)."""
     from .variant_engine import make_sim_fn
 
     prog = virt.programs[frag_name]
@@ -526,10 +590,61 @@ def _build_call_collapse(virt: VirtualCircuit, frag_name: str,
         fuse_qubits=2,
     )
     prefix_state, steps, n = _finalize_plan_collapse(sim_one)
-    if n < LANE_BITS + 1 or n > 20:
+    B = max(1, int(batch))
+    if grid_count % B or B & (B - 1):
+        raise ValueError(
+            f"batch {B} must be a power of 2 dividing grid {grid_count}"
+        )
+    if (n < LANE_BITS + 1 or n > 20
+            or n + (B.bit_length() - 1) > 20):
         return None
     R = 1 << (n - LANE_BITS)
-    prefix_state = prefix_state.reshape(2, R, 128)
+    BR = B * R
+    prefix_state = np.broadcast_to(
+        prefix_state.reshape(2, 1, R, 128), (2, B, R, 128)
+    ).reshape(2, BR, 128).copy()
+
+    # in-kernel marginal map: kept clbit j' -> flat state bit (or None
+    # for structurally-|0> sources), mirroring make_collapse_chunk_
+    # kernel's marginalize_flat + zero-splice + _marginalize_rows
+    # composition exactly (little-endian: out bit j' carries kept[j'])
+    marg_bits = None
+    kept = None
+    kk = 0
+    if keep_clbits is not None:
+        if z_sets is not None:
+            raise ValueError("keep_clbits and z_sets are exclusive")
+        keep_set = set(keep_clbits)
+        kept = [p for p in positions if p in keep_set]
+        kk = len(kept)
+        if (1 << kk) > 128:
+            return None
+        act = list(sim_one.active_final)
+        src = list(sim_one.sources)
+        marg_bits = [
+            (n - 1 - act.index(src[positions.index(p)]))
+            if src[positions.index(p)] in act else None
+            for p in kept
+        ]
+    # in-kernel Z-observable map: per z-set, the flat state bits whose
+    # parity signs this fragment's contribution (positions in the set
+    # with structurally-|0> sources contribute +1 and are skipped) —
+    # mirrors knit._z_sign_matrix on the full-rows route.  Column n_z
+    # carries the PLAIN total (the control-variate Y statistic).
+    z_fbs = None
+    if z_sets is not None:
+        if len(z_sets) + 1 > 128:
+            return None
+        act = list(sim_one.active_final)
+        src = list(sim_one.sources)
+        z_fbs = []
+        for s_z in z_sets:
+            s_z = set(s_z)
+            z_fbs.append([
+                n - 1 - act.index(src[j])
+                for j, p in enumerate(positions)
+                if p in s_z and src[j] in act
+            ])
 
     tables = _slot_tables(prog, specs, fused=False)
     entry_steps = [s for s in steps if s[0] in ("slot_pre", "slot_post")]
@@ -558,7 +673,7 @@ def _build_call_collapse(virt: VirtualCircuit, frag_name: str,
         st_ref = refs[len(entry_steps) + 3]
         st_ref[0] = prefix_ref[0]
         st_ref[1] = prefix_ref[1]
-        weight = jnp.float32(1.0)
+        weight = jnp.ones((B, 1, 1), jnp.float32)
         ei = 0
         ci = 0
         for op in steps:
@@ -568,27 +683,45 @@ def _build_call_collapse(virt: VirtualCircuit, frag_name: str,
                 # collapse_qubit semantics, VMEM-resident: Born pick of
                 # one branch at the per-label draw, project + rescale by
                 # sqrt(tot/p_b), fold weight w_b (variant_engine.py:265)
+                # — all per-label (B, 1, 1) scalars against the
+                # (B, R, 128) state view
                 j = n - 1 - op[2][0]
-                b1 = _bitval(j, R).astype(jnp.float32)
-                sq = re * re + im * im
-                tot = jnp.sum(sq)
-                p1 = jnp.sum(sq * b1)
+                b1 = _bitval(j, BR).astype(jnp.float32).reshape(
+                    B, R, 128
+                )
+                sq = (re * re + im * im).reshape(B, R, 128)
+                tot = jnp.sum(
+                    jnp.sum(sq, axis=2, keepdims=True),
+                    axis=1, keepdims=True,
+                )
+                p1 = jnp.sum(
+                    jnp.sum(sq * b1, axis=2, keepdims=True),
+                    axis=1, keepdims=True,
+                )
                 p0 = tot - p1
-                u = c_ref[0, ci, 0]
-                mflag = c_ref[0, ci, 1]
-                w0 = c_ref[0, ci, 2]
-                w1 = c_ref[0, ci, 3]
+                u = c_ref[:, ci:ci + 1, 0:1]
+                mflag = c_ref[:, ci:ci + 1, 1:2]
+                w0 = c_ref[:, ci:ci + 1, 2:3]
+                w1 = c_ref[:, ci:ci + 1, 3:4]
                 ci += 1
                 b = (u * tot >= p0).astype(jnp.float32)
                 pb = p0 + b * (p1 - p0)
                 scale = jnp.sqrt(tot / jnp.maximum(pb, 1e-30))
-                keep = b1 * b + (1.0 - b1) * (1.0 - b)
-                fac = jnp.where(mflag > 0, keep * scale,
+                # (B,1,1) -> (B,R,128) via the STAGED broadcast only
+                be = _bcast_lab(b, B, R)
+                keep = b1 * be + (1.0 - b1) * (1.0 - be)
+                fac = jnp.where(_bcast_lab(mflag, B, R) > 0,
+                                keep * _bcast_lab(scale, B, R),
                                 jnp.ones_like(keep))
-                st_ref[0] = re * fac
-                st_ref[1] = im * fac
+                st_ref[0] = (re.reshape(B, R, 128) * fac).reshape(
+                    BR, 128
+                )
+                st_ref[1] = (im.reshape(B, R, 128) * fac).reshape(
+                    BR, 128
+                )
                 weight = weight * jnp.where(
-                    mflag > 0, w0 + b * (w1 - w0), jnp.float32(1.0)
+                    mflag > 0, w0 + b * (w1 - w0),
+                    jnp.ones_like(w0),
                 )
                 continue
             if op[0] == "u":
@@ -602,48 +735,109 @@ def _build_call_collapse(virt: VirtualCircuit, frag_name: str,
                 ei += 1
                 axes = op[2]
                 js = [n - 1 - q for q in axes]
-                ur = lambda r, c, _r=ref: _r[0, 0, r, c]
-                ui = lambda r, c, _r=ref: _r[0, 1, r, c]
+                ur = lambda r, c, _r=ref: _r[:, 0:1, r, c:c + 1]
+                ui = lambda r, c, _r=ref: _r[:, 1:2, r, c:c + 1]
+                re, im = _apply_1q_lab(re, im, js[0], BR, B, ur, ui)
+                st_ref[0] = re
+                st_ref[1] = im
+                continue
             if len(axes) == 1:
                 if js[0] >= LANE_BITS:
-                    re, im = _apply_1q_row(re, im, js[0], R, ur, ui)
+                    re, im = _apply_1q_row(re, im, js[0], BR, ur, ui)
                 else:
-                    re, im = _apply_1q(re, im, js[0], R, ur, ui)
+                    re, im = _apply_1q(re, im, js[0], BR, ur, ui)
             elif min(js) >= LANE_BITS:
-                re, im = _apply_2q_rowrow(re, im, js[0], js[1], R, ur, ui)
+                re, im = _apply_2q_rowrow(re, im, js[0], js[1], BR,
+                                          ur, ui)
             else:
-                re, im = _apply_2q(re, im, js[0], js[1], R, ur, ui)
+                re, im = _apply_2q(re, im, js[0], js[1], BR, ur, ui)
             st_ref[0] = re
             st_ref[1] = im
         re = st_ref[0]
         im = st_ref[1]
-        out_ref[0] = (re * re + im * im) * weight
+        sq = (re * re + im * im).reshape(B, R, 128)
+        if marg_bits is None and z_fbs is None:
+            out_ref[...] = sq * _bcast_lab(weight, B, R)
+            return
+
+        def _tot(v):
+            return jnp.sum(
+                jnp.sum(v, axis=2, keepdims=True),
+                axis=1, keepdims=True,
+            )
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+        out = jnp.zeros((B, 128), jnp.float32)
+        if marg_bits is not None:
+            # masked reductions: outcome index per state position, then
+            # one (B, 1, 1) sum per kept outcome on the lane axis
+            kmap = jnp.zeros((B, R, 128), jnp.int32)
+            for j, fb in enumerate(marg_bits):
+                if fb is not None:
+                    kmap = kmap + (
+                        _bitval(fb, BR).reshape(B, R, 128) << j
+                    )
+            for k in range(1 << kk):
+                mk = (kmap == k).astype(jnp.float32)
+                s = _tot(sq * mk)
+                out = out + jnp.where(
+                    lane == k, s.reshape(B, 1), jnp.float32(0.0)
+                )
+        else:
+            # signed reductions per z-set; column n_z = plain total
+            for zi, fbs in enumerate(z_fbs):
+                sm = None
+                for fb in fbs:
+                    f = 1.0 - 2.0 * _bitval(fb, BR).astype(
+                        jnp.float32
+                    ).reshape(B, R, 128)
+                    sm = f if sm is None else sm * f
+                s = _tot(sq if sm is None else sq * sm)
+                out = out + jnp.where(
+                    lane == zi, s.reshape(B, 1), jnp.float32(0.0)
+                )
+            s = _tot(sq)
+            out = out + jnp.where(
+                lane == len(z_fbs), s.reshape(B, 1), jnp.float32(0.0)
+            )
+        out_ref[...] = out * weight.reshape(B, 1)
 
     in_specs = [
         pl.BlockSpec(
-            (1, 2, 2, 2), lambda v: (v, 0, 0, 0),
+            (B, 2, 2, 2), lambda v: (v, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         for _ in entry_steps
     ] + [
         pl.BlockSpec(
-            (1, n_sites, 4), lambda v: (v, 0, 0),
+            (B, n_sites, 4), lambda v: (v, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (2, R, 128), lambda v: (0, 0, 0), memory_space=pltpu.VMEM
+            (2, BR, 128), lambda v: (0, 0, 0), memory_space=pltpu.VMEM
         ),
     ]
 
+    if marg_bits is None and z_fbs is None:
+        out_specs = pl.BlockSpec(
+            (B, R, 128), lambda v: (v, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (grid_count, R, 128), jnp.float32
+        )
+    else:
+        out_specs = pl.BlockSpec(
+            (B, 128), lambda v: (v, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((grid_count, 128), jnp.float32)
+
     call = pl.pallas_call(
         kernel,
-        grid=(grid_count,),
+        grid=(grid_count // B,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, R, 128), lambda v: (v, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((grid_count, R, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, R, 128), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((2, BR, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
@@ -652,12 +846,12 @@ def _build_call_collapse(virt: VirtualCircuit, frag_name: str,
 
     return (call, entry_tables, entry_gids, site_meta, prefix_state, n,
             R, positions, list(sim_one.active_final),
-            list(sim_one.sources))
+            list(sim_one.sources), kept)
 
 
 def make_collapse_chunk_kernel(
     virt: VirtualCircuit, frag_name: str, chunk: int,
-    interpret: bool = False,
+    interpret: bool = False, keep_clbits=None, z_sets=None,
 ):
     """Sampled-engine integration point (collapse mode):
     ``(rows_fn, positions, site_meta)`` where ``rows_fn(lab_chunk,
@@ -666,13 +860,45 @@ def make_collapse_chunk_kernel(
     site, order = site_meta) to ``[chunk, 2^len(positions)]`` rows —
     weight-folded, marginalised onto the DATA clbits, matching
     qpd_sampling._collapse_row_builder's row contract exactly.  Returns
-    None when the fragment does not fit the kernel."""
+    None when the fragment does not fit the kernel.
+
+    Labels are batched into the kernel's row dimension: the largest
+    power-of-2 ``batch`` dividing ``chunk`` with effective width
+    ``n + log2(batch) <= 20`` (amortises the per-op overhead that
+    dominates narrow fragments — qft-16's n=15 chain is ~us-scale ops,
+    measured 15 ms per 16-label block unbatched).
+
+    ``keep_clbits``: build the IN-KERNEL-MARGINAL variant — rows come
+    back as ``[chunk, 2^|kept|]`` (kept = positions in keep_clbits,
+    ascending), the exact output of the full-rows path composed with
+    qpd_sampling._marginalize_rows, and ``positions`` is the kept list.
+    The kernel's HBM output is 128 floats/label, so callers can scan
+    far larger label blocks without tripping the tunneled backend's
+    buffer-size compile scaling.
+
+    ``z_sets``: build the IN-KERNEL Z-OBSERVABLE variant — rows come
+    back as ``[chunk, len(z_sets) + 1]``: column zi is this fragment's
+    signed contribution ``rows_full @ z_sign_matrix[:, zi]`` and the
+    LAST column is the plain row total (the control-variate Y
+    statistic); ``positions`` stays the full data-clbit list."""
     built = _build_call_collapse(virt, frag_name, chunk,
-                                 interpret=interpret)
+                                 interpret=interpret,
+                                 keep_clbits=keep_clbits,
+                                 z_sets=z_sets)
     if built is None:
         return None
+    n_frag = built[5]
+    batch = 1
+    while (batch * 2 <= chunk and chunk % (batch * 2) == 0
+           and n_frag + (batch * 2).bit_length() - 1 <= 20):
+        batch *= 2
+    if batch > 1:
+        built = _build_call_collapse(
+            virt, frag_name, chunk, interpret=interpret, batch=batch,
+            keep_clbits=keep_clbits, z_sets=z_sets,
+        )
     (call, entry_tables, entry_gids, site_meta, prefix_state, n, _R,
-     positions, active_final, sources) = built
+     positions, active_final, sources, kept) = built
     tabs_dev = [jnp.asarray(t) for t in entry_tables]
     prefix_dev = jnp.asarray(prefix_state)
 
@@ -680,6 +906,31 @@ def make_collapse_chunk_kernel(
 
     act_sources = [q for q in sources if q in active_final]
     act_idx = [active_final.index(q) for q in act_sources]
+
+    if z_sets is not None:
+        n_z = len(z_sets)
+
+        def rows_fn(lab_chunk, cscal_chunk):
+            entries = [
+                tab[lab_chunk[:, gid]]
+                for tab, gid in zip(tabs_dev, entry_gids)
+            ]
+            out = call(*entries, cscal_chunk, prefix_dev)
+            return out[:, : n_z + 1]
+
+        return rows_fn, positions, site_meta
+
+    if kept is not None:
+
+        def rows_fn(lab_chunk, cscal_chunk):
+            entries = [
+                tab[lab_chunk[:, gid]]
+                for tab, gid in zip(tabs_dev, entry_gids)
+            ]
+            out = call(*entries, cscal_chunk, prefix_dev)
+            return out[:, : 1 << len(kept)]
+
+        return rows_fn, list(kept), site_meta
 
     def rows_fn(lab_chunk, cscal_chunk):
         entries = [

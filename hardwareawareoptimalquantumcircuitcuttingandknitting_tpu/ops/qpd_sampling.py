@@ -539,7 +539,8 @@ def _collapse_row_builder(virt, frag_name, dtype=None):
     return fn, positions, len(site_meta), width
 
 
-def _collapse_row_builder_pallas(virt, frag_name, chunk, dtype=None):
+def _collapse_row_builder_pallas(virt, frag_name, chunk, dtype=None,
+                                 keep_clbits=None, z_sets=None):
     """Kernel-backed twin of :func:`_collapse_row_builder`: the per-label
     collapse-mode simulation runs through the whole-variant-in-VMEM
     Pallas kernel (ops/pallas_variant.make_collapse_chunk_kernel — the
@@ -549,7 +550,16 @@ def _collapse_row_builder_pallas(virt, frag_name, chunk, dtype=None):
     bit-identical branch picks; ``fn`` requires ``[chunk, G]`` label
     blocks (the blocked scan's shape).  Returns None when the fragment
     does not fit the kernel (width gate, non-f32 dtype) — callers fall
-    back to the XLA builder."""
+    back to the XLA builder.
+
+    ``keep_clbits``: request the in-kernel-marginal kernel — returned
+    ``positions`` are the kept clbits and rows are ``[chunk, 2^|kept|]``
+    (_marginalize_rows then no-ops downstream).
+
+    ``z_sets``: request the in-kernel Z-observable kernel — rows are
+    ``[chunk, n_z + 1]`` pre-reduced signed contributions (+ total
+    column); the returned ``fn`` carries ``fn.z_pre = True`` so the
+    scan body skips its sign-matrix matmul."""
     if dtype is not None and dtype != jnp.float32:
         return None
     from .pallas_variant import make_collapse_chunk_kernel
@@ -557,6 +567,7 @@ def _collapse_row_builder_pallas(virt, frag_name, chunk, dtype=None):
     built = make_collapse_chunk_kernel(
         virt, frag_name, chunk,
         interpret=jax.default_backend() == "cpu",
+        keep_clbits=keep_clbits, z_sets=z_sets,
     )
     if built is None:
         return None
@@ -596,11 +607,19 @@ def _collapse_row_builder_pallas(virt, frag_name, chunk, dtype=None):
             else jnp.zeros((lab.shape[0], 1, 4), jnp.float32)
         )
         rows = rows_fn(lab, cscal)
+        # fold the owner-non-measuring coefficients into ONE per-label
+        # scalar before touching the full-width rows (15 gathered
+        # scalars + 1 row multiply, not 15 row multiplies — the rows are
+        # 2^15 wide on the qft-16 flagship)
+        nm = None
         for ti, g in enumerate(prog.touching):
-            rows = rows * jnp.asarray(nonmeas[ti], rows.dtype)[
-                lab[:, g]][:, None]
+            f = jnp.asarray(nonmeas[ti], rows.dtype)[lab[:, g]]
+            nm = f if nm is None else nm * f
+        if nm is not None:
+            rows = rows * nm[:, None]
         return rows, list(positions)
 
+    fn.z_pre = z_sets is not None
     return fn, positions, len(site_meta), len(positions)
 
 
@@ -875,6 +894,7 @@ def _scan_core(
     ent = cache.get(key)
 
     builders = []
+    z_pre = []  # per fragment: builder returns pre-reduced z columns
     u_specs = []  # (random?, n_cols) per fragment — u draws are data
     pos_static = []
     pos_raw = []
@@ -884,7 +904,8 @@ def _scan_core(
             if ent is None:
                 built = (
                     _collapse_row_builder_pallas(
-                        virt, reg.name, block, dtype=dtype
+                        virt, reg.name, block, dtype=dtype,
+                        keep_clbits=keep_clbits, z_sets=z_sets,
                     )
                     if pallas_variant else None
                 )
@@ -921,6 +942,7 @@ def _scan_core(
         if keep_clbits is not None:
             pos_f = [p for p in pos_f if p in set(keep_clbits)]
         builders.append(fn)
+        z_pre.append(bool(getattr(fn, "z_pre", False)))
         pos_static.append(pos_f)
         pos_raw.append(list(pos))
         ns_raw.append(ns)
@@ -982,8 +1004,13 @@ def _scan_core(
             )
         else:
             prodmat = None
-            for rows, pos in zip(rows_list, pos_static):
-                sc = rows @ _z_sign_matrix(pos, z_sets, rows.dtype)
+            for fi, (rows, pos) in enumerate(zip(rows_list, pos_static)):
+                # pre-reduced builders (in-kernel z) already carry the
+                # signed contributions; others go through the matrix
+                sc = (
+                    rows[:, : len(z_sets)] if z_pre[fi]
+                    else rows @ _z_sign_matrix(pos, z_sets, rows.dtype)
+                )
                 prodmat = sc if prodmat is None else prodmat * sc
             val = w_c @ prodmat
             val2 = (
@@ -991,9 +1018,14 @@ def _scan_core(
                 if (second_moment or control_stats) else jnp.zeros(())
             )
         if control_stats:
-            totals = rows_list[0].sum(axis=1)
-            for r in rows_list[1:]:
-                totals = totals * r.sum(axis=1)
+            totals = None
+            for fi, r in enumerate(rows_list):
+                t = (
+                    r[:, len(z_sets)]
+                    if (z_sets is not None and z_pre[fi])
+                    else r.sum(axis=1)
+                )
+                totals = t if totals is None else totals * t
             ym = jnp.vdot(w_c, totals)
             y2 = jnp.vdot(w2_c, totals * totals)
             if z_sets is None:
@@ -1137,6 +1169,32 @@ def _estimate(
             for fi, r in enumerate(virt.fragments)
         )
         blk = max(1, _label_budget() >> max_w)
+        # in-kernel-marginal route: when EVERY fragment either runs the
+        # marginal VMEM kernel (collapse mode, kept outcomes <= 128) or
+        # is naturally narrow, the per-step HBM row buffer is <= 128
+        # floats/label — the compile-time budget re-evaluates at the
+        # EFFECTIVE width and the scan runs far larger label blocks
+        # (qft-16: block 16 -> 4096, 26 scan steps instead of 6.6k)
+        if (pallas_variant and keep_clbits is not None
+                and dtype in (None, jnp.float32)):
+            eff_w = 1
+            ok = True
+            for fi, r in enumerate(virt.fragments):
+                if not flags[fi]:
+                    ok = False
+                    break
+                w = virt.programs[r.name].num_data_qubits
+                if w > 7:
+                    if _collapse_row_builder_pallas(
+                        virt, r.name, 8, dtype=dtype,
+                        keep_clbits=keep_clbits,
+                    ) is None:
+                        ok = False
+                        break
+                    w = 7
+                eff_w = max(eff_w, w)
+            if ok:
+                blk = max(blk, max(1, _label_budget() >> max(eff_w, 7)))
         if mesh is not None or len(lab_np) > blk:
             return _scan_core(
                 virt, lab_np, mass, keep_clbits=keep_clbits,
@@ -1566,6 +1624,27 @@ def _estimate_z(
             for fi, r in enumerate(virt.fragments)
         )
         blk = max(1, _label_budget() >> max_w)
+        # in-kernel-z route: same block-budget re-evaluation as the
+        # marginal kernel (see sampled_knit) — pre-reduced z columns
+        # are <= 128 floats/label
+        if (pallas_variant and dtype in (None, jnp.float32)):
+            eff_w = 1
+            ok = True
+            for fi, r in enumerate(virt.fragments):
+                if not flags[fi]:
+                    ok = False
+                    break
+                w = virt.programs[r.name].num_data_qubits
+                if w > 7:
+                    if _collapse_row_builder_pallas(
+                        virt, r.name, 8, dtype=dtype, z_sets=z_sets,
+                    ) is None:
+                        ok = False
+                        break
+                    w = 7
+                eff_w = max(eff_w, w)
+            if ok:
+                blk = max(blk, max(1, _label_budget() >> max(eff_w, 7)))
         if mesh is not None or len(lab_np) > blk:
             return _scan_core(
                 virt, lab_np, mass, z_sets=z_sets,

@@ -359,3 +359,168 @@ def test_collapse_kernel_wire_cut():
         )
         hit += 1
     assert hit == 2  # both endpoints exercised the kernel
+
+
+def test_collapse_kernel_label_batching_exact():
+    """The label-batched kernel (batch > 1 labels stacked on the high
+    row bits) must reproduce the unbatched kernel and the XLA builder
+    exactly — same labels, same draws, same rows."""
+    import jax.numpy as jnp
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.pallas_variant import (
+        _build_call_collapse,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        _collapse_row_builder,
+        _collapse_row_builder_pallas,
+        sample_label_counts,
+    )
+
+    _, virt = _qft_gamma_cut(9, 8)
+    frag = next(
+        r.name for r in virt.fragments
+        if virt.programs[r.name].num_data_qubits >= 8
+    )
+    # auto-batch engages: chunk 16 at n=8 -> batch 16 (8+4 <= 20)
+    built = _build_call_collapse(virt, frag, 16, interpret=True,
+                                 batch=16)
+    assert built is not None
+    uniq, _ = sample_label_counts(virt, 64, 3)
+    lab = np.asarray(uniq[:16], np.int32)
+    if len(lab) < 16:
+        lab = np.concatenate(
+            [lab, np.repeat(lab[-1:], 16 - len(lab), 0)]
+        )
+    fx, posx, nsx, _ = _collapse_row_builder(virt, frag)
+    fp, posp, nsp, _ = _collapse_row_builder_pallas(virt, frag, 16)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.random((16, max(1, nsx))).astype(np.float32))
+    rx, _ = fx(jnp.asarray(lab), u)
+    rp, _ = fp(jnp.asarray(lab), u)
+    np.testing.assert_allclose(np.asarray(rp), np.asarray(rx),
+                               atol=2e-6)
+    # mixed batch divisors must also agree with each other
+    with pytest.raises(ValueError):
+        _build_call_collapse(virt, frag, 16, interpret=True, batch=3)
+
+
+def test_collapse_kernel_in_kernel_marginal_exact():
+    """keep_clbits kernel mode: rows come back already marginalised
+    (masked in-kernel reductions, <= 128 output lanes) and must equal
+    the full-rows route composed with _marginalize_rows exactly —
+    positions, column order and values."""
+    import jax.numpy as jnp
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.qpd_sampling import (
+        _collapse_row_builder,
+        _collapse_row_builder_pallas,
+        _marginalize_rows,
+        sample_label_counts,
+    )
+
+    _, virt = _qft_gamma_cut(9, 8)
+    frag = next(
+        r.name for r in virt.fragments
+        if virt.programs[r.name].num_data_qubits >= 8
+    )
+    uniq, _ = sample_label_counts(virt, 64, 3)
+    lab = np.asarray(uniq[:16], np.int32)
+    if len(lab) < 16:
+        lab = np.concatenate(
+            [lab, np.repeat(lab[-1:], 16 - len(lab), 0)]
+        )
+    fx, posx, nsx, _ = _collapse_row_builder(virt, frag)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.random((16, max(1, nsx))).astype(np.float32))
+    rx, _ = fx(jnp.asarray(lab), u)
+    for keep in ([0], [0, 2], [1, 3, 5], list(range(6))):
+        keep_in_frag = [p for p in posx if p in set(keep)]
+        want, wpos = _marginalize_rows(rx, list(posx), set(keep))
+        built = _collapse_row_builder_pallas(
+            virt, frag, 16, keep_clbits=set(keep)
+        )
+        assert built is not None
+        fm, posm, nsm, _ = built
+        assert list(posm) == list(wpos) == keep_in_frag
+        rm, _ = fm(jnp.asarray(lab), u)
+        np.testing.assert_allclose(np.asarray(rm), np.asarray(want),
+                                   atol=2e-6)
+
+
+def test_sampled_knit_marginal_kernel_block_raise(monkeypatch):
+    """Public route: with pallas_variant + keep_clbits the sampled scan
+    re-evaluates its block budget at the in-kernel-marginal width (128
+    lanes/label) — a tiny forced budget routes BOTH engines through the
+    scan at different blocks, and the estimates must still agree (same
+    seeds -> same draws -> same picks)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops import (
+        qpd_sampling as qs,
+    )
+
+    _, virt = _qft_gamma_cut(9, 8)
+    keep = [0, 1, 2]
+    args = dict(seed=2, keep_clbits=keep, with_stderr=True,
+                method="lhs", control_variate=True, collapse=True)
+    monkeypatch.setattr(qs, "_label_budget", lambda: 1 << 9)
+    e0, s0 = qs.sampled_knit(virt, 4000, **args)
+    e1, s1 = qs.sampled_knit(virt, 4000, pallas_variant=True, **args)
+    np.testing.assert_allclose(
+        np.asarray(e1.values), np.asarray(e0.values),
+        atol=5e-5, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s0), atol=5e-5, rtol=1e-2,
+    )
+
+
+def test_sampled_z_kernel_pre_reduced(monkeypatch):
+    """In-kernel Z-observable mode: the kernel returns pre-reduced
+    signed columns (+ total) and the scan skips its sign-matrix matmul;
+    estimates, stderr and control-variate stats must match the XLA
+    route (same seeds -> same draws)."""
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops import (
+        qpd_sampling as qs,
+    )
+
+    _, virt = _qft_gamma_cut(9, 8)
+    flags = [True] * len(virt.fragments)
+    # builder marks itself pre-reduced
+    b = qs._collapse_row_builder_pallas(
+        virt, next(r.name for r in virt.fragments
+                   if virt.programs[r.name].num_data_qubits >= 8),
+        16, z_sets=[{0}, {1, 2}],
+    )
+    assert b is not None and getattr(b[0], "z_pre", False)
+    uniq, counts = qs.sample_label_counts(virt, 1000, 5)
+    mass = counts.astype(np.float64) / 1000
+    zs = [[0], [0, 1, 2], [4], list(range(9))]
+    a = qs._scan_core(virt, uniq, mass, z_sets=zs, flags=flags,
+                      collapse_seed=11, block=32,
+                      second_moment=True, control_stats=True)
+    b2 = qs._scan_core(virt, uniq, mass, z_sets=zs, flags=flags,
+                       collapse_seed=11, block=32,
+                       second_moment=True, control_stats=True,
+                       pallas_variant=True)
+    import jax
+
+    for x, y in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b2)):
+        np.testing.assert_allclose(
+            np.asarray(y, np.float64), np.asarray(x, np.float64),
+            atol=1e-4, rtol=1e-4,
+        )
+    # public route with the z block-budget raise engaged
+    zsets = [{0}, {0, 1, 2}, set(range(9))]
+    monkeypatch.setattr(qs, "_label_budget", lambda: 1 << 9)
+    z0, t0 = qs.sampled_expectation_z(
+        virt, zsets, 4000, seed=2, method="lhs", with_stderr=True,
+        control_variate=True, collapse=True,
+    )
+    z1, t1 = qs.sampled_expectation_z(
+        virt, zsets, 4000, seed=2, method="lhs", with_stderr=True,
+        control_variate=True, collapse=True, pallas_variant=True,
+    )
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0),
+                               atol=1e-4, rtol=1e-2)
