@@ -432,6 +432,50 @@ def _expand_measuring_mass(virt, rows, w, reps):
     return np.repeat(rows, r, axis=0), np.repeat(np.asarray(w) / r, r)
 
 
+def _collapse_head_groups(virt, head_rows, head_w, reps, est_fn,
+                          control_variate, values, rebuild):
+    """Collapse-mode stratified head with an HONEST stderr contribution.
+
+    Head rows in collapse mode are one-draw stochastic estimates
+    (expanded to ``reps`` independent draws per measuring label), NOT
+    exact enumerations — treating the head as exact reports a standard
+    error that omits its collapse noise entirely (zero when
+    gamma_tail <= 0), the same failure mode
+    :func:`_expand_measuring_counts` fixed on the tail (measured 7+
+    sigma there).  The head mean is therefore computed from K
+    independent replicate groups — the SAME total draw budget, ``reps``
+    split across groups with distinct collapse seeds — and its
+    per-outcome variance estimated as the sample variance of the group
+    means / K (K-1 degrees of freedom; conservative-noisy but honest,
+    and exactly zero at outcomes no collapse draw reaches).
+
+    ``est_fn(rows, w, seed_offset)`` runs one group's estimate;
+    ``values``/``rebuild`` adapt Distribution vs ndarray heads.
+    Returns ``(head_est, head_var, head_stats)``; ``head_stats`` carries
+    the control-variate ``y_mean`` (exact regardless of draws: collapse
+    preserves row totals), or None.
+    """
+    K = 4 if reps >= 4 else 2
+    g_rows, g_w = _expand_measuring_mass(
+        virt, head_rows, head_w, max(1, reps // K)
+    )
+    groups, y_means = [], []
+    template = None
+    for k in range(K):
+        out_k = est_fn(g_rows, g_w, 7717 * k)
+        if control_variate:
+            out_k, stats_k = out_k
+            y_means.append(stats_k["y_mean"])
+        template = out_k
+        groups.append(np.asarray(values(out_k), np.float64))
+    gm = np.stack(groups)
+    head = rebuild(template, gm.mean(axis=0))
+    head_var = gm.var(axis=0, ddof=1) / K
+    stats = {"y_mean": float(np.mean(y_means))} if control_variate \
+        else None
+    return head, head_var, stats
+
+
 def _collapse_flags(virt, collapse) -> list[bool]:
     """Per-fragment collapse-mode decision.  ``collapse``: True / False /
     "auto" — auto collapses a fragment when its ancilla-extended width
@@ -899,6 +943,7 @@ def _scan_core(
     pos_static = []
     pos_raw = []
     ns_raw = []
+    kernel_routed = []  # (name, backed-by-VMEM-kernel?) at cache build
     for fi, reg in enumerate(virt.fragments):
         if flags[fi]:
             if ent is None:
@@ -909,6 +954,7 @@ def _scan_core(
                     )
                     if pallas_variant else None
                 )
+                kernel_routed.append((reg.name, built is not None))
                 if built is not None:
                     fn, pos, ns, _w = built
                 else:
@@ -928,6 +974,7 @@ def _scan_core(
                     )
                     if pallas_variant else None
                 )
+                kernel_routed.append((reg.name, built is not None))
                 if built is not None:
                     fn, pos, ns, _w = built
                 else:
@@ -946,6 +993,26 @@ def _scan_core(
         pos_static.append(pos_f)
         pos_raw.append(list(pos))
         ns_raw.append(ns)
+
+    if pallas_variant and ent is None:
+        # advisor r4: an opted-in sample_pallas run must not silently
+        # degrade to the XLA builders with no runtime signal (once per
+        # unique scan build — repeats hit the cache above)
+        from ..utils.logger import get_logger
+
+        log = get_logger(__name__)
+        routed = [n for n, ok in kernel_routed if ok]
+        fell_back = [n for n, ok in kernel_routed if not ok]
+        log.info(
+            f"sample_pallas: VMEM kernel backs {routed or 'NO'} "
+            f"fragment(s); XLA builder fallback for {fell_back or 'none'}"
+        )
+        if not routed:
+            log.warning(
+                "sample_pallas had no effect: every fragment is outside "
+                "the kernel's gate (width/VMEM gate, f32 only) — the "
+                "sampled scan runs entirely on the XLA builders"
+            )
 
     u_cols = []
     for fi, (rand, ncols) in enumerate(u_specs):
@@ -1470,6 +1537,12 @@ def sampled_knit(
     if noise is not None and any(cflags):
         raise ValueError("collapse mode is exact-path only; fragments "
                          "with noise models cannot collapse")
+    if noise is not None and mesh is not None:
+        raise ValueError(
+            "mesh (dp-sharded sampled scan) and noise are exclusive: "
+            "the trajectory-noise path runs single-device, so the mesh "
+            "would be silently ignored — drop mesh= or noise="
+        )
     ckw = dict(collapse=cflags, pallas_variant=pallas_variant,
                mesh=mesh)
     split = stratified_split(virt, head_labels) if head_labels else None
@@ -1504,22 +1577,47 @@ def sampled_knit(
         return est, np.sqrt(var / num_samples)
 
     head_rows, head_w, thresh, gamma_head, gamma_tail = split
-    if any(cflags):
-        head_rows, head_w = _expand_measuring_mass(
-            virt, head_rows, head_w, collapse_reps or 16
+    head_var = None
+    if any(cflags) and (with_stderr or control_variate):
+        # collapse-mode head rows are stochastic — estimate their
+        # variance from replicate groups (advisor r4: the head carries
+        # most of the mass, so omitting its collapse noise materially
+        # understates the reported stderr)
+        head, head_var, head_stats = _collapse_head_groups(
+            virt, head_rows, head_w, collapse_reps or 16,
+            lambda rows, w, off: _estimate(
+                virt, rows, w, keep_clbits, dtype=dtype,
+                gamma_override=1.0, control_stats=control_variate,
+                noise=noise, noise_seed=noise_seed,
+                collapse_seed=seed * 31 + 29 + off, **ckw,
+            ),
+            control_variate,
+            values=lambda h: h.values,
+            rebuild=lambda h, v: Distribution(
+                v, h.bit_positions, virt.num_clbits
+            ),
         )
-    # head masses ARE the final per-label weights (gamma_override=1)
-    head_out = _estimate(
-        virt, head_rows, head_w, keep_clbits, dtype=dtype,
-        gamma_override=1.0, control_stats=control_variate,
-        noise=noise, noise_seed=noise_seed,
-        collapse_seed=seed * 31 + 29, **ckw,
-    )
-    head, head_stats = head_out if control_variate else (head_out, None)
+    else:
+        if any(cflags):
+            head_rows, head_w = _expand_measuring_mass(
+                virt, head_rows, head_w, collapse_reps or 16
+            )
+        # head masses ARE the final per-label weights (gamma_override=1)
+        head_out = _estimate(
+            virt, head_rows, head_w, keep_clbits, dtype=dtype,
+            gamma_override=1.0, control_stats=control_variate,
+            noise=noise, noise_seed=noise_seed,
+            collapse_seed=seed * 31 + 29, **ckw,
+        )
+        head, head_stats = head_out if control_variate \
+            else (head_out, None)
     if gamma_tail <= 0.0:
-        # the head IS the whole grid: the estimate is exact
-        return (head, np.zeros_like(np.asarray(head.values))) \
-            if with_stderr else head
+        # the head IS the whole grid: exact unless collapse draws fed it
+        if with_stderr:
+            hv = head_var if head_var is not None \
+                else np.zeros_like(np.asarray(head.values))
+            return head, np.sqrt(hv)
+        return head
     uniq, counts = _sample_tail_counts(virt, num_samples, thresh, seed,
                                        method=method)
     if any(cflags):
@@ -1544,11 +1642,14 @@ def sampled_knit(
         noise=noise, noise_seed=noise_seed + 503,
         collapse_seed=seed * 31 + 43, **ckw,
     )
-    # only the tail carries variance (the head is enumerated exactly)
+    # the tail's sampling variance, plus the head's collapse-draw
+    # variance when collapse mode fed it (head_var is None on the exact
+    # enumeration path)
     tail_vals = np.asarray(tail.values)
     if control_variate:
-        # the head's y_mean IS its exact mass (weights are exact), so
-        # the tail total's exact expectation is 1 - head_mass
+        # the head's y_mean IS its exact mass (weights are exact, and
+        # collapse preserves row totals), so the tail total's exact
+        # expectation is 1 - head_mass
         tail_vals, var = _cv_adjust(
             tail_vals, m2, rest[0], 1.0 - head_stats["y_mean"],
         )
@@ -1560,7 +1661,10 @@ def sampled_knit(
     )
     if not with_stderr:
         return est
-    return est, np.sqrt(var / num_samples)
+    se2 = var / num_samples
+    if head_var is not None:
+        se2 = se2 + head_var
+    return est, np.sqrt(se2)
 
 
 def _z_sign_matrix(positions, z_sets, dt):
@@ -1767,6 +1871,12 @@ def sampled_expectation_z(
     if noise is not None and any(cflags):
         raise ValueError("collapse mode is exact-path only; fragments "
                          "with noise models cannot collapse")
+    if noise is not None and mesh is not None:
+        raise ValueError(
+            "mesh (dp-sharded sampled scan) and noise are exclusive: "
+            "the trajectory-noise path runs single-device, so the mesh "
+            "would be silently ignored — drop mesh= or noise="
+        )
     ckw = dict(collapse=cflags, pallas_variant=pallas_variant,
                mesh=mesh)
     split = stratified_split(virt, head_labels) if head_labels else None
@@ -1799,19 +1909,40 @@ def sampled_expectation_z(
         return est, np.sqrt(var / num_samples)
 
     head_rows, head_w, thresh, gamma_head, gamma_tail = split
-    if any(cflags):
-        head_rows, head_w = _expand_measuring_mass(
-            virt, head_rows, head_w, collapse_reps or 16
+    head_var = None
+    if any(cflags) and (with_stderr or control_variate):
+        # collapse-mode head rows are stochastic — replicate-group
+        # variance, exactly as in sampled_knit (advisor r4)
+        head, head_var, head_stats = _collapse_head_groups(
+            virt, head_rows, head_w, collapse_reps or 16,
+            lambda rows, w, off: _estimate_z(
+                virt, rows, w, z_sets, dtype=dtype, gamma_override=1.0,
+                control_stats=control_variate,
+                noise=noise, noise_seed=noise_seed,
+                collapse_seed=seed * 31 + 29 + off, **ckw,
+            ),
+            control_variate,
+            values=lambda h: h,
+            rebuild=lambda _h, v: v,
         )
-    head_out = _estimate_z(
-        virt, head_rows, head_w, z_sets, dtype=dtype, gamma_override=1.0,
-        control_stats=control_variate,
-        noise=noise, noise_seed=noise_seed,
-        collapse_seed=seed * 31 + 29, **ckw,
-    )
-    head, head_stats = head_out if control_variate else (head_out, None)
+    else:
+        if any(cflags):
+            head_rows, head_w = _expand_measuring_mass(
+                virt, head_rows, head_w, collapse_reps or 16
+            )
+        head_out = _estimate_z(
+            virt, head_rows, head_w, z_sets, dtype=dtype,
+            gamma_override=1.0, control_stats=control_variate,
+            noise=noise, noise_seed=noise_seed,
+            collapse_seed=seed * 31 + 29, **ckw,
+        )
+        head, head_stats = head_out if control_variate \
+            else (head_out, None)
     if gamma_tail <= 0.0:
-        return (head, np.zeros_like(head)) if with_stderr else head
+        if with_stderr:
+            hv = head_var if head_var is not None else np.zeros_like(head)
+            return head, np.sqrt(hv)
+        return head
     uniq, counts = _sample_tail_counts(virt, num_samples, thresh, seed,
                                        method=method)
     if any(cflags):
@@ -1833,7 +1964,8 @@ def sampled_expectation_z(
         noise=noise, noise_seed=noise_seed + 503,
         collapse_seed=seed * 31 + 43, **ckw,
     )
-    # only the tail carries variance (the head is enumerated exactly)
+    # tail sampling variance + the head's collapse-draw variance (None
+    # on the exact enumeration path)
     if control_variate:
         tail, var = _cv_adjust(tail, m2, rest[0],
                                1.0 - head_stats["y_mean"])
@@ -1842,7 +1974,10 @@ def sampled_expectation_z(
     est = head + tail
     if not with_stderr:
         return est
-    return est, np.sqrt(var / num_samples)
+    se2 = var / num_samples
+    if head_var is not None:
+        se2 = se2 + head_var
+    return est, np.sqrt(se2)
 
 
 def sampled_expectation_z_adaptive(

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.logger import get_logger
 from ..virt.virtual_circuit import VirtualCircuit
 from .bits import permute_bits_flat
 from .knit import fold_weights, nearest_probability_distribution
@@ -628,7 +629,30 @@ def make_streamed_knit(
         "bank_fn": _compute_banks if any_split else None,
         "splits": [s[0] if s is not None else None for s in splits],
         "stages": [s[2] if s is not None else None for s in splits],
+        # which fragments the VMEM kernel actually backs (advisor r4:
+        # an opted-in engine="pallas" run must not silently degrade to
+        # the XLA sim with no runtime signal)
+        "pallas_fragments": {
+            name: pallas_rows[fi] is not None
+            for fi, name in enumerate(frag_names)
+        },
     }
+    if pallas_variant:
+        routed = [n for n, ok in meta["pallas_fragments"].items() if ok]
+        fell_back = [
+            n for n, ok in meta["pallas_fragments"].items() if not ok
+        ]
+        log = get_logger(__name__)
+        log.info(
+            f"engine='pallas': VMEM kernel backs {routed or 'NO'} "
+            f"fragment(s); XLA sim fallback for {fell_back or 'none'}"
+        )
+        if not routed:
+            log.warning(
+                "engine='pallas' had no effect: every fragment is "
+                "outside the kernel's gate (width 8..20 sim qubits, "
+                "exact f32) — the scan runs entirely on the XLA sim"
+            )
     # the chunk multiple at which in-chunk suffix staging engages fully
     # (lcm over fragments of the stride-valid coarsest group size).
     # Informational: chunks are NOT auto-aligned — the v5e A/B measured
