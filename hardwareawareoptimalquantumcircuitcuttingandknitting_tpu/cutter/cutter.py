@@ -97,12 +97,8 @@ class Cutter:
                     "gammaMode derives per-cut costs from the QPD tables; "
                     "a custom costModel cannot apply"
                 )
-            if forceNWireCuts:
-                raise ValueError(
-                    "gammaMode searches gate-cut-only static plans; "
-                    "forceNWireCuts > 0 cannot be satisfied "
-                    "(see cutter/gamma.py for the rationale)"
-                )
+            # forceNWireCuts is served by the vertex-level full-space
+            # phase (cutter/gamma.py r5: wire cuts are searched too)
         cost_kwargs = {}
         if costModel is not None:
             # utils.config.CostModel (or duck-typed equivalent): replaces
