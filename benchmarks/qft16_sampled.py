@@ -256,8 +256,9 @@ def main():
             f"qft-{args.n} executed via angle-aware sampled cutting: the "
             "reference cost model's S=6^15 (infeasible) becomes "
             f"kappa~{legs[0]['kappa']} with the true cp(theta) 1-norms; "
-            "measured marginal/<Z_S> errors within the estimator's own "
-            "stderr vs the exact uncut oracle"
+            "measured marginal/<Z_S> max-abs-errors <= 2.5 sigma of "
+            "the estimator's reported stderr vs the exact uncut oracle "
+            "(max over 16 bins + 5 observables; see marginal_err_sigma)"
         ),
         "device": device,
         "backend_init_s_load_proxy": round(init_s, 3),
