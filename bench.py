@@ -49,15 +49,21 @@ def _attempt(platform: str, deadline: int) -> dict | None:
             cmd, cwd=REPO, env=env, timeout=deadline,
             stdout=subprocess.PIPE, stderr=sys.stderr,
         )
-    except subprocess.TimeoutExpired:
-        print(f"[bench] {platform} attempt timed out", file=sys.stderr,
-              flush=True)
-        return None
-    if proc.returncode != 0:
-        print(f"[bench] {platform} attempt failed rc={proc.returncode}",
+        stdout = proc.stdout
+        rc = proc.returncode
+    except subprocess.TimeoutExpired as e:
+        # bench_impl prints a PARTIAL result line after its end-to-end
+        # leg (r5): a deadline kill mid-fused-compile still reports the
+        # measured end-to-end instead of nothing
+        print(f"[bench] {platform} attempt timed out "
+              "(parsing partial output)", file=sys.stderr, flush=True)
+        stdout = e.stdout or b""
+        rc = 0 if b'"metric"' in stdout else 1
+    if rc != 0:
+        print(f"[bench] {platform} attempt failed rc={rc}",
               file=sys.stderr, flush=True)
         return None
-    for line in reversed(proc.stdout.decode().splitlines()):
+    for line in reversed(stdout.decode().splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:

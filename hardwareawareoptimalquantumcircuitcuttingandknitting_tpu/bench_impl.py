@@ -1,28 +1,54 @@
-"""Benchmark implementation: end-to-end cut + simulate + knit, fused.
+"""Benchmark implementation: end-to-end cut + simulate + knit.
 
 Run via ``python -m hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.bench_impl
-[--platform cpu]``.  Everything device-side — per-fragment QPD variant
-simulation and the knit contraction — is traced into ONE jitted program:
-one compile, one dispatch.  The uncut-circuit oracle runs untimed on the
-host afterwards as the correctness check (see the comment in ``main`` for
-why it cannot live in the device program on the tunneled backend).
+[--platform cpu]``.  Two measured legs (r5 restructure, VERDICT r4 #1):
 
-Workload: ghz-24, P=2, Q=12 — a recorded reference config whose end-to-end
-wall-clock (cut-search only; no simulation at all) is 878.4 s
-(BASELINE.md).  This program does strictly more work in the measured
-window: optimal cut search + full variant simulation + knit.
+1. **End-to-end (compile-lean)**: optimal cut search + the streamed
+   scan engine producing the FULL dense knitted distribution, fetched —
+   the complete pipeline a fresh deployment pays, through the program
+   shape whose server-side compile is seconds, not minutes
+   (``end_to_end_s`` / ``end_to_end_vs_baseline``).  The uncut-circuit
+   oracle runs untimed on the host afterwards as the correctness check.
+2. **Steady serving step**: the fused cut+sim+knit program folded to
+   scalar diagnostics in 2^20-float column blocks (one dispatch, one
+   scalar fetch) — the cut-once/serve-many number (``value`` /
+   ``steady_step_s``).  Its expensive first compile is amortised by an
+   AOT-serialized executable (``.jax_aot/``, probe: aot_probe.json):
+   when a matching artifact exists the compile is skipped entirely
+   (``aot.loaded``); when absent the freshly compiled executable is
+   saved for the next run (``aot.saved_bytes``).
 
-Phase progress is logged to stderr with timestamps so a truncated run
-still shows where time went.
+Metric-key semantics (explicit, per advisor r4): ``value`` ==
+``steady_step_s`` (median of N scalar-fetch repeats of leg 2) and
+``vs_baseline`` divides the reference's recorded 878.4 s ghz-24
+end-to-end wall by it — a cut-once/serve-many comparison;
+``end_to_end_vs_baseline`` is the like-for-like end-to-end ratio from
+leg 1.  BENCH_r01-r03's ``value`` was end-to-end; r04+ is the steady
+step (see BENCH_TABLE.md).
+
+Workload: ghz-24, P=2, Q=12 — a recorded reference config whose
+end-to-end wall-clock (cut-search only; no simulation at all) is
+878.4 s (BASELINE.md).  Both legs here do strictly more work: optimal
+cut search + full variant simulation + knit.
+
+Phase progress is logged to stderr with timestamps; a PARTIAL result
+JSON line is printed after leg 1 so a deadline kill mid-leg-2 still
+reports the end-to-end measurement (bench.py parses the last brace
+line of partial stdout).
 """
 from __future__ import annotations
 
 import argparse
 import json
+import pathlib
+import pickle
 import sys
 import time
 
 _T0 = time.perf_counter()
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+AOT_DIR = REPO / ".jax_aot"
 
 
 def _phase(msg: str) -> None:
@@ -55,6 +81,8 @@ def main() -> None:
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--metric-name", default="ghz24_p2q12_steady_serve_step")
     ap.add_argument("--steady-reps", type=int, default=5)
+    ap.add_argument("--no-aot", action="store_true",
+                    help="skip the AOT executable load/save path")
     args = ap.parse_args()
 
     _phase("importing jax")
@@ -101,7 +129,42 @@ def main() -> None:
     _phase(f"cut plan solved+rewritten in {solve_s:.2f}s "
            f"({virt.total_instantiations()} instances)")
 
-    # ---- build the single fused device program ----
+    # ---- leg 1: END-TO-END through the compile-lean streamed engine ----
+    # (the fused leg-2 program buys a 0.05 s steady step at a server
+    # compile measured 6-664 s; the streamed scan's program compiles in
+    # seconds and ran this config end-to-end in 8.9 s incl. compile on
+    # the v5e, BENCH_TABLE_TPU.md — so the honest end-to-end number
+    # routes here, VERDICT r4 #1)
+    from .ops.streamed import run_virtual_circuit_streamed
+
+    _phase("leg 1: streamed end-to-end (sim + dense knit + fetch)")
+    dist = run_virtual_circuit_streamed(virt, chunk=64)
+    knitted_host = np.asarray(dist.values)
+    end_to_end_s = time.perf_counter() - t_work
+    _phase(f"end-to-end {end_to_end_s:.2f}s; running host oracle (untimed)")
+    fid = _oracle_fidelity(circ, knitted_host)
+    _phase(f"fidelity vs uncut oracle: {fid:.8f}")
+
+    partial = {
+        # the partial line is an honest standalone result: if leg 2 never
+        # completes (deadline), the headline is the end-to-end wall
+        "metric": "ghz24_p2q12_end_to_end",
+        "value": round(end_to_end_s, 3),
+        "unit": "s",
+        "vs_baseline": round(REF_WALL_SECONDS / end_to_end_s, 1),
+        "end_to_end_s": round(end_to_end_s, 3),
+        "end_to_end_vs_baseline": round(REF_WALL_SECONDS / end_to_end_s, 2),
+        "end_to_end_engine": "streamed scan (dense knit, fetched)",
+        "backend_init_s": round(init_s, 3),
+        "solve_s": round(solve_s, 3),
+        "fidelity_vs_uncut": float(fid),
+        "instances": virt.total_instantiations(),
+        "device": device,
+        "partial": "leg2 (fused steady step) pending",
+    }
+    print(json.dumps(partial), flush=True)
+
+    # ---- leg 2: fused cut-sim-knit program, steady serving step -------
     frag_names = [r.name for r in virt.fragments]
     sims = {}
     arg_mats = []
@@ -114,15 +177,10 @@ def main() -> None:
 
     # One fused device program: all fragments' variant fan-outs + the knit
     # contraction folded to scalar diagnostics in COLUMN BLOCKS (<= 2^20
-    # floats per buffer).  The uncut-circuit oracle is NOT in the device
-    # program, and neither is the full 2^24 knitted vector: the tunneled
-    # backend's compile time scales with the largest program buffer
-    # (measured: ~6 s at 2^16 amplitudes, ~50 s at 2^20, >15 min at 2^24 —
-    # a cold-cache full-vector knit program took 978 s to compile, r3), so
-    # the scan in ops/knit.knit_scalars_blocked keeps every buffer at
-    # 2^20 while doing the identical contraction FLOPs.  The distribution
-    # itself is fetched untimed, per block, for the correctness check.
-    from .ops.knit import knit_scalars_blocked, make_blocked_knit
+    # floats per buffer) — the tunneled backend's compile time scales
+    # with the largest program buffer (ops/knit.knit_scalars_blocked
+    # keeps every buffer at 2^20 doing identical contraction FLOPs).
+    from .ops.knit import knit_scalars_blocked
 
     def sim_results(all_mats):
         results = []
@@ -139,85 +197,106 @@ def main() -> None:
             )
         return results
 
-    fused_jit = jax.jit(
-        lambda m: knit_scalars_blocked(virt, sim_results(m))
-    )
+    fused = jax.jit(lambda m: knit_scalars_blocked(virt, sim_results(m)))
 
-    # NOTE: block_until_ready returns early on the tunneled backend; a
-    # scalar fetch is the only reliable completion barrier, so the timed
-    # windows end with float() conversions.
-    _phase("compiling fused cut-sim-knit program (blocked scalars)")
-    t = time.perf_counter()
-    total, neg = fused_jit(arg_mats)
-    total_f, neg_f = float(total), float(neg)
-    compile_and_run_s = time.perf_counter() - t
-    _phase(f"first run (compile+exec) {compile_and_run_s:.1f}s")
+    # AOT executable persistence (VERDICT r4 #1b/#8; probe:
+    # aot_probe.json): the serialized executable skips the server-side
+    # compile entirely on reload.  Keyed by workload + jax version +
+    # device kind; any failure falls back to a fresh compile.
+    aot = {"enabled": not args.no_aot}
+    runner = None
+    kind = getattr(jax.devices()[0], "device_kind", "unknown")
+    aot_key = (
+        f"ghz24-p2q12-fusedv1-jax{jax.__version__}-{kind}"
+    ).replace(" ", "_")
+    aot_path = AOT_DIR / f"bench_{aot_key}.pkl"
+    aot["key"] = aot_key
+    if not args.no_aot and aot_path.exists():
+        try:
+            from jax.experimental.serialize_executable import (
+                deserialize_and_load,
+            )
+
+            _phase(f"leg 2: loading AOT executable {aot_path.name}")
+            t = time.perf_counter()
+            with open(aot_path, "rb") as f:
+                payload, in_tree, out_tree = pickle.load(f)
+            loaded = deserialize_and_load(payload, in_tree, out_tree)
+            total, neg = loaded(arg_mats)
+            total_f, neg_f = float(total), float(neg)
+            aot["loaded_s"] = round(time.perf_counter() - t, 3)
+            aot["loaded"] = True
+            runner = loaded
+            first_run_s = aot["loaded_s"]
+            _phase(f"AOT load+exec {first_run_s:.1f}s "
+                   f"(compile skipped); total={total_f:.8f}")
+        except Exception as e:  # stale/incompatible artifact
+            aot["load_failed"] = f"{type(e).__name__}: {e}"[:300]
+            runner = None
+    if runner is None:
+        _phase("leg 2: compiling fused cut-sim-knit program "
+               "(blocked scalars)")
+        t = time.perf_counter()
+        compiled = fused.lower(arg_mats).compile()
+        compile_s = time.perf_counter() - t
+        t = time.perf_counter()
+        total, neg = compiled(arg_mats)
+        total_f, neg_f = float(total), float(neg)
+        exec0_s = time.perf_counter() - t
+        first_run_s = compile_s + exec0_s
+        aot["compile_s"] = round(compile_s, 3)
+        _phase(f"first run (compile {compile_s:.1f}s + exec "
+               f"{exec0_s:.1f}s)")
+        runner = compiled
+        if not args.no_aot:
+            try:
+                from jax.experimental.serialize_executable import serialize
+
+                payload, in_tree, out_tree = serialize(compiled)
+                AOT_DIR.mkdir(exist_ok=True)
+                with open(aot_path, "wb") as f:
+                    pickle.dump((payload, in_tree, out_tree), f)
+                aot["saved_bytes"] = len(payload)
+                _phase(f"AOT executable saved ({len(payload)} bytes)")
+            except Exception as e:
+                aot["save_failed"] = f"{type(e).__name__}: {e}"[:300]
 
     # Steady-state serving step, median of N reps: the headline metric.
-    # The first-run compile on the tunneled backend varies 6-522 s with
-    # server load (r3 regressed 140x on load alone, VERDICT r3 Weak #1),
-    # so the parsed `value` is the number the framework is designed
-    # around — cut once, serve many — and compile stays a visible
-    # secondary field.  Each rep ends in a scalar fetch (the only
-    # reliable completion barrier on this backend).
+    # NOTE: block_until_ready returns early on the tunneled backend; a
+    # scalar fetch is the only reliable completion barrier, so every rep
+    # ends with float() conversions.
     reps = []
     for _ in range(max(3, args.steady_reps)):
         t = time.perf_counter()
-        total, neg = fused_jit(arg_mats)
+        total, neg = runner(arg_mats)
         total_f, neg_f = float(total), float(neg)
         reps.append(time.perf_counter() - t)
     exec_s = sorted(reps)[len(reps) // 2]
-    work_s = time.perf_counter() - t_work
     wall_s = time.perf_counter() - _T0
     _phase(
         f"steady-state exec median {exec_s:.3f}s "
         f"(reps {['%.3f' % r for r in reps]}); total={total_f:.8f}"
     )
 
-    # ---- untimed correctness check: host-side numpy oracle ----
-    _phase("fetching knitted distribution per block + running host oracle")
-    from .ops.bits import permute_bits_flat_np
-
-    es = jax.jit(
-        lambda m: [r.values for r in sim_results(m)]
-    )(arg_mats)
-    results_dev = [
-        FragmentResult(name, e, sims[name][1],
-                       list(virt.programs[name].touching))
-        for name, e in zip(frag_names, es)
-    ]
-    block_fn, nb, bc, src_bits = make_blocked_knit(virt, results_dev)
-    bf = jax.jit(block_fn)
-    blocks = [np.asarray(bf(j)) for j in range(nb)]
-    merged = np.concatenate(blocks, axis=1).reshape(-1)
-    knitted_host = permute_bits_flat_np(merged, src_bits, sorted(src_bits))
-    fid = _oracle_fidelity(circ, knitted_host)
-    _phase(f"fidelity vs uncut oracle: {fid:.8f}")
-
-    print(json.dumps({
-        "metric": args.metric_name,
+    out = dict(partial)
+    out.pop("partial")
+    out["metric"] = args.metric_name
+    out.update({
         # headline = the steady serving step (median of N): cut once,
-        # then execute per shot-batch/update.  First-run compile and the
-        # full end-to-end wall stay visible as secondary fields so a
-        # loaded tunnel day no longer reads as a 140x regression.
+        # then execute per shot-batch/update.  steady_step_s is the
+        # explicit alias (advisor r4: key semantics documented in the
+        # module docstring + BENCH_TABLE.md).
         "value": round(exec_s, 4),
-        "unit": "s",
+        "steady_step_s": round(exec_s, 4),
         "vs_baseline": round(REF_WALL_SECONDS / max(exec_s, 1e-9), 1),
-        "end_to_end_s": round(work_s, 3),
-        "end_to_end_vs_baseline": round(REF_WALL_SECONDS / work_s, 2),
         "process_wall_s": round(wall_s, 3),
-        # load proxy: first-dispatch latency of a trivial program —
-        # annotates which noise regime this row was measured under
-        "backend_init_s": round(init_s, 3),
-        "solve_s": round(solve_s, 3),
-        "first_run_s": round(compile_and_run_s, 3),
+        "first_run_s": round(first_run_s, 3),
         "steady_reps_s": [round(r, 4) for r in reps],
-        "fidelity_vs_uncut": float(fid),
         "quasi_prob_total": total_f,
         "quasi_prob_negativity": neg_f,
-        "instances": virt.total_instantiations(),
-        "device": device,
-    }), flush=True)
+        "aot": aot,
+    })
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
