@@ -260,7 +260,7 @@ def _apply_2q(re, im, ja, jb, R, ur, ui):
 
 
 def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
-                interpret: bool = False):
+                interpret: bool = False, fold=None):
     """Shared kernel construction: ``(call, entry_tables, entry_gids,
     prefix_state, n, R)`` with ``call(*entries, prefix) ->
     [grid_count, R, 128]`` full-width probability rows.  ``entries`` are
@@ -268,7 +268,30 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
     (``entry_tables[k][variant_index]``, variant index = entry k's
     GLOBAL vgate ``entry_gids[k]``'s label component).  Returns None
     when the fragment does not fit (state > VMEM budget or < 1 lane
-    row)."""
+    row).
+
+    ``fold`` (r5, VERDICT r4 #3 — the fold/knit epilogue fusion): fold
+    the vgate measure bits, drops and z-contractions IN-KERNEL so the
+    HBM write per variant shrinks from the full 2^n row to the
+    data-width knit contribution.  Dict:
+
+      * ``w``: ``[(clbit | None, ti)]`` per touching vgate — weight
+        column ti of the per-label ``[1, n_w, 2]`` weight input folds
+        that clbit's bit (elementwise ``w0/w1`` select then sum); None
+        = whole-row scalar ``w0`` (owner-non-measuring);
+      * ``z``: clbits contracted with signs (+1, -1);
+      * ``keep``: kept clbits ASCENDING — the output's little-endian
+        bit order (streamed fold_plans' final layout).
+
+    The state layout is PERMUTED so kept clbits sit on flat bits
+    0..d-1; every other qubit (folded bits, dropped clbits, unmeasured
+    qubits) lands on the high row bits and the epilogue reduces them
+    with ONE leading-axis sum after the elementwise weighting — fold
+    operations on distinct bits commute, so order is free.  Output rows
+    are ``[grid, R', 128]`` (d > 7) or ``[grid, 128]`` (2^d lanes
+    meaningful) — ``call`` returns them; the wrapper reshapes.
+    ``call(*entries, wstack, prefix)`` with ``wstack [grid, n_w, 2]``.
+    Returns None additionally when fold is requested with d > n."""
     from .statevector import apply_matrix_host
 
     prefix_ops, suffix, prog = _plan_ops(virt, frag_name)
@@ -286,11 +309,42 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
         return None
     R = 1 << (n - LANE_BITS)
 
-    # host-shared prefix at full width
+    # ---- flat-bit layout (optionally permuted for the fold epilogue) --
+    if fold is None:
+        flat_of_q = {q: n - 1 - q for q in range(n)}
+        d_keep = None
+    else:
+        kept = list(fold["keep"])
+        d_keep = len(kept)
+        flat_of_q = {}
+        for j, c in enumerate(kept):
+            flat_of_q[prog.clbit_sources[c]] = j
+        nxt = d_keep
+        for q in range(n):
+            if q not in flat_of_q:
+                flat_of_q[q] = nxt
+                nxt += 1
+        assert nxt == n, (nxt, n)
+        # weighted bits: (flat_bit | None, ti); z bits: flat bits
+        fold_wbits = [
+            (None if c is None else flat_of_q[prog.clbit_sources[c]], ti)
+            for c, ti in fold["w"]
+        ]
+        fold_zbits = [
+            flat_of_q[prog.clbit_sources[c]] for c in fold.get("z", ())
+        ]
+        assert all(fb is None or fb >= d_keep for fb, _ in fold_wbits)
+        assert all(fb >= d_keep for fb in fold_zbits)
+        n_w = max(1, len(fold_wbits))
+
+    # host-shared prefix at full width (axes mapped through the layout:
+    # apply_matrix_host's qubit q' sits on flat bit n-1-q')
     st = np.zeros((2, 1 << n), np.float32)
     st[0, 0] = 1.0
     for op in prefix_ops:
-        st = apply_matrix_host(st, op[1], op[2], n)
+        st = apply_matrix_host(
+            st, op[1], tuple(n - 1 - flat_of_q[q] for q in op[2]), n
+        )
     prefix_state = st.reshape(2, R, 128)
 
     fused_tabs = _slot_tables(prog, specs, fused=True)
@@ -311,9 +365,15 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
 
     def kernel(*refs):
         slot_refs = refs[: len(slot_steps)]
-        prefix_ref = refs[len(slot_steps)]
-        out_ref = refs[len(slot_steps) + 1]
-        st_ref = refs[len(slot_steps) + 2]  # VMEM scratch [2, R, 128]
+        if fold is None:
+            prefix_ref = refs[len(slot_steps)]
+            out_ref = refs[len(slot_steps) + 1]
+            st_ref = refs[len(slot_steps) + 2]
+        else:
+            w_ref = refs[len(slot_steps)]
+            prefix_ref = refs[len(slot_steps) + 1]
+            out_ref = refs[len(slot_steps) + 2]
+            st_ref = refs[len(slot_steps) + 3]
         st_ref[0] = prefix_ref[0]
         st_ref[1] = prefix_ref[1]
         si = 0
@@ -322,14 +382,14 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
             im = st_ref[1]
             if op[0] == "u":
                 mat, axes = op[1], op[2]
-                js = [n - 1 - q for q in axes]
+                js = [flat_of_q[q] for q in axes]
                 ur = lambda r, c, M=mat: float(M[r, c].real)
                 ui = lambda r, c, M=mat: float(M[r, c].imag)
             else:
                 sid, axes = op[1], op[2]
                 ref = slot_refs[si]
                 si += 1
-                js = [n - 1 - q for q in axes]
+                js = [flat_of_q[q] for q in axes]
                 ur = lambda r, c, _r=ref: _r[0, 0, r, c]
                 ui = lambda r, c, _r=ref: _r[0, 1, r, c]
             if len(axes) == 1:
@@ -347,7 +407,45 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
             st_ref[1] = im
         re = st_ref[0]
         im = st_ref[1]
-        out_ref[0] = re * re + im * im
+        sq = re * re + im * im
+        if fold is None:
+            out_ref[0] = sq
+            return
+        # ---- fold epilogue: elementwise weighting, then ONE sum ------
+        # (fold ops on distinct bits commute; weights are per-label
+        # scalars from the [1, n_w, 2] block)
+        for fb, ti in fold_wbits:
+            w0 = w_ref[0, ti, 0]
+            w1 = w_ref[0, ti, 1]
+            if fb is None:
+                sq = sq * w0
+            else:
+                b = _bitval(fb, R)
+                sq = sq * jnp.where(b == 1, w1, w0)
+        for fb in fold_zbits:
+            sq = sq * (
+                1.0 - 2.0 * _bitval(fb, R).astype(jnp.float32)
+            )
+        if d_keep > LANE_BITS:
+            rk = 1 << (d_keep - LANE_BITS)
+            out_ref[0] = jnp.sum(
+                sq.reshape(R // rk, rk, 128), axis=0
+            )
+        else:
+            # <= 128 outcomes: masked lane reduction (kept bits are the
+            # low lane bits by construction)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            kmap = jax.lax.broadcasted_iota(
+                jnp.int32, (R, 128), 1
+            ) & ((1 << d_keep) - 1)
+            out = jnp.zeros((1, 128), jnp.float32)
+            for k in range(1 << d_keep):
+                s = jnp.sum(jnp.sum(
+                    sq * (kmap == k).astype(jnp.float32),
+                    axis=1, keepdims=True,
+                ), axis=0, keepdims=True)
+                out = out + jnp.where(lane == k, s, jnp.float32(0.0))
+            out_ref[...] = out
 
     in_specs = [
         pl.BlockSpec(
@@ -356,11 +454,31 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
             memory_space=pltpu.VMEM,
         )
         for op in slot_steps
-    ] + [
-        pl.BlockSpec(
-            (2, R, 128), lambda v: (0, 0, 0), memory_space=pltpu.VMEM
-        )
     ]
+    if fold is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, n_w, 2), lambda v: (v, 0, 0), memory_space=pltpu.VMEM
+        ))
+    in_specs.append(pl.BlockSpec(
+        (2, R, 128), lambda v: (0, 0, 0), memory_space=pltpu.VMEM
+    ))
+
+    if fold is None:
+        out_specs = pl.BlockSpec(
+            (1, R, 128), lambda v: (v, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((padded, R, 128), jnp.float32)
+    elif d_keep > LANE_BITS:
+        rk = 1 << (d_keep - LANE_BITS)
+        out_specs = pl.BlockSpec(
+            (1, rk, 128), lambda v: (v, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((padded, rk, 128), jnp.float32)
+    else:
+        out_specs = pl.BlockSpec(
+            (1, 128), lambda v: (v, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((padded, 128), jnp.float32)
 
     call = pl.pallas_call(
         kernel,
@@ -368,10 +486,8 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
         in_specs=in_specs,
         # TPU lowering requires the trailing two block dims be (8k, 128k)
         # or the full array dims — block only the variant axis
-        out_specs=pl.BlockSpec(
-            (1, R, 128), lambda v: (v, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((padded, R, 128), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((2, R, 128), jnp.float32)],
         # n=18 programs peak ~34 MB of scoped VMEM across the unrolled
         # gate chain (partner/coefficient temporaries) — above the
@@ -458,6 +574,81 @@ def make_chunk_kernel(
         return jax.vmap(lambda p: marginalize_flat(p, n, sources))(rows)
 
     return rows_fn, positions
+
+
+def make_folded_chunk_kernel(
+    virt: VirtualCircuit, frag_name: str, chunk: int,
+    interpret: bool = False, keep_clbits=None, z_clbits=None,
+):
+    """Fold-fused streamed integration point (r5, VERDICT r4 #3):
+    ``(rows_fn, kept_positions)`` where ``rows_fn(vidx_chunk)`` maps a
+    ``[chunk, num_vgates]`` label block directly to the FOLDED
+    data-width rows ``[chunk, 2^len(kept)]`` — the vgate measure bits
+    are weight-contracted, drops summed and z bits sign-contracted
+    INSIDE the kernel, so the HBM write per variant is the knit
+    contribution (2^d floats) instead of the full 2^n row, and the
+    scan body's per-vgate XLA fold passes disappear (they were the
+    sup-20 step's dominant non-sim cost, BENCH_TABLE_TPU.md 0.99x row).
+
+    Semantics mirror make_streamed_knit's fold_plans exactly: per
+    touching vgate, the measure clbit (num_clbits + g, when written
+    here) folds with fold_weights[ti][v] = (w0, w1); non-measuring
+    owners multiply by w0; ``keep_clbits`` drops data bits outside the
+    set; ``z_clbits`` contracts EVERY data bit ((+1,-1) on the support,
+    summed elsewhere — kept_positions is then []).  Output bit j
+    carries kept_positions[j] (little-endian, ascending), matching the
+    XLA path's layout.  Returns None when the fragment does not fit
+    the kernel."""
+    from .knit import fold_weights
+
+    prog = virt.programs[frag_name]
+    positions = sorted(prog.clbit_sources)
+    frag_weights = fold_weights(virt, frag_name)
+    w_entries = []
+    w_tabs = []
+    for ti, g in enumerate(prog.touching):
+        cg = virt.num_clbits + g
+        w_entries.append((cg if cg in positions else None, ti))
+        w_tabs.append(np.asarray(frag_weights[ti], np.float32))
+    data_pos = [p for p in positions if p < virt.num_clbits]
+    z_list: list[int] = []
+    if z_clbits is not None:
+        z_list = [p for p in data_pos if p in set(z_clbits)]
+        kept: list[int] = []
+    elif keep_clbits is not None:
+        kept = [p for p in data_pos if p in set(keep_clbits)]
+    else:
+        kept = list(data_pos)
+    built = _build_call(
+        virt, frag_name, chunk, interpret=interpret,
+        fold={"w": w_entries, "z": z_list, "keep": kept},
+    )
+    if built is None:
+        return None
+    call, entry_tables, entry_gids, prefix_state, n, _R = built
+    tabs_dev = [jnp.asarray(t) for t in entry_tables]
+    w_dev = [jnp.asarray(t) for t in w_tabs]
+    w_gids = list(prog.touching)
+    prefix_dev = jnp.asarray(prefix_state)
+    d = len(kept)
+
+    def rows_fn(vidx_chunk):
+        entries = [
+            tab[vidx_chunk[:, gid]]
+            for tab, gid in zip(tabs_dev, entry_gids)
+        ]
+        if w_dev:
+            wstack = jnp.stack([
+                w[vidx_chunk[:, g]] for w, g in zip(w_dev, w_gids)
+            ], axis=1)
+        else:
+            wstack = jnp.ones((vidx_chunk.shape[0], 1, 2), jnp.float32)
+        out = call(*entries, wstack, prefix_dev)
+        if d > LANE_BITS:
+            return out.reshape(vidx_chunk.shape[0], 1 << d)
+        return out[:, : 1 << d]
+
+    return rows_fn, kept
 
 
 def _finalize_plan_collapse(sim_one):

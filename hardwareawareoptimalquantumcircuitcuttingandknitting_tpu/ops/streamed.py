@@ -249,6 +249,8 @@ def make_streamed_knit(
     data_positions = []
     splits = []  # per fragment: None | (SplitPlan, prefix_one, stages, r_anc)
     pallas_rows = []  # per fragment: None | VMEM-kernel row producer
+    pallas_folded = []  # per fragment: kernel output is ALREADY folded
+    pallas_kept = {}  # fi -> the folded kernel's kept-clbit layout
 
     def _chunked(a: np.ndarray) -> np.ndarray:
         return np.ascontiguousarray(
@@ -308,23 +310,40 @@ def make_streamed_knit(
         # opt-in, deploy-once (engine="pallas" / make_streamed_knit(
         # pallas_variant=True)).
         pallas_rows.append(None)
+        pallas_folded.append(False)
         if (
             pallas_variant and nm is None
             and (dtype is None or np.dtype(dtype).itemsize == 4)
         ):
-            from .pallas_variant import make_chunk_kernel
+            from .pallas_variant import (
+                make_chunk_kernel,
+                make_folded_chunk_kernel,
+            )
 
             # CPU backend: interpret mode (Mosaic is TPU-only) — lets
             # the CPU test suite exercise this exact path
-            built = make_chunk_kernel(
-                virt, name, chunk,
-                interpret=jax.default_backend() == "cpu",
+            interp = jax.default_backend() == "cpu"
+            # r5 (VERDICT r4 #3): prefer the fold-fused kernel — the
+            # vgate-bit folds, drops and z-contractions run IN-KERNEL,
+            # the HBM write shrinks to the data-width knit contribution
+            # and the scan body's per-vgate fold passes disappear
+            builtf = make_folded_chunk_kernel(
+                virt, name, chunk, interpret=interp,
+                keep_clbits=keep_clbits, z_clbits=z_clbits,
             )
-            if built is not None:
-                rows_fn, pos_pv = built
-                assert pos_pv == list(positions), (pos_pv, positions)
-                pallas_rows[fi] = rows_fn
+            if builtf is not None:
+                pallas_rows[fi] = builtf[0]
+                pallas_folded[fi] = True
+                pallas_kept[fi] = builtf[1]
                 splits[fi] = None
+            else:
+                built = make_chunk_kernel(virt, name, chunk,
+                                          interpret=interp)
+                if built is not None:
+                    rows_fn, pos_pv = built
+                    assert pos_pv == list(positions), (pos_pv, positions)
+                    pallas_rows[fi] = rows_fn
+                    splits[fi] = None
 
         if nm is None:
             xs_pauli.append(np.zeros((n_chunks, chunk, 0, 0), np.int32))
@@ -401,6 +420,10 @@ def make_streamed_knit(
         fold_plans.append(plan)
         data_positions.append(pos)
 
+    for fi, kept in pallas_kept.items():
+        # the fold-fused kernel's output layout must equal the XLA fold
+        # path's final layout (kept data clbits, ascending)
+        assert kept == data_positions[fi], (kept, data_positions[fi])
     shape = tuple(1 << len(p) for p in data_positions)
     # 'z' is the chunk label — fragment labels must not collide with it
     letters = "abdefghijklm"
@@ -562,6 +585,11 @@ def make_streamed_knit(
                 fi, name, vidx_chunk, pauli_chunks[fi],
                 None if banks is None else banks[fi],
             )
+            if pallas_folded[fi]:
+                # fold-fused kernel: rows arrive already weight-folded,
+                # dropped and z-contracted (make_folded_chunk_kernel)
+                es.append(rows)
+                continue
             w_iter = iter(w_tables[fi])
             for kind, j, k in fold_plans[fi]:
                 if kind == "drop":
@@ -948,6 +976,7 @@ def streamed_expectation_z(
     virt: VirtualCircuit, z_clbits, chunk: int = 512,
     noise=None, trajectories: int | None = None, seed: int = 0,
     share_prefix: bool = True, dtype=None,
+    pallas_variant: bool = False,
 ) -> float:
     """<prod_{c in z_clbits} Z_c> of the reconstructed distribution,
     computed with a SCALAR carry: every data bit is contracted inside the
@@ -984,5 +1013,6 @@ def streamed_expectation_z(
         virt, chunk, z_clbits=frozenset(z_clbits),
         noise=noise, trajectories=trajectories, seed=seed,
         share_prefix=share_prefix, dtype=dtype,
+        pallas_variant=pallas_variant,
     )
     return float(np.asarray(jax.jit(step_fn)(xs)).reshape(()))
