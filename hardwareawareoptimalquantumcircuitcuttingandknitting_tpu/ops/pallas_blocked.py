@@ -110,10 +110,11 @@ def plan_segments(ops, n: int, w: int):
     return segments
 
 
-def _perm_src_bits(prev: dict, nxt: dict, n: int) -> list[int]:
-    """permute_bits_flat source order taking layout ``prev`` to ``nxt``:
-    src_bits[j] = the prev-layout flat bit that must land on flat bit j
-    of the next layout (both little-endian flat indices)."""
+def _perm_dst_bits(prev: dict, nxt: dict, n: int) -> list[int]:
+    """permute_bits_flat DST order taking layout ``prev`` to ``nxt``
+    with bit labels = prev-layout flat positions: the input's bit j
+    carries label j (src_bits = range(n)); output bit j must carry the
+    prev-flat position of the qubit that layout ``nxt`` puts on bit j."""
     inv_next = {fb: q for q, fb in nxt.items()}
     return [prev[inv_next[j]] for j in range(n)]
 
@@ -256,14 +257,14 @@ def make_blocked_chunk_kernel(
     # inter-segment re-tiling permutations (flat-bit source orders)
     perms = [s[0] for s in segments]
     retiles = [
-        _perm_src_bits(perms[k], perms[k + 1], n)
+        _perm_dst_bits(perms[k], perms[k + 1], n)
         for k in range(len(perms) - 1)
     ]
     # final layout -> qubit order (marginalize_flat expects qubit q on
     # flat bit n-1-q): permute back to the canonical layout
     final_perm = perms[-1]
     canonical = {q: n - 1 - q for q in range(n)}
-    final_src = _perm_src_bits(final_perm, canonical, n)
+    final_dst = _perm_dst_bits(final_perm, canonical, n)
 
     positions = sorted(prog.clbit_sources)
     sources = [prog.clbit_sources[c] for c in positions]
@@ -283,14 +284,14 @@ def make_blocked_chunk_kernel(
             if k < len(retiles):
                 flat = state.reshape(2, 1 << n)
                 flat = jax.vmap(
-                    lambda v, sb=retiles[k]: permute_bits_flat(
-                        v, sb, list(range(n))
+                    lambda v, db=retiles[k]: permute_bits_flat(
+                        v, list(range(n)), db
                     )
                 )(flat)
                 state = flat.reshape(2, n_blocks, R_w, 128)
         flat = state.reshape(2, 1 << n)
         flat = jax.vmap(
-            lambda v: permute_bits_flat(v, final_src, list(range(n)))
+            lambda v: permute_bits_flat(v, list(range(n)), final_dst)
         )(flat)
         p = flat[0] * flat[0] + flat[1] * flat[1]
         return marginalize_flat(p, n, sources)

@@ -339,6 +339,14 @@ def make_streamed_knit(
             else:
                 built = make_chunk_kernel(virt, name, chunk,
                                           interpret=interp)
+                if built is None:
+                    # n > 20: the segmented HBM-resident kernel (r5,
+                    # VERDICT r4 #2 — past the VMEM width boundary)
+                    from .pallas_blocked import make_blocked_chunk_kernel
+
+                    built = make_blocked_chunk_kernel(
+                        virt, name, chunk, interpret=interp
+                    )
                 if built is not None:
                     rows_fn, pos_pv = built
                     assert pos_pv == list(positions), (pos_pv, positions)
@@ -678,7 +686,7 @@ def make_streamed_knit(
         if not routed:
             log.warning(
                 "engine='pallas' had no effect: every fragment is "
-                "outside the kernel's gate (width 8..20 sim qubits, "
+                "outside the kernel gates (8..20 VMEM, 21..24 blocked; "
                 "exact f32) — the scan runs entirely on the XLA sim"
             )
     # the chunk multiple at which in-chunk suffix staging engages fully
