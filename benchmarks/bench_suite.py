@@ -32,7 +32,7 @@ BASELINE_CONFIGS = [
 
 
 def run_config(tag, circ_name, n, depth, P, Q, ref_s, max_instances,
-               use_streamed=False):
+               use_streamed=False, reps=0):
     from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.cutter.cutter import (
         Cutter,
     )
@@ -52,7 +52,16 @@ def run_config(tag, circ_name, n, depth, P, Q, ref_s, max_instances,
         VirtualCircuit,
     )
 
+    import jax
+    import jax.numpy as jnp
+
     row = {"config": tag, "ref_wall_s": ref_s}
+    # per-row load proxy (r5 measurement-hygiene policy): the latency of
+    # one trivial dispatch names the tunnel-load regime this row was
+    # measured under
+    t = time.perf_counter()
+    float(jnp.zeros((8,)).sum())
+    row["load_proxy_s"] = round(time.perf_counter() - t, 3)
     t0 = time.perf_counter()
     circ = genCirc(circ_name, n, depth)
     cutter = Cutter(
@@ -81,8 +90,38 @@ def run_config(tag, circ_name, n, depth, P, Q, ref_s, max_instances,
         row["engine"] = engine
 
     t1 = time.perf_counter()
-    knitted, info = run_virtual_circuit(virt, project=False, engine=engine)
-    row["sim_knit_s"] = round(time.perf_counter() - t1, 4)
+    if engine == "streamed":
+        # build the scan once so the steady serving step can be measured
+        # on the SAME jitted program (median of ``reps`` full-fetch
+        # executions after the first compile+run)
+        import numpy as np
+
+        from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.statevector import (  # noqa: E501
+            Distribution,
+        )
+        from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.streamed import (  # noqa: E501
+            auto_chunk,
+            make_streamed_knit,
+        )
+
+        chunk = auto_chunk(virt, 512, 1, noisy=False)
+        step, xs, meta = make_streamed_knit(virt, chunk)
+        jstep = jax.jit(step)
+        vals = np.asarray(jstep(xs))
+        row["sim_knit_s"] = round(time.perf_counter() - t1, 4)
+        if reps:
+            rr = []
+            for _ in range(reps):
+                tr = time.perf_counter()
+                np.asarray(jstep(xs))
+                rr.append(time.perf_counter() - tr)
+            row["steady_sim_knit_s"] = round(sorted(rr)[len(rr) // 2], 4)
+            row["steady_reps_s"] = [round(r, 4) for r in rr]
+        knitted = Distribution(vals, meta["positions"], virt.num_clbits)
+    else:
+        knitted, info = run_virtual_circuit(virt, project=False,
+                                            engine=engine)
+        row["sim_knit_s"] = round(time.perf_counter() - t1, 4)
     # fidelity check: host oracle for wide circuits (device statevectors
     # beyond ~2^20 amplitudes hit pathological tile padding / HBM limits
     # on the tunneled backend — see CLAUDE.md), device oracle otherwise
@@ -117,6 +156,13 @@ def main() -> None:
     ap.add_argument("--streamed", action="store_true",
                     help="run over-cap configs with the constant-memory "
                          "streaming engine instead of skipping them")
+    ap.add_argument("--all-streamed", action="store_true",
+                    help="route EVERY config through the streamed scan "
+                         "(one compile-lean program per config — the r5 "
+                         "single-regime regeneration shape)")
+    ap.add_argument("--reps", type=int, default=0,
+                    help="steady sim+knit repeats per config (median "
+                         "recorded; r5 policy: 3)")
     ap.add_argument("--only", default=None,
                     help="comma-separated config tags to run")
     args = ap.parse_args()
@@ -127,14 +173,24 @@ def main() -> None:
         if only and cfg[0] not in only:
             continue
         print(f"[suite] {cfg[0]} ...", file=sys.stderr, flush=True)
-        rows.append(run_config(*cfg, args.max_instances, args.streamed))
+        max_inst = 0 if args.all_streamed else args.max_instances
+        rows.append(run_config(
+            *cfg, max_inst, args.streamed or args.all_streamed,
+            reps=args.reps,
+        ))
         print(f"[suite] {cfg[0]}: {rows[-1]}", file=sys.stderr, flush=True)
 
     cols = [
-        "config", "ref_wall_s", "cut_wall_s", "speedup_vs_ref", "instances",
-        "sim_knit_s", "fidelity_vs_uncut", "S", "n_wire_cuts", "n_gate_cuts",
+        "config", "ref_wall_s", "solve_s", "instances",
+        "sim_knit_s", "steady_sim_knit_s", "e2e_wall_s",
+        "e2e_speedup_vs_ref", "fidelity_vs_uncut", "load_proxy_s",
         "status",
     ]
+    for row in rows:
+        if "e2e_wall_s" in row:
+            row["e2e_speedup_vs_ref"] = round(
+                row["ref_wall_s"] / max(row["e2e_wall_s"], 1e-9), 1
+            )
     lines = [
         "# Benchmark suite vs reference baseline",
         "",
