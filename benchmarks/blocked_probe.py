@@ -38,6 +38,18 @@ def main():
     ap.add_argument("--labels", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--window", type=int, default=18)
+    ap.add_argument("--circ", default="syc",
+                    help="zoo short name (ghz 40 1 --q 20 gives a "
+                         "21-sim-qubit fragment with a 20-op suffix in "
+                         "2 segments — the segmentation showcase; syc "
+                         "36 1 has a 1-op suffix: capability, not win)")
+    ap.add_argument("--n", type=int, default=36)
+    ap.add_argument("--depth", type=int, default=1)
+    ap.add_argument("--q", type=int, default=20,
+                    help="maxNQubitsPerPartition (Q20 gives a 21-sim-"
+                         "qubit largest fragment on syc-36 — past the "
+                         "n=20 VMEM gate; Q19 lands on n=20, which the "
+                         "blocked kernel declines)")
     ap.add_argument("--out", default="blocked_probe.json")
     args = ap.parse_args()
 
@@ -84,14 +96,19 @@ def main():
     device = str(jax.devices()[0])
     _phase(f"backend {device} up in {init_s:.1f}s")
 
-    _phase("solving syc-36 P2 Q19")
-    circ = genCirc("syc", 36, 1)
-    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=19,
+    _phase(f"solving {args.circ}-{args.n} d{args.depth} P2 Q{args.q}")
+    circ = genCirc(args.circ, args.n, args.depth)
+    cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=args.q,
                     maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
     assert cutter.solve()
     virt = VirtualCircuit(cutter.getResultCircs()[3])
-    name = max((r.name for r in virt.fragments),
-               key=lambda nm: virt.programs[nm].num_sim_qubits)
+    # widest fragment; among equals, the one with the deepest per-label
+    # (suffix) op stream — that is where segmentation has work to do
+    name = max(
+        (r.name for r in virt.fragments),
+        key=lambda nm: (virt.programs[nm].num_sim_qubits,
+                        len(_plan_ops(virt, nm)[1])),
+    )
     prog = virt.programs[name]
     n = prog.num_sim_qubits
     _, suffix, _ = _plan_ops(virt, name)
@@ -171,7 +188,8 @@ def main():
     report = {
         "device": device,
         "load_proxy_first_dispatch_s": round(init_s, 3),
-        "config": "syc-36 P2 Q19 (largest fragment)",
+        "config": (f"{args.circ}-{args.n} d{args.depth} P2 Q{args.q} "
+                   "(largest fragment)"),
         "fragment_sim_qubits": n,
         "ops": len(suffix),
         "segments": len(segs),

@@ -31,6 +31,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="sup25")
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="override the config's label-chunk size (0 = "
+                         "config default); bigger chunks amortise "
+                         "per-kernel-invocation overhead in the scan")
     args = ap.parse_args()
 
     import jax
@@ -54,13 +58,17 @@ def main() -> None:
 
     enable_cache()
     name, n, depth, q, chunk = CONFIGS[args.config]
+    cfg_tag = args.config
+    if args.chunk:
+        chunk = args.chunk
+        cfg_tag = f"{args.config}@c{chunk}"  # keep the default row intact
     circ = genCirc(name, n, depth)
     cutter = Cutter(circ, maxNPartitions=2, maxNQubitsPerPartition=q,
                     maxNQpdCuts=5, maxNCuts=5, maxCutsPerPartitions=5)
     assert cutter.solve()
     virt = VirtualCircuit(cutter.getResultCircs()[3])
 
-    out = {"config": args.config, "chunk": chunk,
+    out = {"config": cfg_tag, "chunk": chunk,
            "device": jax.devices()[0].device_kind}
     t0 = time.perf_counter()
     float(jnp.zeros((8,)).sum())
@@ -144,7 +152,7 @@ def main() -> None:
     existing = []
     if path.exists():
         existing = json.loads(path.read_text())
-    existing = [e for e in existing if e.get("config") != args.config]
+    existing = [e for e in existing if e.get("config") != cfg_tag]
     path.write_text(json.dumps(existing + [out], indent=2))
     print(f"[ab] wrote {path}", flush=True)
 
