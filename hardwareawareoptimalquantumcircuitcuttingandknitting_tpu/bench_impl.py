@@ -201,6 +201,21 @@ def main() -> None:
                 leg1_aot["save_failed"] = f"{type(e).__name__}: {e}"[:300]
     knitted_host = vals
     end_to_end_s = time.perf_counter() - t_work
+    # Relay-variance control (r5 measurement-hygiene): the tunneled
+    # backend's server-side cost for the SAME program has been measured
+    # anywhere from 2.2 s to 549 s across one day (compile or first
+    # exec of a reloaded executable alike).  When the cold wall is
+    # load-dominated, one immediate re-execution of the identical
+    # program gives the server-warm end-to-end — reported as a separate
+    # key, never replacing the cold measurement.
+    warm_s = None
+    if end_to_end_s > 60.0:
+        t = time.perf_counter()
+        runner1 = loaded if leg1_aot.get("loaded") else compiled1
+        np.asarray(runner1(xs))
+        warm_s = time.perf_counter() - t
+        _phase(f"cold end-to-end was load-dominated; warm re-run "
+               f"{warm_s:.2f}s")
     _phase(f"end-to-end {end_to_end_s:.2f}s; running host oracle (untimed)")
     fid = _oracle_fidelity(circ, knitted_host, cache_key="ghz_24")
     _phase(f"fidelity vs uncut oracle: {fid:.8f}")
@@ -216,6 +231,10 @@ def main() -> None:
         "end_to_end_vs_baseline": round(REF_WALL_SECONDS / end_to_end_s, 2),
         "end_to_end_engine": "streamed scan (dense knit, fetched)",
         "end_to_end_aot": leg1_aot,
+        **({"end_to_end_warm_s": round(warm_s, 3),
+            "end_to_end_warm_vs_baseline": round(
+                REF_WALL_SECONDS / warm_s, 1)}
+           if warm_s is not None else {}),
         "backend_init_s": round(init_s, 3),
         "solve_s": round(solve_s, 3),
         "fidelity_vs_uncut": float(fid),
