@@ -35,6 +35,10 @@ def main() -> None:
                     help="override the config's label-chunk size (0 = "
                          "config default); bigger chunks amortise "
                          "per-kernel-invocation overhead in the scan")
+    ap.add_argument("--with-unstaged", action="store_true",
+                    help="add a pallas_unstaged arm (r4 kernel without "
+                         "the r5 staged checkpoints) — costs one more "
+                         "Mosaic deploy compile")
     args = ap.parse_args()
 
     import jax
@@ -74,11 +78,15 @@ def main() -> None:
     float(jnp.zeros((8,)).sum())
     out["load_proxy_first_dispatch_s"] = round(time.perf_counter() - t0, 3)
 
+    arms = [("pallas", dict(pallas_variant=True)),
+            ("xla_banked", dict(pallas_variant=False))]
+    if args.with_unstaged:
+        arms.insert(1, ("pallas_unstaged",
+                        dict(pallas_variant=True, pallas_staged=False)))
     builds = {}
-    for key, pv in (("pallas", True), ("xla_banked", False)):
+    for key, kw in arms:
         step, xs, meta = make_streamed_knit(
-            virt, chunk, share_prefix=True, hoist_banks=True,
-            pallas_variant=pv,
+            virt, chunk, share_prefix=True, hoist_banks=True, **kw,
         )
         builds[key] = (step, xs, meta)
         print(f"[ab] built {key}", flush=True)
@@ -114,6 +122,10 @@ def main() -> None:
               flush=True)
         fns[key] = (f, xs)
     assert abs(out["pallas_sum"] - out["xla_banked_sum"]) < 1e-3
+    if "pallas_unstaged_sum" in out:
+        assert abs(
+            out["pallas_unstaged_sum"] - out["xla_banked_sum"]
+        ) < 1e-3
 
     times = {k: [] for k in fns}
     keys = list(fns)

@@ -260,7 +260,7 @@ def _apply_2q(re, im, ja, jb, R, ur, ui):
 
 
 def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
-                interpret: bool = False, fold=None):
+                interpret: bool = False, fold=None, staged: bool = False):
     """Shared kernel construction: ``(call, entry_tables, entry_gids,
     prefix_state, n, R)`` with ``call(*entries, prefix) ->
     [grid_count, R, 128]`` full-width probability rows.  ``entries`` are
@@ -291,7 +291,28 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
     are ``[grid, R', 128]`` (d > 7) or ``[grid, 128]`` (2^d lanes
     meaningful) — ``call`` returns them; the wrapper reshapes.
     ``call(*entries, wstack, prefix)`` with ``wstack [grid, n_w, 2]``.
-    Returns None additionally when fold is requested with d > n."""
+    Returns None additionally when fold is requested with d > n.
+
+    ``staged`` (r5, the "fewer passes per gate" arithmetic lever,
+    PERF.md): TPU Pallas grids execute SEQUENTIALLY with scratch
+    persisting across grid steps, so per-slot checkpoint states can
+    live in VMEM scratch and each variant re-runs only the gate-chain
+    segments from its first changed slot onward.  The suffix is grouped
+    into one segment per slot (the slot plus the fixed gates up to the
+    next slot); segment ``i`` executes under ``pl.when(stage <= i)``
+    reading checkpoint ``i-1`` (or the prefix) and writing checkpoint
+    ``i``.  The caller passes a per-variant int32 ``stage`` array —
+    the first CHAIN-ORDER slot whose entry differs from the previous
+    grid step's variant (0 for the first variant of every call; the
+    number of slots when nothing changed).  Under the global
+    mixed-radix label order consecutive labels differ only in the
+    minor-most vgates, which sit chain-LATE, so most variants replay
+    only the final segment — the same sharing `suffix_stages` exploits
+    for the XLA banked path, now VMEM-resident.  Call signature gains
+    the stage array before the prefix:
+    ``call(*entries, [wstack,] stage, prefix)``.  The returned tuple's
+    last element says whether the staged layout was actually built
+    (False when the fragment has no slots)."""
     from .statevector import apply_matrix_host
 
     prefix_ops, suffix, prog = _plan_ops(virt, frag_name)
@@ -363,50 +384,26 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
         entry_gids.append(prog.slots[sid].vgate_idx)
     padded = grid_count
 
-    def kernel(*refs):
-        slot_refs = refs[: len(slot_steps)]
-        if fold is None:
-            prefix_ref = refs[len(slot_steps)]
-            out_ref = refs[len(slot_steps) + 1]
-            st_ref = refs[len(slot_steps) + 2]
+    def _apply_op(re, im, op, slot_ref):
+        if op[0] == "u":
+            mat, axes = op[1], op[2]
+            js = [flat_of_q[q] for q in axes]
+            ur = lambda r, c, M=mat: float(M[r, c].real)
+            ui = lambda r, c, M=mat: float(M[r, c].imag)
         else:
-            w_ref = refs[len(slot_steps)]
-            prefix_ref = refs[len(slot_steps) + 1]
-            out_ref = refs[len(slot_steps) + 2]
-            st_ref = refs[len(slot_steps) + 3]
-        st_ref[0] = prefix_ref[0]
-        st_ref[1] = prefix_ref[1]
-        si = 0
-        for op in suffix:
-            re = st_ref[0]
-            im = st_ref[1]
-            if op[0] == "u":
-                mat, axes = op[1], op[2]
-                js = [flat_of_q[q] for q in axes]
-                ur = lambda r, c, M=mat: float(M[r, c].real)
-                ui = lambda r, c, M=mat: float(M[r, c].imag)
-            else:
-                sid, axes = op[1], op[2]
-                ref = slot_refs[si]
-                si += 1
-                js = [flat_of_q[q] for q in axes]
-                ur = lambda r, c, _r=ref: _r[0, 0, r, c]
-                ui = lambda r, c, _r=ref: _r[0, 1, r, c]
-            if len(axes) == 1:
-                if js[0] >= LANE_BITS:
-                    re, im = _apply_1q_row(re, im, js[0], R, ur, ui)
-                else:
-                    re, im = _apply_1q(re, im, js[0], R, ur, ui)
-            elif min(js) >= LANE_BITS:
-                re, im = _apply_2q_rowrow(re, im, js[0], js[1], R, ur, ui)
-            else:
-                re, im = _apply_2q(re, im, js[0], js[1], R, ur, ui)
-            # write back: the scratch is the only value live across
-            # steps, bounding Mosaic's scoped-VMEM working set
-            st_ref[0] = re
-            st_ref[1] = im
-        re = st_ref[0]
-        im = st_ref[1]
+            _sid, axes = op[1], op[2]
+            js = [flat_of_q[q] for q in axes]
+            ur = lambda r, c, _r=slot_ref: _r[0, 0, r, c]
+            ui = lambda r, c, _r=slot_ref: _r[0, 1, r, c]
+        if len(axes) == 1:
+            if js[0] >= LANE_BITS:
+                return _apply_1q_row(re, im, js[0], R, ur, ui)
+            return _apply_1q(re, im, js[0], R, ur, ui)
+        if min(js) >= LANE_BITS:
+            return _apply_2q_rowrow(re, im, js[0], js[1], R, ur, ui)
+        return _apply_2q(re, im, js[0], js[1], R, ur, ui)
+
+    def _epilogue(re, im, w_ref, out_ref):
         sq = re * re + im * im
         if fold is None:
             out_ref[0] = sq
@@ -447,6 +444,95 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
                 out = out + jnp.where(lane == k, s, jnp.float32(0.0))
             out_ref[...] = out
 
+    def kernel(*refs):
+        slot_refs = refs[: len(slot_steps)]
+        if fold is None:
+            w_ref = None
+            prefix_ref = refs[len(slot_steps)]
+            out_ref = refs[len(slot_steps) + 1]
+            st_ref = refs[len(slot_steps) + 2]
+        else:
+            w_ref = refs[len(slot_steps)]
+            prefix_ref = refs[len(slot_steps) + 1]
+            out_ref = refs[len(slot_steps) + 2]
+            st_ref = refs[len(slot_steps) + 3]
+        st_ref[0] = prefix_ref[0]
+        st_ref[1] = prefix_ref[1]
+        si = 0
+        for op in suffix:
+            re = st_ref[0]
+            im = st_ref[1]
+            sref = None
+            if op[0] != "u":
+                sref = slot_refs[si]
+                si += 1
+            re, im = _apply_op(re, im, op, sref)
+            # write back: the scratch is the only value live across
+            # steps, bounding Mosaic's scoped-VMEM working set
+            st_ref[0] = re
+            st_ref[1] = im
+        _epilogue(st_ref[0], st_ref[1], w_ref, out_ref)
+
+    # ---- staged layout: one segment per slot, VMEM checkpoints ------
+    # budget gate: k_seg checkpoint states (2^n x 8 B each) must leave
+    # room for the measured ~34 MB unrolled-chain working set + the
+    # 2^n x 8 B prefix window inside the 120 MB scoped limit
+    is_staged = bool(
+        staged and slot_steps
+        and len(slot_steps) * (2 * R * 128 * 4) <= 64 * 1024 * 1024
+    )
+    if is_staged:
+        assert suffix[0][0] == "slot", "suffix must start at a slot"
+        segments: list[list] = []
+        for op in suffix:
+            if op[0] == "slot":
+                segments.append([op])
+            else:
+                segments[-1].append(op)
+        k_seg = len(segments)
+        assert k_seg == len(slot_steps)
+
+        def kernel_staged(*refs):
+            slot_refs = refs[:k_seg]
+            idx = k_seg
+            w_ref = None
+            if fold is not None:
+                w_ref = refs[idx]
+                idx += 1
+            stage_ref = refs[idx]
+            prefix_ref = refs[idx + 1]
+            out_ref = refs[idx + 2]
+            ck_ref = refs[idx + 3]
+            s = stage_ref[0]
+            for i, seg in enumerate(segments):
+
+                def _seg(i=i, seg=seg):
+                    first = True
+                    for op in seg:
+                        if first:
+                            re = (prefix_ref[0] if i == 0
+                                  else ck_ref[i - 1, 0])
+                            im = (prefix_ref[1] if i == 0
+                                  else ck_ref[i - 1, 1])
+                            first = False
+                        else:
+                            re = ck_ref[i, 0]
+                            im = ck_ref[i, 1]
+                        re, im = _apply_op(
+                            re, im, op,
+                            slot_refs[i] if op[0] != "u" else None,
+                        )
+                        # per-op write-back bounds the live working set
+                        # (same discipline as the unstaged kernel)
+                        ck_ref[i, 0] = re
+                        ck_ref[i, 1] = im
+
+                pl.when(s <= i)(_seg)
+            _epilogue(
+                ck_ref[k_seg - 1, 0], ck_ref[k_seg - 1, 1],
+                w_ref, out_ref,
+            )
+
     in_specs = [
         pl.BlockSpec(
             (1, 2, slot_m[op[1]], slot_m[op[1]]),
@@ -458,6 +544,11 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
     if fold is not None:
         in_specs.append(pl.BlockSpec(
             (1, n_w, 2), lambda v: (v, 0, 0), memory_space=pltpu.VMEM
+        ))
+    if is_staged:
+        # per-variant resume stage, one int32 scalar per grid step
+        in_specs.append(pl.BlockSpec(
+            (1,), lambda v: (v,), memory_space=pltpu.SMEM
         ))
     in_specs.append(pl.BlockSpec(
         (2, R, 128), lambda v: (0, 0, 0), memory_space=pltpu.VMEM
@@ -481,14 +572,22 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
         out_shape = jax.ShapeDtypeStruct((padded, 128), jnp.float32)
 
     call = pl.pallas_call(
-        kernel,
+        kernel_staged if is_staged else kernel,
         grid=(padded,),
         in_specs=in_specs,
         # TPU lowering requires the trailing two block dims be (8k, 128k)
         # or the full array dims — block only the variant axis
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((2, R, 128), jnp.float32)],
+        # staged: one checkpoint state per slot segment, persistent
+        # across the (sequential) grid — k_seg x 2^n x 8 B of VMEM
+        scratch_shapes=[
+            pltpu.VMEM(
+                (len(slot_steps), 2, R, 128) if is_staged
+                else (2, R, 128),
+                jnp.float32,
+            )
+        ],
         # n=18 programs peak ~34 MB of scoped VMEM across the unrolled
         # gate chain (partner/coefficient temporaries) — above the
         # compiler's 16 MB default but within the core's physical VMEM
@@ -498,7 +597,7 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
         interpret=interpret,
     )
 
-    return call, entry_tables, entry_gids, prefix_state, n, R
+    return call, entry_tables, entry_gids, prefix_state, n, R, is_staged
 
 
 def make_pallas_variant_fn(
@@ -520,7 +619,7 @@ def make_pallas_variant_fn(
     built = _build_call(virt, frag_name, padded, interpret=interpret)
     if built is None:
         return None
-    call, entry_tables, entry_gids, prefix_state, n, _R = built
+    call, entry_tables, entry_gids, prefix_state, n, _R, _st = built
     touch_col = {g: i for i, g in enumerate(prog.touching)}
     slot_inputs = [
         jnp.asarray(tab[vidx[:, touch_col[gid]]])
@@ -556,7 +655,7 @@ def make_chunk_kernel(
     built = _build_call(virt, frag_name, chunk, interpret=interpret)
     if built is None:
         return None
-    call, entry_tables, entry_gids, prefix_state, n, _R = built
+    call, entry_tables, entry_gids, prefix_state, n, _R, _st = built
     prog = virt.programs[frag_name]
     positions = sorted(prog.clbit_sources)
     sources = [prog.clbit_sources[c] for c in positions]
@@ -579,6 +678,7 @@ def make_chunk_kernel(
 def make_folded_chunk_kernel(
     virt: VirtualCircuit, frag_name: str, chunk: int,
     interpret: bool = False, keep_clbits=None, z_clbits=None,
+    staged: bool = True,
 ):
     """Fold-fused streamed integration point (r5, VERDICT r4 #3):
     ``(rows_fn, kept_positions)`` where ``rows_fn(vidx_chunk)`` maps a
@@ -622,15 +722,18 @@ def make_folded_chunk_kernel(
     built = _build_call(
         virt, frag_name, chunk, interpret=interpret,
         fold={"w": w_entries, "z": z_list, "keep": kept},
+        staged=staged,
     )
     if built is None:
         return None
-    call, entry_tables, entry_gids, prefix_state, n, _R = built
+    call, entry_tables, entry_gids, prefix_state, n, _R, is_staged = built
     tabs_dev = [jnp.asarray(t) for t in entry_tables]
     w_dev = [jnp.asarray(t) for t in w_tabs]
     w_gids = list(prog.touching)
     prefix_dev = jnp.asarray(prefix_state)
     d = len(kept)
+    k_seg = len(entry_gids)
+    gid_arr = np.asarray(entry_gids, np.int64)
 
     def rows_fn(vidx_chunk):
         entries = [
@@ -643,7 +746,23 @@ def make_folded_chunk_kernel(
             ], axis=1)
         else:
             wstack = jnp.ones((vidx_chunk.shape[0], 1, 2), jnp.float32)
-        out = call(*entries, wstack, prefix_dev)
+        if is_staged:
+            # resume stage = first chain-order slot whose component
+            # differs from the PREVIOUS row (row 0: full replay);
+            # k_seg when nothing changed (checkpoints all valid, only
+            # the epilogue re-runs with this label's weights)
+            comp = vidx_chunk[:, gid_arr]
+            prev = jnp.concatenate(
+                [jnp.full((1, k_seg), -1, comp.dtype), comp[:-1]],
+                axis=0,
+            )
+            dif = comp != prev
+            stage = jnp.where(
+                dif.any(axis=1), jnp.argmax(dif, axis=1), k_seg
+            ).astype(jnp.int32)
+            out = call(*entries, wstack, stage, prefix_dev)
+        else:
+            out = call(*entries, wstack, prefix_dev)
         if d > LANE_BITS:
             return out.reshape(vidx_chunk.shape[0], 1 << d)
         return out[:, : 1 << d]

@@ -126,6 +126,7 @@ def make_streamed_knit(
     hoist_banks: bool = False, dtype=None, trunc_eps: float = 0.0,
     fuse_qubits: int | str = "auto",
     pallas_variant: bool = False,
+    pallas_staged: bool = True,
 ):
     """Build (step_fn, xs, meta): ``step_fn(xs)`` scans all global label
     chunks and returns the flat knitted quasi-distribution values.
@@ -327,9 +328,13 @@ def make_streamed_knit(
             # vgate-bit folds, drops and z-contractions run IN-KERNEL,
             # the HBM write shrinks to the data-width knit contribution
             # and the scan body's per-vgate fold passes disappear
+            # pallas_staged (r5): VMEM per-slot checkpoints — each
+            # variant replays only the segments from its first changed
+            # slot (A/B knob for benchmarks/pallas_step_ab.py)
             builtf = make_folded_chunk_kernel(
                 virt, name, chunk, interpret=interp,
                 keep_clbits=keep_clbits, z_clbits=z_clbits,
+                staged=pallas_staged,
             )
             if builtf is not None:
                 pallas_rows[fi] = builtf[0]

@@ -618,3 +618,51 @@ def test_folded_kernel_engine_pallas_end_to_end():
     dist, _ = run_virtual_circuit(virt, engine="pallas")
     fid = hellinger_fidelity(simulate_circuit_host(circ), dist)
     assert fid > 1 - 1e-6
+
+
+def test_folded_kernel_staged_matches_unstaged_any_order():
+    """r5 staged checkpoint layout (VMEM per-slot checkpoints, resume
+    from the first changed slot): must be EXACT for arbitrary label
+    order — the stage array derives from consecutive-row diffs inside
+    rows_fn, so ordering is only a perf hint — and across chunk
+    boundaries (checkpoints never leak between pallas_call invocations;
+    row 0 of every chunk replays in full)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.pallas_variant import (  # noqa: E501
+        make_folded_chunk_kernel,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.variant_engine import (  # noqa: E501
+        label_strides,
+        variant_index_table,
+    )
+
+    virt = _chain_cut(8)
+    name = "frag0"
+    specs = [vg.spec for vg in virt.vgates]
+    strides, n_inst, total = label_strides(specs, range(len(specs)))
+    chunk = 8
+    padded = math.ceil(total / chunk) * chunk
+    vidx = np.asarray(variant_index_table(
+        range(len(specs)), strides, n_inst, padded, clamp_to=total
+    ))
+    rng = np.random.default_rng(7)
+    shuf = vidx[
+        list(rng.permutation(total)) + list(range(total, padded))
+    ]
+    b_s = make_folded_chunk_kernel(virt, name, chunk, interpret=True)
+    b_u = make_folded_chunk_kernel(virt, name, chunk, interpret=True,
+                                   staged=False)
+    assert b_s is not None and b_u is not None
+    rows_s, kept_s = b_s
+    rows_u, kept_u = b_u
+    assert kept_s == kept_u
+    for arr in (vidx, shuf):
+        for c0 in range(0, padded, chunk):
+            blk = jnp.asarray(arr[c0:c0 + chunk])
+            np.testing.assert_allclose(
+                np.asarray(rows_s(blk)), np.asarray(rows_u(blk)),
+                atol=1e-6,
+            )
