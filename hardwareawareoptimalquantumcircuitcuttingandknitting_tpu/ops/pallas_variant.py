@@ -503,7 +503,7 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
             prefix_ref = refs[idx + 1]
             out_ref = refs[idx + 2]
             ck_ref = refs[idx + 3]
-            s = stage_ref[0]
+            s = stage_ref[pl.program_id(0)]
             for i, seg in enumerate(segments):
 
                 def _seg(i=i, seg=seg):
@@ -546,9 +546,12 @@ def _build_call(virt: VirtualCircuit, frag_name: str, grid_count: int,
             (1, n_w, 2), lambda v: (v, 0, 0), memory_space=pltpu.VMEM
         ))
     if is_staged:
-        # per-variant resume stage, one int32 scalar per grid step
+        # per-variant resume stages: Mosaic requires rank-1 SMEM blocks
+        # be the FULL array (a (1,)-block fails the 128-multiple rule),
+        # so every grid step sees the whole [grid] vector and indexes
+        # its own entry by program_id
         in_specs.append(pl.BlockSpec(
-            (1,), lambda v: (v,), memory_space=pltpu.SMEM
+            (padded,), lambda v: (0,), memory_space=pltpu.SMEM
         ))
     in_specs.append(pl.BlockSpec(
         (2, R, 128), lambda v: (0, 0, 0), memory_space=pltpu.VMEM
