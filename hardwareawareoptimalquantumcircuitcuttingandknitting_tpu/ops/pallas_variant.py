@@ -646,7 +646,7 @@ def make_pallas_variant_fn(
 
 def make_chunk_kernel(
     virt: VirtualCircuit, frag_name: str, chunk: int,
-    interpret: bool = False,
+    interpret: bool = False, staged: bool = True,
 ):
     """Streamed-engine integration point: ``(rows_fn, positions)``
     where ``rows_fn(vidx_chunk)`` maps a ``[chunk, num_vgates]``
@@ -655,15 +655,18 @@ def make_chunk_kernel(
     marginalised onto the written clbits, matching the XLA sim path's
     row contract exactly.  Returns None when the fragment does not fit
     the kernel."""
-    built = _build_call(virt, frag_name, chunk, interpret=interpret)
+    built = _build_call(virt, frag_name, chunk, interpret=interpret,
+                        staged=staged)
     if built is None:
         return None
-    call, entry_tables, entry_gids, prefix_state, n, _R, _st = built
+    call, entry_tables, entry_gids, prefix_state, n, _R, is_staged = built
     prog = virt.programs[frag_name]
     positions = sorted(prog.clbit_sources)
     sources = [prog.clbit_sources[c] for c in positions]
     tabs_dev = [jnp.asarray(t) for t in entry_tables]
     prefix_dev = jnp.asarray(prefix_state)
+    k_seg = len(entry_gids)
+    gid_arr = np.asarray(entry_gids, np.int64)
 
     from .statevector import marginalize_flat
 
@@ -672,7 +675,22 @@ def make_chunk_kernel(
             tab[vidx_chunk[:, gid]]
             for tab, gid in zip(tabs_dev, entry_gids)
         ]
-        rows = call(*entries, prefix_dev).reshape(chunk, 1 << n)
+        if is_staged:
+            # same resume-stage derivation as the folded wrapper:
+            # first chain-order slot differing from the previous row
+            comp = vidx_chunk[:, gid_arr]
+            prev = jnp.concatenate(
+                [jnp.full((1, k_seg), -1, comp.dtype), comp[:-1]],
+                axis=0,
+            )
+            dif = comp != prev
+            stage = jnp.where(
+                dif.any(axis=1), jnp.argmax(dif, axis=1), k_seg
+            ).astype(jnp.int32)
+            rows = call(*entries, stage, prefix_dev)
+        else:
+            rows = call(*entries, prefix_dev)
+        rows = rows.reshape(chunk, 1 << n)
         return jax.vmap(lambda p: marginalize_flat(p, n, sources))(rows)
 
     return rows_fn, positions

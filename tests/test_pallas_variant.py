@@ -666,3 +666,47 @@ def test_folded_kernel_staged_matches_unstaged_any_order():
                 np.asarray(rows_s(blk)), np.asarray(rows_u(blk)),
                 atol=1e-6,
             )
+
+
+def test_chunk_kernel_staged_matches_unstaged():
+    """The non-folded chunk kernel (marginalised full-width rows, the
+    fallback when in-kernel folding does not apply) with staged
+    checkpoints must equal its unstaged twin on shuffled label order."""
+    import math
+
+    import jax.numpy as jnp
+
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.pallas_variant import (  # noqa: E501
+        make_chunk_kernel,
+    )
+    from hardwareawareoptimalquantumcircuitcuttingandknitting_tpu.ops.variant_engine import (  # noqa: E501
+        label_strides,
+        variant_index_table,
+    )
+
+    virt = _chain_cut(8)
+    name = "frag0"
+    specs = [vg.spec for vg in virt.vgates]
+    strides, n_inst, total = label_strides(specs, range(len(specs)))
+    chunk = 8
+    padded = math.ceil(total / chunk) * chunk
+    vidx = np.asarray(variant_index_table(
+        range(len(specs)), strides, n_inst, padded, clamp_to=total
+    ))
+    shuf = vidx[
+        list(np.random.default_rng(3).permutation(total))
+        + list(range(total, padded))
+    ]
+    b_s = make_chunk_kernel(virt, name, chunk, interpret=True)
+    b_u = make_chunk_kernel(virt, name, chunk, interpret=True,
+                            staged=False)
+    assert b_s is not None and b_u is not None
+    rows_s, pos_s = b_s
+    rows_u, pos_u = b_u
+    assert pos_s == pos_u
+    for c0 in range(0, padded, chunk):
+        blk = jnp.asarray(shuf[c0:c0 + chunk])
+        np.testing.assert_allclose(
+            np.asarray(rows_s(blk)), np.asarray(rows_u(blk)),
+            atol=1e-6,
+        )
